@@ -1,0 +1,293 @@
+"""Vectorized prime-field arithmetic for TPU (JAX).
+
+Re-implements the arithmetic surface the reference gets from its external
+`halo2_proofs`/`ff` backend (SURVEY.md §2.3 item 1: BN254 Fr/Fq Montgomery
+arithmetic) as limb-sliced JAX ops designed for TPU:
+
+  * A field element is a little-endian array of 32 byte digits, dtype uint8,
+    shape ``(..., 32)``.  Any number of leading batch axes is allowed; every
+    op is elementwise over them and safe under jit/vmap/shard_map.
+  * Byte digits are the widest radix whose schoolbook products (<= 255^2)
+    and convolution column sums (<= 32 * 255^2 < 2^22) stay exactly
+    representable in BOTH int32 and float32 — so digit convolutions can run
+    on the MXU as f32 matmuls with bit-exact integer results, and carry
+    logic runs on the VPU in int32.  There is no int64 path on TPU.
+  * Multiplication is Montgomery: T = a*b (full 63-digit convolution),
+    m = T_lo * (-p^-1) mod 2^256 (low-half convolution), result =
+    (T + m*p) / 2^256.  All three convolutions are one-hot einsums (MXU);
+    the only sequential pieces are cheap 32-step carry scans.
+
+All public ops take and return canonical digits (value < modulus).
+Montgomery-domain membership is a caller-side convention, as in `ff`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import DIGIT_BITS, N_DIGITS, from_digits, to_digits
+
+MASK = (1 << DIGIT_BITS) - 1
+ND = N_DIGITS
+
+# One-hot anti-diagonal tensors mapping outer products to convolution columns.
+# M_FULL[i, j, k] = 1 iff i + j == k   (k < 63): full product digits.
+# M_LO[i, j, k]   = 1 iff i + j == k   (k < 32): product mod 2^256.
+_I = np.arange(ND)
+_SUM = _I[:, None] + _I[None, :]
+M_FULL = (_SUM[:, :, None] == np.arange(2 * ND - 1)[None, None, :]).astype(np.float32)
+M_LO = M_FULL[:, :, :ND].copy()
+
+
+def _conv_full(a32, b32):
+    """(..., 32) x (..., 32) int32 -> (..., 63) int32 digit convolution."""
+    outer = (a32[..., :, None] * b32[..., None, :]).astype(jnp.float32)
+    return jnp.einsum("...ij,ijk->...k", outer, jnp.asarray(M_FULL)).astype(jnp.int32)
+
+
+def _conv_lo(a32, b32):
+    """Low 32 digits of the digit convolution (product mod 2^256)."""
+    outer = (a32[..., :, None] * b32[..., None, :]).astype(jnp.float32)
+    return jnp.einsum("...ij,ijk->...k", outer, jnp.asarray(M_LO)).astype(jnp.int32)
+
+
+def _carry_scan(x, n_out=None, return_carry=False):
+    """Propagate carries over non-negative redundant int32 digits.
+
+    x: (..., K) int32 -> canonical byte digits (..., K) plus final carry.
+    """
+    xs = jnp.moveaxis(x, -1, 0)
+
+    def step(carry, d):
+        t = d + carry
+        return t >> DIGIT_BITS, t & MASK
+
+    carry, out = jax.lax.scan(step, jnp.zeros(xs.shape[1:], jnp.int32), xs)
+    out = jnp.moveaxis(out, 0, -1)
+    if return_carry:
+        return out, carry
+    return out
+
+
+class Fp:
+    """A prime field instance: holds per-modulus constants as numpy arrays.
+
+    Pure-functional: an ``Fp`` is safe to close over inside jitted code.
+    Hot ops are jit-wrapped per instance so eager callers hit the compile
+    cache.
+    """
+
+    def __init__(self, modulus: int, name: str = "Fp"):
+        self.modulus = modulus
+        self.name = name
+        self.nbits = modulus.bit_length()
+        assert self.nbits <= 255, "need headroom for 2p in 256 bits"
+        # Montgomery constants for R = 2^256.
+        self.R = (1 << 256) % modulus
+        self.R2 = (self.R * self.R) % modulus
+        self.R3 = (self.R2 * self.R) % modulus
+        # N' = -p^{-1} mod 2^256 (full-width REDC multiplier).
+        self.npinv_full = (-pow(modulus, -1, 1 << 256)) % (1 << 256)
+        self.P_DIGITS = np.array(to_digits(modulus), np.int32)
+        self.NPINV_DIGITS = np.array(to_digits(self.npinv_full), np.int32)
+        self.ZERO = np.zeros(ND, np.uint8)
+        self.ONE = np.array(to_digits(1), np.uint8)
+        self.ONE_MONT = np.array(to_digits(self.R), np.uint8)
+        self.R2_DIGITS = np.array(to_digits(self.R2), np.uint8)
+        # jit caches (per-instance, so Fr/Fq don't collide)
+        self.add = jax.jit(self._add)
+        self.sub = jax.jit(self._sub)
+        self.neg = jax.jit(self._neg)
+        self.mul = jax.jit(self._mul)
+        self.square = jax.jit(lambda a: self._mul(a, a))
+        self.inv = jax.jit(self._inv)
+        self.to_mont = jax.jit(self._to_mont)
+        self.from_mont = jax.jit(self._from_mont)
+        self.pow = jax.jit(self._pow, static_argnums=1)
+
+    # ------------------------------------------------------------------
+    # host-side conversions (Python ints <-> digit arrays)
+    # ------------------------------------------------------------------
+    def from_int(self, x: int) -> np.ndarray:
+        return np.array(to_digits(x % self.modulus), np.uint8)
+
+    def from_ints(self, xs) -> np.ndarray:
+        return np.array([to_digits(int(x) % self.modulus) for x in xs], np.uint8)
+
+    def to_int(self, a) -> int:
+        return from_digits(np.asarray(a))
+
+    def to_ints(self, a) -> list[int]:
+        a = np.asarray(a).reshape(-1, ND)
+        return [from_digits(row) for row in a]
+
+    def rand(self, rng: np.random.Generator, shape=()) -> np.ndarray:
+        n = int(np.prod(shape)) if shape else 1
+        out = [int.from_bytes(rng.bytes(48), "little") % self.modulus for _ in range(n)]
+        arr = self.from_ints(out)
+        return arr.reshape(*shape, ND) if shape else arr[0]
+
+    # ------------------------------------------------------------------
+    # core ops
+    # ------------------------------------------------------------------
+    def _cond_sub_p(self, c):
+        """c: (..., 32) int32 canonical digits, value < 2p. Return value mod p."""
+        s = c - jnp.asarray(self.P_DIGITS)
+        ss = jnp.moveaxis(s, -1, 0)
+
+        def step(borrow, d):
+            t = d + borrow
+            return t >> DIGIT_BITS, t & MASK
+
+        borrow, out = jax.lax.scan(step, jnp.zeros(ss.shape[1:], jnp.int32), ss)
+        out = jnp.moveaxis(out, 0, -1)
+        return jnp.where((borrow < 0)[..., None], c, out)
+
+    def _add(self, a, b):
+        c = _carry_scan(a.astype(jnp.int32) + b.astype(jnp.int32))
+        return self._cond_sub_p(c).astype(jnp.uint8)
+
+    def _sub(self, a, b):
+        c = a.astype(jnp.int32) - b.astype(jnp.int32) + jnp.asarray(self.P_DIGITS)
+        cs = jnp.moveaxis(c, -1, 0)
+
+        def step(carry, d):
+            t = d + carry
+            return t >> DIGIT_BITS, t & MASK
+
+        _, out = jax.lax.scan(step, jnp.zeros(cs.shape[1:], jnp.int32), cs)
+        c = jnp.moveaxis(out, 0, -1)
+        return self._cond_sub_p(c).astype(jnp.uint8)
+
+    def _neg(self, a):
+        return self._sub(jnp.zeros_like(a), a)
+
+    def _mul(self, a, b):
+        """Montgomery product REDC(a*b): mont(x) * mont(y) -> mont(x*y)."""
+        a32 = a.astype(jnp.int32)
+        b32 = b.astype(jnp.int32)
+        t = _conv_full(a32, b32)  # (..., 63), digits < 2^22
+        t_lo, c1 = _carry_scan(t[..., :ND], return_carry=True)  # canonical low half
+        # m = T_lo * N' mod 2^256  (canonical digits needed for exact f32 conv)
+        m = _conv_lo(t_lo, jnp.asarray(self.NPINV_DIGITS))
+        m = _carry_scan(m)  # mod 2^256: drop final carry
+        mp = _conv_full(m, jnp.asarray(self.P_DIGITS))  # (..., 63)
+        # low halves cancel: (T_lo + (m*p)_lo) ≡ 0 mod 2^256; keep its carry
+        _, c2 = _carry_scan(t_lo + mp[..., :ND], return_carry=True)
+        # high halves (31 redundant digits each) + carries into digit 0
+        res31 = t[..., ND:] + mp[..., ND:]
+        res = jnp.concatenate([res31, jnp.zeros(res31.shape[:-1] + (1,), jnp.int32)], -1)
+        res = res.at[..., 0].add(c1 + c2)
+        res = _carry_scan(res)  # value = (T + m*p)/2^256 < 2p, fits 32 digits
+        return self._cond_sub_p(res).astype(jnp.uint8)
+
+    def _to_mont(self, a):
+        return self._mul(a, jnp.asarray(self.R2_DIGITS))
+
+    def _from_mont(self, a):
+        one = jnp.broadcast_to(jnp.asarray(self.ONE), a.shape)
+        return self._mul(a, one)
+
+    def _pow(self, a, e: int):
+        """a^e with a in Montgomery form, static integer exponent e >= 0."""
+        if e == 0:
+            return jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape).astype(jnp.uint8)
+        bits = jnp.array([(e >> i) & 1 for i in range(e.bit_length())], jnp.int32)
+        one = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape).astype(jnp.uint8)
+
+        def step(state, bit):
+            result, base = state
+            result = jnp.where(bit > 0, self._mul(result, base), result)
+            return (result, self._mul(base, base)), None
+
+        (result, _), _ = jax.lax.scan(step, (one, a), bits)
+        return result
+
+    def _inv(self, a):
+        """Inverse in Montgomery form (Fermat).  inv(0) = 0."""
+        return self._pow(a, self.modulus - 2)
+
+    def batch_inv(self, a, axis: int = 0):
+        """Batched inverse via log-depth prefix products (Montgomery form).
+
+        Zero entries map to zero.  TPU analogue of `ff::BatchInvert`:
+        ~4 muls/element at log2(n) depth via associative scans.
+        """
+        assert axis >= 0, "axis must be a non-negative batch axis"
+        one = jnp.asarray(self.ONE_MONT)
+        z = self.is_zero(a)
+        safe = jnp.where(z[..., None], jnp.broadcast_to(one, a.shape), a)
+        pref = jax.lax.associative_scan(self._mul, safe, axis=axis)
+        n = a.shape[axis]
+        total = jax.lax.index_in_dim(pref, n - 1, axis=axis, keepdims=False)
+        total_inv = self._inv(total)
+        rev = jnp.flip(safe, axis=axis)
+        suff = jnp.flip(jax.lax.associative_scan(self._mul, rev, axis=axis), axis=axis)
+        shifted_pref = self._shift_fill(pref, 1, axis, one)
+        shifted_suff = self._shift_fill(suff, -1, axis, one)
+        out = self._mul(
+            self._mul(shifted_pref, shifted_suff),
+            self._bcast(total_inv, a.shape, axis),
+        )
+        return jnp.where(z[..., None], jnp.zeros_like(out), out)
+
+    @staticmethod
+    def _bcast(total, shape, axis):
+        return jnp.broadcast_to(jnp.expand_dims(total, axis), shape)
+
+    @staticmethod
+    def _shift_fill(x, shift, axis, fill_vec):
+        """Shift along `axis` by `shift` (+1: toward higher idx), fill edges."""
+        n = x.shape[axis]
+        fill = jnp.broadcast_to(
+            jnp.asarray(fill_vec),
+            x.shape[:axis] + (abs(shift),) + x.shape[axis + 1 :],
+        ).astype(x.dtype)
+        if shift > 0:
+            body = jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)
+            return jnp.concatenate([fill, body], axis=axis)
+        body = jax.lax.slice_in_dim(x, -shift, n, axis=axis)
+        return jnp.concatenate([body, fill], axis=axis)
+
+    # ------------------------------------------------------------------
+    # predicates / selection
+    # ------------------------------------------------------------------
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=-1)
+
+    @staticmethod
+    def eq(a, b):
+        return jnp.all(a == b, axis=-1)
+
+    @staticmethod
+    def select(cond, a, b):
+        """cond: (...,) bool -> elementwise a or b."""
+        return jnp.where(cond[..., None], a, b)
+
+    def zeros(self, shape=()):
+        return jnp.zeros((*shape, ND), jnp.uint8)
+
+    def ones_mont(self, shape=()):
+        return jnp.broadcast_to(jnp.asarray(self.ONE_MONT), (*shape, ND)).astype(jnp.uint8)
+
+
+@functools.cache
+def _cached_field(modulus: int, name: str) -> Fp:
+    return Fp(modulus, name)
+
+
+def fr() -> Fp:
+    from .params import FR_MODULUS
+
+    return _cached_field(FR_MODULUS, "Fr")
+
+
+def fq() -> Fp:
+    from .params import FQ_MODULUS
+
+    return _cached_field(FQ_MODULUS, "Fq")
