@@ -1,0 +1,90 @@
+"""NTT/iNTT vs. naive host DFT; coset transforms; sharded four-step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zkevm_circuits_tpu.crypto.field import fr
+from zkevm_circuits_tpu.crypto.params import FR_MODULUS
+from zkevm_circuits_tpu.poly import ntt as nttmod
+from zkevm_circuits_tpu.poly.domain import domain
+
+F = fr()
+R = FR_MODULUS
+
+
+def _host_dft(coeffs, omega, r=R):
+    n = len(coeffs)
+    return [sum(coeffs[j] * pow(omega, i * j % n, r) for j in range(n)) % r for i in range(n)]
+
+
+def _rand_poly(rng, k):
+    return [int.from_bytes(rng.bytes(40), "little") % R for _ in range(1 << k)]
+
+
+def test_ntt_vs_naive(rng):
+    k = 4
+    dom = domain(k)
+    coeffs = _rand_poly(rng, k)
+    x = F.to_mont(jnp.asarray(F.from_ints(coeffs)))
+    evals = F.to_ints(F.from_mont(nttmod.ntt(x)))
+    assert evals == _host_dft(coeffs, dom.omega)
+
+
+def test_intt_roundtrip(rng):
+    k = 8
+    coeffs = _rand_poly(rng, k)
+    x = F.to_mont(jnp.asarray(F.from_ints(coeffs)))
+    back = nttmod.intt(nttmod.ntt(x))
+    assert F.to_ints(F.from_mont(back)) == coeffs
+
+
+def test_ntt_batched(rng):
+    k = 5
+    dom = domain(k)
+    polys = [_rand_poly(rng, k) for _ in range(3)]
+    x = F.to_mont(jnp.asarray(np.stack([F.from_ints(p) for p in polys])))
+    evals = nttmod.ntt(x)
+    for i, p in enumerate(polys):
+        assert F.to_ints(F.from_mont(evals[i])) == _host_dft(p, dom.omega)
+
+
+def test_coset_roundtrip_and_values(rng):
+    from zkevm_circuits_tpu.crypto.params import FR_GENERATOR
+
+    k = 4
+    dom = domain(k)
+    coeffs = _rand_poly(rng, k)
+    x = F.to_mont(jnp.asarray(F.from_ints(coeffs)))
+    ev = nttmod.coset_ntt(x)
+    # p(g * omega^i)
+    want = [
+        sum(c * pow(FR_GENERATOR * pow(dom.omega, i, R) % R, j, R) for j, c in enumerate(coeffs)) % R
+        for i in range(1 << k)
+    ]
+    assert F.to_ints(F.from_mont(ev)) == want
+    back = nttmod.coset_intt(ev)
+    assert F.to_ints(F.from_mont(back)) == coeffs
+
+
+def test_four_step_local_matches(rng):
+    k = 8
+    coeffs = _rand_poly(rng, k)
+    x = F.to_mont(jnp.asarray(F.from_ints(coeffs)))
+    want = np.asarray(nttmod.ntt(x))
+    n1 = 8
+    got = np.asarray(nttmod.four_step_ntt_local(x.reshape(n1, (1 << k) // n1, 32), k))
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_sharded_ntt_matches(rng, inverse):
+    k = 9  # n=512, 8 devices -> L=64
+    mesh = jax.make_mesh((8,), ("x",))
+    coeffs = _rand_poly(rng, k)
+    x = F.to_mont(jnp.asarray(F.from_ints(coeffs)))
+    fn = nttmod.make_sharded_ntt(mesh, "x", k, inverse=inverse)
+    got = np.asarray(jax.device_get(fn(x)))
+    want = np.asarray(nttmod.intt(x) if inverse else nttmod.ntt(x))
+    assert (got == want).all()
