@@ -76,51 +76,70 @@ def g1_is_infinity(p: G1):
     return F.is_zero(p.z)
 
 
+def _mulstack(lhs: list, rhs: list):
+    """One batched Montgomery mul over stacked operands (graph-size saver:
+    k independent muls cost one einsum pass instead of k).
+
+    Operands may be 'lazy' int32 digit arrays from `_lazy_add` (digits up
+    to 510, value < 2p): the convolution stays float32-exact (510^2 * 32 <
+    2^24) and REDC's bound holds ((2p)^2 < p * 2^256 for BN254 moduli).
+    """
+    a = jnp.stack([x.astype(jnp.int32) for x in lhs], axis=0)
+    b = jnp.stack([x.astype(jnp.int32) for x in rhs], axis=0)
+    out = F._mul(a, b)
+    return [out[i] for i in range(len(lhs))]
+
+
+def _lazy_add(a, b):
+    """Digit-wise add WITHOUT carry/reduction: only valid as a direct input
+    to _mulstack (see its contract).  Both inputs must be canonical."""
+    return a.astype(jnp.int32) + b.astype(jnp.int32)
+
+
 def g1_double(p: G1) -> G1:
     """2P for a=0 curves.  Correct for infinity (Z=0 stays Z=0)."""
-    a = F.square(p.x)  # X^2
-    b = F.square(p.y)  # Y^2
-    c = F.square(b)  # Y^4
-    # D = 2((X+B)^2 - A - C)
-    d = F.sub(F.sub(F.square(F.add(p.x, b)), a), c)
-    d = F.add(d, d)
-    e = F.add(F.add(a, a), a)  # 3X^2
-    f = F.square(e)
-    x3 = F.sub(f, F.add(d, d))
-    c8 = F.add(c, c)
-    c8 = F.add(c8, c8)
-    c8 = F.add(c8, c8)
-    y3 = F.sub(F.mul(e, F.sub(d, x3)), c8)
-    yz = F.mul(p.y, p.z)
-    z3 = F.add(yz, yz)
+    a, b, yz = _mulstack([p.x, p.y, p.y], [p.x, p.y, p.z])  # X^2, Y^2, YZ
+    xb = _lazy_add(p.x, b)  # digits <= 510 — fine for _mulstack
+    e = F._add(F._add(a, a), a)  # 3X^2 (canonical: reused additively below)
+    c, xb2, f = _mulstack([b, xb, e], [b, xb, e])  # Y^4, (X+B)^2, E^2
+    d = F._sub(F._sub(xb2, a), c)
+    d = F._add(d, d)
+    x3 = F._sub(f, F._add(d, d))
+    c8 = F._add(c, c)
+    c8 = F._add(c8, c8)
+    c8 = F._add(c8, c8)
+    (y3a,) = _mulstack([e], [F._sub(d, x3)])
+    y3 = F._sub(y3a, c8)
+    z3 = F._add(yz, yz)
     return G1(x3, y3, z3)
 
 
 def g1_add(p: G1, q: G1) -> G1:
     """Complete branch-free Jacobian addition (handles P=Q, ±, infinity)."""
-    z1z1 = F.square(p.z)
-    z2z2 = F.square(q.z)
-    u1 = F.mul(p.x, z2z2)
-    u2 = F.mul(q.x, z1z1)
-    s1 = F.mul(F.mul(p.y, q.z), z2z2)
-    s2 = F.mul(F.mul(q.y, p.z), z1z1)
-    h = F.sub(u2, u1)
-    r = F.sub(s2, s1)
+    z1z1, z2z2 = _mulstack([p.z, q.z], [p.z, q.z])
+    u1, u2, a1, a2 = _mulstack(
+        [p.x, q.x, p.y, q.y], [z2z2, z1z1, q.z, p.z]
+    )
+    s1, s2 = _mulstack([a1, a2], [z2z2, z1z1])
+    h = F._sub(u2, u1)
+    r = F._sub(s2, s1)
 
     h_zero = F.is_zero(h)
     r_zero = F.is_zero(r)
     p_inf = F.is_zero(p.z)
     q_inf = F.is_zero(q.z)
 
-    i = F.square(F.add(h, h))  # (2H)^2
-    j = F.mul(h, i)
-    rr = F.add(r, r)
-    v = F.mul(u1, i)
-    x3 = F.sub(F.sub(F.square(rr), j), F.add(v, v))
-    s1j = F.mul(s1, j)
-    y3 = F.sub(F.mul(rr, F.sub(v, x3)), F.add(s1j, s1j))
+    h2 = _lazy_add(h, h)
+    rr = F._add(r, r)  # canonical: feeds both a mul and a later mul by rr
+    zs = _lazy_add(p.z, q.z)
+    i, rr2, zs2 = _mulstack([h2, rr, zs], [h2, rr, zs])
+    j, v = _mulstack([h, u1], [i, i])
+    x3 = F._sub(F._sub(rr2, j), F._add(v, v))
     # ((Z1+Z2)^2 - Z1Z1 - Z2Z2) = 2*Z1*Z2
-    z3 = F.mul(F.sub(F.sub(F.square(F.add(p.z, q.z)), z1z1), z2z2), h)
+    y3a, s1j, z3 = _mulstack(
+        [rr, s1, F._sub(F._sub(zs2, z1z1), z2z2)], [F._sub(v, x3), j, h]
+    )
+    y3 = F._sub(y3a, F._add(s1j, s1j))
 
     dbl = g1_double(p)
     inf = g1_infinity(h.shape[:-1])

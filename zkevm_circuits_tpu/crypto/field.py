@@ -55,22 +55,47 @@ def _conv_lo(a32, b32):
     return jnp.einsum("...ij,ijk->...k", outer, jnp.asarray(M_LO)).astype(jnp.int32)
 
 
-def _carry_scan(x, n_out=None, return_carry=False):
-    """Propagate carries over non-negative redundant int32 digits.
+def _shl_digits(x, s: int):
+    """Shift digits toward higher index by s (value * 2^(8s)), zero-fill,
+    fixed width: the top s digits are DROPPED — callers guarantee headroom
+    (or mod-2^(8K) semantics)."""
+    if s == 0:
+        return x
+    return jnp.concatenate([jnp.zeros_like(x[..., :s]), x[..., :-s]], axis=-1)
 
-    x: (..., K) int32 -> canonical byte digits (..., K) plus final carry.
+
+def _canon(x, width: int, passes: int = 3):
+    """Carry-propagate redundant non-negative int32 digits to canonical
+    bytes, branch-free (no sequential scan):
+
+      1. `passes` local split passes: d -> (d & 255) + shl(d >> 8).  Each
+         pass shrinks the digit bound: 2^22 -> 2^15 -> 382 -> 256.
+      2. Kogge-Stone carry look-ahead for the residual binary ripple
+         (digits in [0, 256]): generate g = (d == 256), propagate
+         p = (d == 255), log2(width) combine steps.
+
+    x is padded (or truncated, for mod-2^(8*width) semantics) to `width`
+    digits; the caller must pick `width` large enough for the value unless
+    mod semantics are intended.
     """
-    xs = jnp.moveaxis(x, -1, 0)
-
-    def step(carry, d):
-        t = d + carry
-        return t >> DIGIT_BITS, t & MASK
-
-    carry, out = jax.lax.scan(step, jnp.zeros(xs.shape[1:], jnp.int32), xs)
-    out = jnp.moveaxis(out, 0, -1)
-    if return_carry:
-        return out, carry
-    return out
+    k = x.shape[-1]
+    if width > k:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (width - k,), x.dtype)], axis=-1
+        )
+    elif width < k:
+        x = x[..., :width]
+    for _ in range(passes):
+        x = (x & MASK) + _shl_digits(x >> DIGIT_BITS, 1)
+    g = x > MASK  # digit == 256: generates a carry
+    p = x == MASK  # digit == 255: propagates a carry
+    s = 1
+    while s < width:
+        g = g | (p & _shl_digits(g, s))
+        p = p & _shl_digits(p, s)
+        s <<= 1
+    carry_in = _shl_digits(g, 1)
+    return (x + carry_in.astype(jnp.int32)) & MASK
 
 
 class Fp:
@@ -93,6 +118,7 @@ class Fp:
         # N' = -p^{-1} mod 2^256 (full-width REDC multiplier).
         self.npinv_full = (-pow(modulus, -1, 1 << 256)) % (1 << 256)
         self.P_DIGITS = np.array(to_digits(modulus), np.int32)
+        self.PCOMP_DIGITS = np.array(to_digits((1 << 256) - modulus), np.int32)
         self.NPINV_DIGITS = np.array(to_digits(self.npinv_full), np.int32)
         self.ZERO = np.zeros(ND, np.uint8)
         self.ONE = np.array(to_digits(1), np.uint8)
@@ -135,32 +161,32 @@ class Fp:
     # core ops
     # ------------------------------------------------------------------
     def _cond_sub_p(self, c):
-        """c: (..., 32) int32 canonical digits, value < 2p. Return value mod p."""
-        s = c - jnp.asarray(self.P_DIGITS)
-        ss = jnp.moveaxis(s, -1, 0)
+        """c: (..., 32) int32 canonical digits, value < 2p. Return value mod p.
 
-        def step(borrow, d):
-            t = d + borrow
-            return t >> DIGIT_BITS, t & MASK
-
-        borrow, out = jax.lax.scan(step, jnp.zeros(ss.shape[1:], jnp.int32), ss)
-        out = jnp.moveaxis(out, 0, -1)
-        return jnp.where((borrow < 0)[..., None], c, out)
+        Computes c + (2^256 - p); the 2^256 overflow bit (digit 32) is 1
+        exactly when c >= p, in which case the low digits are c - p.
+        """
+        comp = jnp.asarray(self.PCOMP_DIGITS)  # digits of 2^256 - p
+        s = c + comp  # digits <= 510
+        s = _canon(s, ND + 1, passes=1)
+        ge = s[..., ND] > 0
+        return jnp.where(ge[..., None], s[..., :ND], c)
 
     def _add(self, a, b):
-        c = _carry_scan(a.astype(jnp.int32) + b.astype(jnp.int32))
+        c = a.astype(jnp.int32) + b.astype(jnp.int32)  # value < 2p < 2^256
+        c = _canon(c, ND + 1, passes=1)[..., :ND]
         return self._cond_sub_p(c).astype(jnp.uint8)
 
     def _sub(self, a, b):
-        c = a.astype(jnp.int32) - b.astype(jnp.int32) + jnp.asarray(self.P_DIGITS)
-        cs = jnp.moveaxis(c, -1, 0)
-
-        def step(carry, d):
-            t = d + carry
-            return t >> DIGIT_BITS, t & MASK
-
-        _, out = jax.lax.scan(step, jnp.zeros(cs.shape[1:], jnp.int32), cs)
-        c = jnp.moveaxis(out, 0, -1)
+        # a - b + p  ==  a + not(b) + 1 + p - 2^256   (base-256 complement);
+        # the 2^256 wraps away via mod-width _canon. Result in [1, 2p).
+        c = (
+            a.astype(jnp.int32)
+            + (MASK - b.astype(jnp.int32))
+            + jnp.asarray(self.P_DIGITS)
+        )
+        c = c.at[..., 0].add(1)
+        c = _canon(c, ND, passes=2)  # digits <= 766 -> 2 passes; mod 2^256
         return self._cond_sub_p(c).astype(jnp.uint8)
 
     def _neg(self, a):
@@ -171,18 +197,17 @@ class Fp:
         a32 = a.astype(jnp.int32)
         b32 = b.astype(jnp.int32)
         t = _conv_full(a32, b32)  # (..., 63), digits < 2^22
-        t_lo, c1 = _carry_scan(t[..., :ND], return_carry=True)  # canonical low half
-        # m = T_lo * N' mod 2^256  (canonical digits needed for exact f32 conv)
-        m = _conv_lo(t_lo, jnp.asarray(self.NPINV_DIGITS))
-        m = _carry_scan(m)  # mod 2^256: drop final carry
+        t = _canon(t, 2 * ND, passes=3)  # T < p^2 < 2^508: 64 digits
+        # m = T_lo * N' mod 2^256
+        m = _conv_lo(t[..., :ND], jnp.asarray(self.NPINV_DIGITS))
+        m = _canon(m, ND, passes=3)  # mod 2^256
         mp = _conv_full(m, jnp.asarray(self.P_DIGITS))  # (..., 63)
-        # low halves cancel: (T_lo + (m*p)_lo) ≡ 0 mod 2^256; keep its carry
-        _, c2 = _carry_scan(t_lo + mp[..., :ND], return_carry=True)
-        # high halves (31 redundant digits each) + carries into digit 0
-        res31 = t[..., ND:] + mp[..., ND:]
-        res = jnp.concatenate([res31, jnp.zeros(res31.shape[:-1] + (1,), jnp.int32)], -1)
-        res = res.at[..., 0].add(c1 + c2)
-        res = _carry_scan(res)  # value = (T + m*p)/2^256 < 2p, fits 32 digits
+        res = t + jnp.concatenate(
+            [mp, jnp.zeros(mp.shape[:-1] + (1,), jnp.int32)], axis=-1
+        )
+        # T + m*p ≡ 0 mod 2^256 and < p^2 + 2^256 p < 2^509: 64 digits
+        res = _canon(res, 2 * ND, passes=3)
+        res = res[..., ND:]  # exact division by 2^256; value < 2p
         return self._cond_sub_p(res).astype(jnp.uint8)
 
     def _to_mont(self, a):

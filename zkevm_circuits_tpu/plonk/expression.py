@@ -1,0 +1,210 @@
+"""Gate expression IR — the TPU-native analogue of halo2's `Expression`.
+
+The reference builds constraints as expression trees over column queries
+(`zkevm-circuits` gadgets emit them through `EVMConstraintBuilder`,
+SURVEY.md §2.2) and its backend evaluates them row-by-row in Rust.  Here a
+gate is the same small AST, but evaluation is COLUMNWISE: a query pulls an
+entire rotated column (one jnp roll), and the DAG evaluates as batched
+field ops over all n rows at once — this is what makes constraint
+evaluation vectorize onto the VPU/MXU (SURVEY.md §7.1 "gates as expression
+DAGs evaluated columnwise").
+
+Rotations use halo2 semantics: Rotation(1) of column c at row i reads
+c[(i+1) % n].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..crypto.field import fr
+
+F = fr()
+
+
+class Expression:
+    def __add__(self, o):
+        return Sum(self, _lift(o))
+
+    def __radd__(self, o):
+        return Sum(_lift(o), self)
+
+    def __sub__(self, o):
+        return Sum(self, Neg(_lift(o)))
+
+    def __rsub__(self, o):
+        return Sum(_lift(o), Neg(self))
+
+    def __mul__(self, o):
+        return Product(self, _lift(o))
+
+    def __rmul__(self, o):
+        return Product(_lift(o), self)
+
+    def __neg__(self):
+        return Neg(self)
+
+    # -- analysis ----------------------------------------------------------
+    def degree(self) -> int:
+        raise NotImplementedError
+
+    def queries(self, out: set):
+        """Collect (kind, col, rot) column queries and challenge uses."""
+        raise NotImplementedError
+
+
+def _lift(v) -> Expression:
+    if isinstance(v, Expression):
+        return v
+    if isinstance(v, int):
+        return Constant(v)
+    raise TypeError(f"cannot lift {type(v)} into Expression")
+
+
+@dataclasses.dataclass(frozen=True)
+class Constant(Expression):
+    value: int
+
+    def degree(self):
+        return 0
+
+    def queries(self, out):
+        pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Query(Expression):
+    """A (kind, column, rotation) cell query; kind in {fixed, advice, instance}."""
+
+    kind: str
+    col: int
+    rot: int = 0
+
+    def degree(self):
+        return 1
+
+    def queries(self, out):
+        out.add((self.kind, self.col, self.rot))
+
+
+def Fixed(col, rot=0):
+    return Query("fixed", col, rot)
+
+
+def Advice(col, rot=0):
+    return Query("advice", col, rot)
+
+
+def Instance(col, rot=0):
+    return Query("instance", col, rot)
+
+
+@dataclasses.dataclass(frozen=True)
+class Challenge(Expression):
+    """Fiat-Shamir challenge (by phase-local index); degree 0."""
+
+    index: int
+
+    def degree(self):
+        return 0
+
+    def queries(self, out):
+        out.add(("challenge", self.index, 0))
+
+
+@dataclasses.dataclass(frozen=True)
+class Neg(Expression):
+    a: Expression
+
+    def degree(self):
+        return self.a.degree()
+
+    def queries(self, out):
+        self.a.queries(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sum(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return max(self.a.degree(), self.b.degree())
+
+    def queries(self, out):
+        self.a.queries(out)
+        self.b.queries(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class Product(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return self.a.degree() + self.b.degree()
+
+    def queries(self, out):
+        self.a.queries(out)
+        self.b.queries(out)
+
+
+class Evaluator:
+    """Columnwise DAG evaluator with node memoization.
+
+    `tables` maps kind -> (num_cols, n, 32) uint8 Montgomery arrays (or a
+    dict col->array); `challenges` maps index -> (32,) Montgomery scalar.
+    `rot_scale` stretches rotations (extended-domain evaluation: a rotation
+    of 1 on H corresponds to `rate` rows on the extended coset domain).
+    """
+
+    def __init__(self, tables: dict, challenges: dict | None = None, rot_scale: int = 1):
+        self.tables = tables
+        self.challenges = challenges or {}
+        self.rot_scale = rot_scale
+        self._cache: dict[Any, Any] = {}
+        self._const_cache: dict[int, Any] = {}
+
+    def _column(self, kind, col):
+        t = self.tables[kind]
+        return t[col] if not isinstance(t, dict) else t[col]
+
+    def eval(self, e: Expression):
+        key = e
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        if isinstance(e, Constant):
+            v = e.value % F.modulus
+            arr = self._const_cache.get(v)
+            if arr is None:
+                arr = jnp.asarray(F.from_int(v * F.R % F.modulus))
+                self._const_cache[v] = arr
+            out = arr
+        elif isinstance(e, Query):
+            colv = self._column(e.kind, e.col)
+            r = (e.rot * self.rot_scale) % colv.shape[0]
+            out = jnp.roll(colv, -r, axis=0) if r else colv
+        elif isinstance(e, Challenge):
+            out = self.challenges[e.index]
+        elif isinstance(e, Neg):
+            out = F._neg(self.eval(e.a))
+        elif isinstance(e, Sum):
+            out = self._bin(F._add, e.a, e.b)
+        elif isinstance(e, Product):
+            out = self._bin(F._mul, e.a, e.b)
+        else:
+            raise TypeError(type(e))
+        self._cache[key] = out
+        return out
+
+    def _bin(self, op, a, b):
+        va, vb = self.eval(a), self.eval(b)
+        if va.ndim < vb.ndim:
+            va = jnp.broadcast_to(va, vb.shape)
+        elif vb.ndim < va.ndim:
+            vb = jnp.broadcast_to(vb, va.shape)
+        return op(va, vb)
