@@ -224,6 +224,8 @@ def make_sharded_ntt(mesh, axis_name: str, k: int, inverse: bool = False):
     from jax.sharding import PartitionSpec as P
 
     D = mesh.shape[axis_name]
+    if D == 1:
+        return jax.jit(lambda x: _ntt_impl(x, k, inverse))
     tw = jnp.asarray(sharded_ntt_twiddles(k, D, inverse))
 
     def body(x_local, tw_local):
