@@ -1,0 +1,298 @@
+"""State circuit — proves the RW table is sorted and consistent.
+
+Equivalent of the reference's `zkevm-circuits/src/state_circuit.rs`
+(SURVEY.md §2.2 "State"): lexicographic ordering over (tag, id, address,
+field_tag, storage_key, rw_counter), limb range checks, and
+read-after-write consistency.
+
+TPU-first redesign decisions (vs the reference's chips):
+  * Ordering: the key is decomposed into `limb_bits`-bit limbs (most
+    significant first).  Per adjacent row pair the witness carries a
+    one-hot indicator of the FIRST differing limb plus the limb
+    difference; three vectorized gate families replace the reference's
+    BinaryNumber chip + per-limb chain.
+  * All range checks ride ONE logUp argument (every limb column + the
+    diff column into a single 2^limb_bits fixed table) — the reference
+    needs a permuted-column halo2 lookup per limb family.
+  * 256-bit values are exposed as byte-RLC under the phase-1 challenge
+    (reference convention); ordering uses plain key limbs.
+  * Padding rows carry RwTag.Padding (sorts last, rw_counter keeps
+    incrementing) so fixed selectors are static for any witness size —
+    the variadic-size property the reference tests in
+    integration_test_circuits.rs:291-309.
+
+Field widths are parameters (`StateParams`) — tests shrink address/key
+widths so the column count stays CPU-testable; production uses full
+widths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem
+from ..plonk.expression import Advice, Expression, Fixed
+from ..witness.rw import Rw, RwMap, RwTag
+
+F = fr()
+
+
+@dataclasses.dataclass
+class StateParams:
+    limb_bits: int = 16
+    id_bits: int = 32
+    addr_bits: int = 160
+    key_bits: int = 256
+    rwc_bits: int = 32
+    target_rows: int = 0  # 0 => fill usable rows
+
+    def limb_counts(self):
+        lb = self.limb_bits
+        ceil = lambda b: -(-b // lb)
+        # (field name, limb count), most significant field first
+        return [
+            ("tag", 1),
+            ("id", ceil(self.id_bits)),
+            ("address", ceil(self.addr_bits)),
+            ("field_tag", 1),
+            ("storage_key", ceil(self.key_bits)),
+            ("rw_counter", ceil(self.rwc_bits)),
+        ]
+
+    @property
+    def total_limbs(self):
+        return sum(c for _, c in self.limb_counts())
+
+    @property
+    def group_limbs(self):
+        """Limbs that define the access group (everything but rw_counter)."""
+        return self.total_limbs - self.limb_counts()[-1][1]
+
+
+def _decompose(value: int, count: int, bits: int) -> list[int]:
+    """Most-significant-limb-first decomposition."""
+    mask = (1 << bits) - 1
+    return [(value >> (bits * (count - 1 - i))) & mask for i in range(count)]
+
+
+def word_rlc(value: int, r_chal: int) -> int:
+    """Byte-RLC of a 256-bit word, little-endian bytes (reference
+    convention: evm_word challenge RLC)."""
+    acc = 0
+    for b in reversed(value.to_bytes(32, "big")):
+        acc = (acc * r_chal + b) % R
+    return acc
+
+
+class StateCircuit(Circuit):
+    def __init__(self, rws: RwMap | list[Rw], params: StateParams | None = None):
+        self.params = params or StateParams()
+        rows = rws.sorted_rws() if isinstance(rws, RwMap) else list(rws)
+        self.rows = rows
+
+    # ------------------------------------------------------------------
+    def configure(self, cs: ConstraintSystem):
+        p = self.params
+        self.q_row = cs.fixed_column()  # 1 on all table rows
+        self.q_ord = cs.fixed_column()  # 1 on rows 1..target-1 (has a prev)
+        self.tbl = cs.fixed_column()  # range table 0..2^limb_bits-1
+
+        self.col_is_write = cs.advice_column()
+        self.col_value = cs.advice_column(phase=1)
+        self.col_value_prev = cs.advice_column(phase=1)
+        self.limb_cols = [cs.advice_column() for _ in range(p.total_limbs)]
+        self.e_cols = [cs.advice_column() for _ in range(p.total_limbs)]
+        self.col_diff = cs.advice_column()
+        # tag indicators (IsZero-style pairs) for stack/memory rules
+        self.col_is_stack = cs.advice_column()
+        self.col_inv_stack = cs.advice_column()
+        self.col_is_mem = cs.advice_column()
+        self.col_inv_mem = cs.advice_column()
+
+        self.r_word = cs.challenge(phase=0)  # squeezed after phase-0 advice
+
+        q_row = Fixed(self.q_row)
+        q_ord = Fixed(self.q_ord)
+        iw = Advice(self.col_is_write)
+        diff = Advice(self.col_diff)
+        limbs = [Advice(c) for c in self.limb_cols]
+        limbs_prev = [Advice(c, -1) for c in self.limb_cols]
+        es = [Advice(c) for c in self.e_cols]
+
+        # booleans
+        cs.create_gate("is_write bool", q_row * iw * (iw - 1))
+        for e in es:
+            cs.create_gate("indicator bool", q_row * e * (e - 1))
+        esum: Expression = es[0]
+        for e in es[1:]:
+            esum = esum + e
+        cs.create_gate("one-hot", q_ord * (esum - 1))
+
+        # prefix equality: limbs before the first-diff index match prev row
+        run: Expression | None = None
+        for i in range(p.total_limbs):
+            run = es[i] if run is None else run + es[i]
+            # for all i: (cur_i - prev_i) is forced 0 unless some e_k with
+            # k <= i fired
+            cs.create_gate(
+                f"prefix-eq {i}", q_ord * (limbs[i] - limbs_prev[i]) * (1 - run)
+            )
+
+        # picked difference equals diff and diff >= 1 (range: diff-1 in table)
+        picked: Expression | None = None
+        for i in range(p.total_limbs):
+            term = es[i] * (limbs[i] - limbs_prev[i])
+            picked = term if picked is None else picked + term
+        cs.create_gate("diff pick", q_ord * (picked - diff))
+
+        # tag indicator correctness: is_stack = (tag == Stack) etc.
+        tag = limbs[0]
+        for flag_col, inv_col, tag_val in (
+            (self.col_is_stack, self.col_inv_stack, int(RwTag.Stack)),
+            (self.col_is_mem, self.col_inv_mem, int(RwTag.Memory)),
+        ):
+            fl, inv = Advice(flag_col), Advice(inv_col)
+            d = tag - tag_val
+            cs.create_gate("tag flag def", q_row * (1 - fl - d * inv))
+            cs.create_gate("tag flag zero", q_row * fl * d)
+
+        # read consistency: same group + read => value unchanged
+        first_access: Expression = es[0]
+        for e in es[1 : p.group_limbs]:
+            first_access = first_access + e
+        not_first = 1 - first_access
+        val = Advice(self.col_value)
+        val_prev_row = Advice(self.col_value, -1)
+        cs.create_gate(
+            "read consistency",
+            q_ord * not_first * (1 - iw) * (val - val_prev_row),
+        )
+        # stack: first access must be a write
+        cs.create_gate(
+            "stack first is write",
+            q_ord * first_access * Advice(self.col_is_stack) * (1 - iw),
+        )
+        # memory: first read returns 0
+        cs.create_gate(
+            "memory first read zero",
+            q_ord * first_access * Advice(self.col_is_mem) * (1 - iw) * val,
+        )
+
+        # single logUp argument: every limb + diff-1 into the range table
+        inputs = [[q_row * l] for l in limbs]
+        inputs.append([q_ord * (diff - 1)])
+        cs.lookup_logup("limb ranges", inputs, [Fixed(self.tbl)])
+
+    # ------------------------------------------------------------------
+    def _target(self, n: int) -> int:
+        from ..plonk.circuit import usable_rows
+
+        t = self.params.target_rows or usable_rows(n)
+        assert len(self.rows) <= t <= usable_rows(n)
+        return t
+
+    def _padded_rows(self, n: int) -> list[Rw]:
+        t = self._target(n)
+        rows = list(self.rows)
+        next_ctr = (max(r.rw_counter for r in rows) + 1) if rows else 1
+        while len(rows) < t:
+            rows.append(
+                Rw(rw_counter=next_ctr, is_write=False, tag=RwTag.Padding)
+            )
+            next_ctr += 1
+        return rows
+
+    def fixed_columns(self, n: int):
+        p = self.params
+        t = self._target(n)
+        q_row = [1 if i < t else 0 for i in range(n)]
+        q_ord = [1 if 1 <= i < t else 0 for i in range(n)]
+        tbl = [i if i < (1 << p.limb_bits) else 0 for i in range(n)]
+        assert n >= (1 << p.limb_bits), "domain must fit the range table"
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        return np.stack([mont(q_row), mont(q_ord), mont(tbl)])
+
+    def _limbify(self, r: Rw) -> list[int]:
+        p = self.params
+        out = []
+        for name, cnt in p.limb_counts():
+            v = {
+                "tag": int(r.tag),
+                "id": r.id,
+                "address": r.address,
+                "field_tag": int(r.field_tag),
+                "storage_key": r.storage_key,
+                "rw_counter": r.rw_counter,
+            }[name]
+            out.extend(_decompose(v, cnt, p.limb_bits))
+        return out
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        p = self.params
+        rows = self._padded_rows(n)
+        t = len(rows)
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        if phase == 0:
+            limb_mat = [self._limbify(r) for r in rows]
+            cols = {}
+            cols[self.col_is_write] = mont([int(r.is_write) for r in rows])
+            for li in range(p.total_limbs):
+                cols[self.limb_cols[li]] = mont([lm[li] for lm in limb_mat])
+            e_mat = []
+            diffs = []
+            for i in range(t):
+                if i == 0:
+                    e_mat.append([0] * p.total_limbs)
+                    diffs.append(1)
+                    continue
+                cur, prev = limb_mat[i], limb_mat[i - 1]
+                j = next(
+                    (k for k in range(p.total_limbs) if cur[k] != prev[k]),
+                    None,
+                )
+                # soft handling of corrupt witnesses: constraints (one-hot,
+                # range lookup) catch duplicates / unsorted rows in the
+                # mock/real prover rather than crashing witness gen
+                onehot = [0] * p.total_limbs
+                if j is not None:
+                    onehot[j] = 1
+                e_mat.append(onehot)
+                d = (cur[j] - prev[j]) % R if j is not None else 1
+                diffs.append(d)
+            for li in range(p.total_limbs):
+                cols[self.e_cols[li]] = mont([em[li] for em in e_mat])
+            # diff column: rows without q_ord still pass the gated range
+            # lookup (input expression is 0 there); witness stores d
+            cols[self.col_diff] = mont(diffs)
+            cols[self.col_is_stack] = mont(
+                [int(r.tag == RwTag.Stack) for r in rows]
+            )
+            cols[self.col_is_mem] = mont(
+                [int(r.tag == RwTag.Memory) for r in rows]
+            )
+
+            def invs(tag_val):
+                out = []
+                for r in rows:
+                    d = (int(r.tag) - tag_val) % R
+                    out.append(pow(d, -1, R) if d else 0)
+                return out
+
+            cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
+            cols[self.col_inv_mem] = mont(invs(int(RwTag.Memory)))
+            return cols
+        # phase 1: word RLC columns under the phase-0 challenge
+        r_chal = challenges[self.r_word.index]
+        r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+        vals = [word_rlc(r.value, r_int) for r in rows]
+        prevs = [word_rlc(r.value_prev, r_int) for r in rows]
+        return {
+            self.col_value: mont(vals),
+            self.col_value_prev: mont(prevs),
+        }

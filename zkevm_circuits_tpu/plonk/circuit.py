@@ -44,6 +44,19 @@ class Lookup:
     tables: list[Expression]
 
 
+@dataclasses.dataclass
+class LogupLookup:
+    """log-derivative lookup: every input TUPLE must appear in the table
+    tuple's multiset.  One argument serves many inputs against one table —
+    the TPU-first replacement for stacks of halo2 permuted-column lookups
+    (no sorting, no permuted commits; witness = batch inverses + one
+    running sum, both cheap device scans)."""
+
+    name: str
+    inputs: list[list[Expression]]  # each entry is one input tuple
+    table: list[Expression]
+
+
 @dataclasses.dataclass(frozen=True)
 class Cell:
     kind: str  # 'advice' | 'fixed' | 'instance'
@@ -59,6 +72,7 @@ class ConstraintSystem:
         self.challenge_phases: list[int] = []
         self.gates: list[Gate] = []
         self.lookups: list[Lookup] = []
+        self.logups: list[LogupLookup] = []
         # columns participating in the permutation (equality) argument
         self.perm_columns: list[tuple[str, int]] = []
 
@@ -97,6 +111,17 @@ class ConstraintSystem:
             Lookup(name, [p[0] for p in pairs], [p[1] for p in pairs])
         )
 
+    def lookup_logup(
+        self,
+        name: str,
+        inputs: Sequence[Sequence[Expression]],
+        table: Sequence[Expression],
+    ):
+        """Declare a multi-input log-derivative lookup (see LogupLookup)."""
+        self.logups.append(
+            LogupLookup(name, [list(t) for t in inputs], list(table))
+        )
+
     def enable_equality(self, kind: str, col: int):
         if (kind, col) not in self.perm_columns:
             self.perm_columns.append((kind, col))
@@ -112,6 +137,12 @@ class ConstraintSystem:
         for lk in self.lookups:
             for e in lk.inputs + lk.tables:
                 d = max(d, e.degree() + 2)
+        for lg in self.logups:
+            for tup in lg.inputs:
+                for e in tup:
+                    d = max(d, e.degree() + 2)
+            for e in lg.table:
+                d = max(d, e.degree() + 2)
         if self.perm_columns:
             d = max(d, len(self.perm_columns) + 2)
         return d
@@ -123,6 +154,12 @@ class ConstraintSystem:
                 p.queries(qs)
         for lk in self.lookups:
             for e in lk.inputs + lk.tables:
+                e.queries(qs)
+        for lg in self.logups:
+            for tup in lg.inputs:
+                for e in tup:
+                    e.queries(qs)
+            for e in lg.table:
                 e.queries(qs)
         return qs
 

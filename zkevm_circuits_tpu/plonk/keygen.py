@@ -50,6 +50,10 @@ def quotient_degree(cs: ConstraintSystem) -> int:
         di = max((e.degree() for e in lk.inputs), default=1)
         dt = max((e.degree() for e in lk.tables), default=1)
         d = max(d, 2 + di + dt, 4)
+    for lg in cs.logups:
+        for tup in lg.inputs:
+            d = max(d, 2 + max((e.degree() for e in tup), default=1))
+        d = max(d, 2 + max((e.degree() for e in lg.table), default=1))
     return d
 
 

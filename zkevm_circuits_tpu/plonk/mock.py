@@ -109,6 +109,22 @@ class MockProver:
                     f"lookup '{lk.name}': {len(missing)} input row value(s) not in table"
                 )
 
+        # logup lookups: every input tuple must appear in the table multiset
+        for lg in self.cs.logups:
+            tab = [np.asarray(F.from_mont(ev.eval(e))) for e in lg.table]
+            tab = [np.broadcast_to(a, (n, 32)) for a in tab]
+            tab_rows = {tuple(bytes(a[i]) for a in tab) for i in range(u)}
+            for ti, tup in enumerate(lg.inputs):
+                inp = [np.asarray(F.from_mont(ev.eval(e))) for e in tup]
+                inp = [np.broadcast_to(a, (n, 32)) for a in inp]
+                in_rows = {tuple(bytes(a[i]) for a in inp) for i in range(u)}
+                missing = in_rows - tab_rows
+                if missing:
+                    failures.append(
+                        f"logup '{lg.name}' input {ti}: "
+                        f"{len(missing)} value(s) not in table"
+                    )
+
         # copy constraints
         tabs = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}
         for a, b in self.circuit.copy_constraints(n):

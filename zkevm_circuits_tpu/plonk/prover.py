@@ -111,6 +111,9 @@ def prove(
     transcript: Blake2bTranscript | None = None,
 ) -> bytes:
     cs: ConstraintSystem = pk.vk.cs
+    # (re)configure the instance so its column-index attributes exist;
+    # configure must be deterministic, pk.vk.cs stays authoritative
+    circuit.configure(ConstraintSystem())
     k, n = pk.k, pk.n
     k_ext = pk.k_ext
     n_ext = 1 << k_ext
@@ -186,6 +189,31 @@ def prove(
             )
         )
 
+    # ---- logup lookups: compress + multiplicities (committed pre-beta) -----
+    logup_data = []
+    for lg in cs.logups:
+        a_list = [_compress(tup, theta, ev_h, (n, 32)) for tup in lg.inputs]
+        t_evals = _compress(lg.table, theta, ev_h, (n, 32))
+        t_host = _to_host_ints(t_evals)
+        first_idx: dict[int, int] = {}
+        for i in range(u):
+            first_idx.setdefault(t_host[i], i)
+        mult = [0] * n
+        for a_evals in a_list:
+            for v in _to_host_ints(a_evals)[:u]:
+                idx = first_idx.get(v)
+                if idx is None:
+                    raise ValueError(
+                        f"logup '{lg.name}': input value not in table"
+                    )
+                mult[idx] += 1
+        m_col = jnp.asarray(F.from_ints([v * F.R % R for v in mult]))
+        m_coeffs = intt(m_col, k)
+        t.write_point(g1_to_affine_ints(srs.commit(m_coeffs))[0])
+        logup_data.append(
+            dict(a=a_list, t=t_evals, m=m_col, m_coeffs=m_coeffs)
+        )
+
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
     beta_m, gamma_m = _mont_scalar(beta), _mont_scalar(gamma)
@@ -223,6 +251,34 @@ def prove(
         ld["z"] = z
         ld["z_coeffs"] = intt(z, k)
         t.write_point(g1_to_affine_ints(srs.commit(ld["z_coeffs"]))[0])
+
+    # ---- logup helper columns + running sums -------------------------------
+    row_lt_u = jnp.arange(n) < u
+    for ld in logup_data:
+        hs = []
+        for a_evals in ld["a"]:
+            inv = F.batch_inv(F.add(a_evals, beta_m), axis=0)
+            h = F.select(row_lt_u, inv, F.zeros((n,)))
+            hs.append(h)
+        t_inv = F.batch_inv(F.add(ld["t"], beta_m), axis=0)
+        h_t = F.select(row_lt_u, F.mul(ld["m"], t_inv), F.zeros((n,)))
+        # phi[0] = 0; phi[i+1] = phi[i] + sum_j h_j[i] - h_t[i]
+        delta = F.zeros((n,))
+        for h in hs:
+            delta = F.add(delta, h)
+        delta = F.sub(delta, h_t)
+        incl = jax.lax.associative_scan(F._add, delta, axis=0)
+        phi = jnp.concatenate([F.zeros((1,)), incl[:-1]], axis=0)
+        ld["hs"] = hs
+        ld["h_t"] = h_t
+        ld["phi"] = phi
+        ld["h_coeffs"] = [intt(h, k) for h in hs]
+        ld["h_t_coeffs"] = intt(h_t, k)
+        ld["phi_coeffs"] = intt(phi, k)
+        for c in ld["h_coeffs"]:
+            t.write_point(g1_to_affine_ints(srs.commit(c))[0])
+        t.write_point(g1_to_affine_ints(srs.commit(ld["h_t_coeffs"]))[0])
+        t.write_point(g1_to_affine_ints(srs.commit(ld["phi_coeffs"]))[0])
 
     y = t.squeeze_challenge()
     y_m = _mont_scalar(y)
@@ -300,6 +356,37 @@ def prove(
             )
         )
 
+    for lg, ld in zip(cs.logups, logup_data):
+        a_exts = [_compress(tup, theta, ev_e, (n_ext, 32)) for tup in lg.inputs]
+        t_ext = _compress(lg.table, theta, ev_e, (n_ext, 32))
+        h_exts = [to_ext(c) for c in ld["h_coeffs"]]
+        ht_ext = to_ext(ld["h_t_coeffs"])
+        m_ext = to_ext(ld["m_coeffs"])
+        phi_ext = to_ext(ld["phi_coeffs"])
+        phi_w = jnp.roll(phi_ext, -rot_scale, axis=0)
+        add_constraint(F.mul(pk.l0_ext, phi_ext))
+        add_constraint(F.mul(pk.llast_ext, phi_ext))
+        for h_ext_j, a_ext_j in zip(h_exts, a_exts):
+            add_constraint(
+                F.mul(
+                    pk.lactive_ext,
+                    F.sub(F.mul(h_ext_j, F.add(a_ext_j, beta_m)), one_ext),
+                )
+            )
+        add_constraint(
+            F.mul(
+                pk.lactive_ext,
+                F.sub(F.mul(ht_ext, F.add(t_ext, beta_m)), m_ext),
+            )
+        )
+        dsum = F.zeros((n_ext, 32))
+        for h_ext_j in h_exts:
+            dsum = F.add(dsum, h_ext_j)
+        dsum = F.sub(dsum, ht_ext)
+        add_constraint(
+            F.mul(pk.lactive_ext, F.sub(F.sub(phi_w, phi_ext), dsum))
+        )
+
     h_ext = F.mul(acc, pk.t_inv_ext)
     h_coeffs = coset_intt(h_ext, k_ext)
     n_pieces = n_ext // n
@@ -354,6 +441,18 @@ def prove(
             (ld["ap_coeffs"], rot_point(-1)),
             (ld["sp_coeffs"], x),
         ):
+            e = eval_at(poly, pt)
+            t.write_scalar(e)
+            queries.append(Query(poly, pt, e, None))
+    for ld in logup_data:
+        polys = [(c, x) for c in ld["h_coeffs"]]
+        polys += [
+            (ld["h_t_coeffs"], x),
+            (ld["m_coeffs"], x),
+            (ld["phi_coeffs"], x),
+            (ld["phi_coeffs"], rot_point(1)),
+        ]
+        for poly, pt in polys:
             e = eval_at(poly, pt)
             t.write_scalar(e)
             queries.append(Query(poly, pt, e, None))

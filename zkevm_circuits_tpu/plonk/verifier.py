@@ -67,12 +67,20 @@ def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes) -> bool:
         sp_c = rd.read_point()
         lookup_comms.append((ap_c, sp_c))
 
+    logup_m_comms = [rd.read_point() for _ in cs.logups]
+
     beta = rd.squeeze_challenge()
     gamma = rd.squeeze_challenge()
 
     perm_cols = cs.perm_columns
     z_perm_comm = rd.read_point() if perm_cols else None
     lookup_z_comms = [rd.read_point() for _ in cs.lookups]
+    logup_comms = []
+    for lg in cs.logups:
+        h_comms_j = [rd.read_point() for _ in lg.inputs]
+        ht_comm = rd.read_point()
+        phi_comm = rd.read_point()
+        logup_comms.append((h_comms_j, ht_comm, phi_comm))
 
     y = rd.squeeze_challenge()
 
@@ -108,6 +116,17 @@ def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes) -> bool:
                 ap_x=rd.read_scalar(),
                 ap_winv=rd.read_scalar(),
                 sp_x=rd.read_scalar(),
+            )
+        )
+    lg_evals = []
+    for lg in cs.logups:
+        lg_evals.append(
+            dict(
+                h_x=[rd.read_scalar() for _ in lg.inputs],
+                ht_x=rd.read_scalar(),
+                m_x=rd.read_scalar(),
+                phi_x=rd.read_scalar(),
+                phi_wx=rd.read_scalar(),
             )
         )
 
@@ -183,6 +202,23 @@ def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes) -> bool:
             % R
         )
 
+    for lg, le in zip(cs.logups, lg_evals):
+        add_c(l0_x * le["phi_x"] % R)
+        add_c(llast_x * le["phi_x"] % R)
+        dsum = 0
+        for tup, h_x in zip(lg.inputs, le["h_x"]):
+            a_x = 0
+            for e in tup:
+                a_x = (a_x * theta + _eval_expr(e, getq, challenge_ints)) % R
+            add_c(lactive_x * (h_x * (a_x + beta) - 1) % R)
+            dsum = (dsum + h_x) % R
+        t_x_val = 0
+        for e in lg.table:
+            t_x_val = (t_x_val * theta + _eval_expr(e, getq, challenge_ints)) % R
+        add_c(lactive_x * (le["ht_x"] * (t_x_val + beta) - le["m_x"]) % R)
+        dsum = (dsum - le["ht_x"]) % R
+        add_c(lactive_x * (le["phi_wx"] - le["phi_x"] - dsum) % R)
+
     t_x = (xn - 1) % R
     if t_x == 0:
         return False
@@ -224,6 +260,14 @@ def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes) -> bool:
         q(ap_c, ("lap", li), x, le["ap_x"])
         q(ap_c, ("lap", li), rot_point(-1), le["ap_winv"])
         q(sp_c, ("lsp", li), x, le["sp_x"])
+    for li, le in enumerate(lg_evals):
+        h_comms_j, ht_comm, phi_comm = logup_comms[li]
+        for j, hc in enumerate(h_comms_j):
+            q(hc, ("gh", li, j), x, le["h_x"][j])
+        q(ht_comm, ("ght", li), x, le["ht_x"])
+        q(logup_m_comms[li], ("gm", li), x, le["m_x"])
+        q(phi_comm, ("gphi", li), x, le["phi_x"])
+        q(phi_comm, ("gphi", li), rot_point(1), le["phi_wx"])
     q(h_comb, ("h",), x, expected_h)
 
     return shplonk_verify((vk.g2, vk.s_g2), queries, rd)

@@ -1,0 +1,814 @@
+"""EVM interpreter producing geth-schema execution traces.
+
+Replaces the reference's embedded geth tracer (`geth-utils/l2geth/
+trace.go:1-266` builds an in-memory chain from a TraceConfig and runs the
+tracer; SURVEY.md §2.3 item 2).  Shanghai-fork semantics: EIP-2929
+warm/cold access costs, EIP-3529 refunds, EIP-3860 initcode metering,
+PUSH0.  One step record per opcode, state snapshots BEFORE execution —
+the exact shape bus-mapping replays.
+
+Scope notes (round 1): precompiles 0x02 (sha256) and 0x04 (identity)
+execute; others are recognized, gas-charged a flat cost, and return empty
+success — extended together with the precompile circuits.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import hashlib
+
+from ..crypto.keccak import keccak256
+from ..types import rlp
+from ..types.evm import (
+    GasCost,
+    OpcodeId,
+    memory_expansion_gas,
+    memory_word_size,
+    opcode_from_byte,
+)
+from ..witness.trace import GethExecStep, GethExecTrace
+
+U256 = (1 << 256) - 1
+U255 = 1 << 255
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 256) if v >= U255 else v
+
+
+@dataclasses.dataclass
+class Account:
+    nonce: int = 0
+    balance: int = 0
+    code: bytes = b""
+    storage: dict[int, int] = dataclasses.field(default_factory=dict)
+
+    def is_empty(self) -> bool:
+        return self.nonce == 0 and self.balance == 0 and not self.code
+
+
+class StateDB:
+    def __init__(self, accounts: dict[int, Account] | None = None):
+        self.accounts: dict[int, Account] = accounts or {}
+
+    def account(self, addr: int) -> Account:
+        if addr not in self.accounts:
+            self.accounts[addr] = Account()
+        return self.accounts[addr]
+
+    def get_storage(self, addr: int, key: int) -> int:
+        return self.account(addr).storage.get(key, 0)
+
+    def set_storage(self, addr: int, key: int, val: int):
+        st = self.account(addr).storage
+        if val == 0:
+            st.pop(key, None)
+        else:
+            st[key] = val
+
+    def snapshot(self):
+        return copy.deepcopy(self.accounts)
+
+    def restore(self, snap):
+        self.accounts = snap
+
+
+@dataclasses.dataclass
+class BlockEnv:
+    coinbase: int = 0x2000000000000000000000000000000000000000
+    number: int = 1
+    timestamp: int = 1000
+    gas_limit: int = 30_000_000
+    base_fee: int = 7
+    difficulty: int = 0
+    chain_id: int = 1
+    prev_hashes: dict[int, int] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Tx:
+    from_addr: int
+    to: int | None  # None => create
+    gas: int = 1_000_000
+    gas_price: int = 10
+    value: int = 0
+    data: bytes = b""
+    nonce: int | None = None
+
+
+class VmError(Exception):
+    def __init__(self, name: str):
+        self.name = name
+        super().__init__(name)
+
+
+@dataclasses.dataclass
+class Frame:
+    caller: int
+    address: int  # storage/context address
+    code_address: int  # whose code runs
+    value: int
+    calldata: bytes
+    code: bytes
+    gas: int
+    depth: int
+    is_static: bool
+    is_create: bool = False
+    stack: list[int] = dataclasses.field(default_factory=list)
+    memory: bytearray = dataclasses.field(default_factory=bytearray)
+    pc: int = 0
+    return_data: bytes = b""
+
+    def mem_words(self) -> int:
+        return len(self.memory) // 32
+
+    def expand_memory(self, end: int):
+        if end > len(self.memory):
+            new_words = memory_word_size(end)
+            self.memory += bytearray(new_words * 32 - len(self.memory))
+
+
+PRECOMPILE_RANGE = range(1, 10)
+CREATE_CODE_DEPOSIT = 200
+MAX_CODE_SIZE = 24576
+MAX_INITCODE_SIZE = 2 * MAX_CODE_SIZE
+
+
+class Interpreter:
+    def __init__(self, state: StateDB, block: BlockEnv | None = None):
+        self.state = state
+        self.block = block or BlockEnv()
+
+    # ---------------------------------------------------------------- tx level
+    def run_tx(self, tx: Tx, capture_memory: bool = True) -> GethExecTrace:
+        st = self.state
+        self.logs: list = []
+        self.steps: list[GethExecStep] = []
+        self.refund = 0
+        self.capture_memory = capture_memory
+        self._tx_original = {}
+        self._origin = tx.from_addr
+        self._gas_price = tx.gas_price
+        self._revert_data = b""
+        self._revert_gas = 0
+        self.warm_addrs = {tx.from_addr, self.block.coinbase}
+        self.warm_slots: set = set()
+        for p in PRECOMPILE_RANGE:
+            self.warm_addrs.add(p)
+        sender = st.account(tx.from_addr)
+        if tx.nonce is not None and sender.nonce != tx.nonce:
+            raise ValueError("nonce mismatch")
+
+        is_create = tx.to is None
+        intrinsic = GasCost.TX + sum(
+            GasCost.TX_DATA_ZERO if b == 0 else GasCost.TX_DATA_NONZERO
+            for b in tx.data
+        )
+        if is_create:
+            intrinsic += GasCost.CREATE
+            intrinsic += GasCost.INIT_CODE_WORD * memory_word_size(len(tx.data))
+        if tx.gas < intrinsic:
+            raise ValueError("intrinsic gas too low")
+
+        sender.balance -= tx.gas * tx.gas_price
+        assert sender.balance >= 0, "insufficient balance for gas"
+        sender.nonce += 1
+        gas = tx.gas - intrinsic
+
+        if is_create:
+            to_addr = _create_address(tx.from_addr, sender.nonce - 1)
+            self.warm_addrs.add(to_addr)
+            ok, ret, gas_left = self._create_frame(
+                tx.from_addr, to_addr, tx.value, tx.data, gas, 1
+            )
+        else:
+            self.warm_addrs.add(tx.to)
+            ok, ret, gas_left = self._call_frame(
+                caller=tx.from_addr, address=tx.to, code_address=tx.to,
+                value=tx.value, calldata=tx.data, gas=gas, depth=1,
+                is_static=False, transfers_value=True,
+            )
+
+        gas_used = tx.gas - gas_left
+        refund = min(self.refund, gas_used // 5)
+        gas_used -= refund
+        sender.balance += (tx.gas - gas_used) * tx.gas_price
+        st.account(self.block.coinbase).balance += gas_used * max(
+            0, tx.gas_price - self.block.base_fee
+        )
+        return GethExecTrace(
+            gas=gas_used,
+            failed=not ok,
+            return_value=ret.hex(),
+            struct_logs=self.steps,
+        )
+
+    # ---------------------------------------------------------------- frames
+    def _transfer(self, frm: int, to: int, value: int):
+        a = self.state.account(frm)
+        if a.balance < value:
+            raise VmError("insufficient balance")
+        a.balance -= value
+        self.state.account(to).balance += value
+
+    def _call_frame(self, caller, address, code_address, value, calldata,
+                    gas, depth, is_static, transfers_value) -> tuple:
+        st = self.state
+        snap = st.snapshot()
+        warm_a, warm_s = set(self.warm_addrs), set(self.warm_slots)
+        refund0 = self.refund
+        try:
+            if transfers_value and value:
+                self._transfer(caller, address, value)
+            if code_address in PRECOMPILE_RANGE:
+                ok, ret, gas_left = self._precompile(code_address, calldata, gas)
+                if not ok:
+                    st.restore(snap)
+                    self.warm_addrs, self.warm_slots = warm_a, warm_s
+                    self.refund = refund0
+                return ok, ret, gas_left
+            code = st.account(code_address).code
+            fr = Frame(
+                caller=caller, address=address, code_address=code_address,
+                value=value, calldata=calldata, code=code, gas=gas,
+                depth=depth, is_static=is_static,
+            )
+            ret = self._execute(fr)
+            return True, ret, fr.gas
+        except VmError as e:
+            if e.name == "revert":
+                st.restore(snap)
+                self.warm_addrs, self.warm_slots = warm_a, warm_s
+                self.refund = refund0
+                return False, self._revert_data, self._revert_gas
+            st.restore(snap)
+            self.warm_addrs, self.warm_slots = warm_a, warm_s
+            self.refund = refund0
+            return False, b"", 0
+
+    def _create_frame(self, caller, new_addr, value, initcode, gas, depth):
+        st = self.state
+        snap = st.snapshot()
+        warm_a, warm_s = set(self.warm_addrs), set(self.warm_slots)
+        refund0 = self.refund
+        try:
+            existing = st.account(new_addr)
+            if existing.nonce > 0 or existing.code:
+                raise VmError("contract address collision")
+            self._transfer(caller, new_addr, value)
+            acct = st.account(new_addr)
+            acct.nonce = 1
+            fr = Frame(
+                caller=caller, address=new_addr, code_address=new_addr,
+                value=value, calldata=b"", code=initcode, gas=gas,
+                depth=depth, is_static=False, is_create=True,
+            )
+            deployed = self._execute(fr)
+            deposit = CREATE_CODE_DEPOSIT * len(deployed)
+            if len(deployed) > MAX_CODE_SIZE:
+                raise VmError("max code size exceeded")
+            if deployed[:1] == b"\xef":
+                raise VmError("invalid code: starts with 0xEF")
+            if fr.gas < deposit:
+                raise VmError("out of gas")
+            fr.gas -= deposit
+            acct.code = deployed
+            return True, deployed, fr.gas
+        except VmError as e:
+            st.restore(snap)
+            self.warm_addrs, self.warm_slots = warm_a, warm_s
+            self.refund = refund0
+            if e.name == "revert":
+                return False, self._revert_data, self._revert_gas
+            return False, b"", 0
+
+    def _precompile(self, addr: int, data: bytes, gas: int) -> tuple:
+        if addr == 4:  # identity
+            cost = 15 + 3 * memory_word_size(len(data))
+            if gas < cost:
+                return False, b"", 0
+            return True, data, gas - cost
+        if addr == 2:  # sha256
+            cost = 60 + 12 * memory_word_size(len(data))
+            if gas < cost:
+                return False, b"", 0
+            return True, hashlib.sha256(data).digest(), gas - cost
+        # other precompiles: flat stub cost, empty output (round-1 scope)
+        cost = 100
+        if gas < cost:
+            return False, b"", 0
+        return True, b"", gas - cost
+
+    # ---------------------------------------------------------------- step loop
+    def _execute(self, fr: Frame) -> bytes:
+        while True:
+            if fr.pc >= len(fr.code):
+                return b""  # implicit STOP
+            byte = fr.code[fr.pc]
+            op = opcode_from_byte(byte)
+            step = GethExecStep(
+                pc=fr.pc,
+                op=op if op is not None else OpcodeId.INVALID,
+                gas=fr.gas,
+                gas_cost=0,
+                depth=fr.depth,
+                refund=self.refund,
+                stack=list(fr.stack),
+                memory=bytes(fr.memory) if self.capture_memory else b"",
+            )
+            self.steps.append(step)
+            try:
+                if op is None:
+                    raise VmError("invalid opcode")
+                if len(fr.stack) < op.pops:
+                    raise VmError("stack underflow")
+                if len(fr.stack) + op.pushes - op.pops > 1024:
+                    raise VmError("stack overflow")
+                gas_before = fr.gas
+                done = self._step(fr, op)
+                step.gas_cost = gas_before - fr.gas
+                if done is not None:
+                    return done
+            except VmError as e:
+                step.error = e.name
+                if e.name == "revert":
+                    step.gas_cost = 0
+                raise
+
+    def _use_gas(self, fr: Frame, amount: int):
+        if fr.gas < amount:
+            raise VmError("out of gas")
+        fr.gas -= amount
+
+    def _mem_gas(self, fr: Frame, offset: int, length: int):
+        """Charge memory expansion and expand."""
+        if length == 0:
+            return
+        end = offset + length
+        if end > 0x1FFFFFFFE0:
+            raise VmError("gas uint64 overflow")
+        cur_w = fr.mem_words()
+        new_w = memory_word_size(end)
+        self._use_gas(fr, memory_expansion_gas(cur_w, new_w))
+        fr.expand_memory(end)
+
+    def _touch_addr(self, fr: Frame, addr: int) -> int:
+        """EIP-2929 account access; returns gas cost."""
+        if addr in self.warm_addrs:
+            return GasCost.WARM_ACCESS
+        self.warm_addrs.add(addr)
+        return GasCost.COLD_ACCOUNT_ACCESS
+
+    def _step(self, fr: Frame, op: OpcodeId):
+        st = self.state
+        stack = fr.stack
+        push = stack.append
+        pop = stack.pop
+
+        if op.is_push_with_data:
+            self._use_gas(fr, op.constant_gas)
+            n = op.push_len
+            val = int.from_bytes(fr.code[fr.pc + 1 : fr.pc + 1 + n], "big")
+            push(val)
+            fr.pc += 1 + n
+            return None
+        if op.is_dup:
+            self._use_gas(fr, 3)
+            push(stack[-(op - 0x7F)])
+            fr.pc += 1
+            return None
+        if op.is_swap:
+            self._use_gas(fr, 3)
+            i = op - 0x8F
+            stack[-1], stack[-1 - i] = stack[-1 - i], stack[-1]
+            fr.pc += 1
+            return None
+
+        fr.pc += 1
+        name = op.name
+
+        # -- halting ---------------------------------------------------------
+        if op == OpcodeId.STOP:
+            return b""
+        if op == OpcodeId.RETURN:
+            off, ln = pop(), pop()
+            self._mem_gas(fr, off, ln)
+            return bytes(fr.memory[off : off + ln])
+        if op == OpcodeId.REVERT:
+            off, ln = pop(), pop()
+            self._mem_gas(fr, off, ln)
+            self._revert_data = bytes(fr.memory[off : off + ln])
+            self._revert_gas = fr.gas
+            raise VmError("revert")
+
+        # -- arithmetic / bitwise ------------------------------------------------
+        simple = {
+            "ADD": lambda a, b: (a + b) & U256,
+            "MUL": lambda a, b: (a * b) & U256,
+            "SUB": lambda a, b: (a - b) & U256,
+            "DIV": lambda a, b: a // b if b else 0,
+            "MOD": lambda a, b: a % b if b else 0,
+            "SDIV": lambda a, b: (
+                0 if b == 0 else (abs(_signed(a)) // abs(_signed(b)))
+                * (1 if (_signed(a) < 0) == (_signed(b) < 0) else -1) & U256
+            ),
+            "SMOD": lambda a, b: (
+                0 if b == 0 else
+                ((abs(_signed(a)) % abs(_signed(b))) * (1 if _signed(a) >= 0 else -1))
+                & U256
+            ),
+            "LT": lambda a, b: int(a < b),
+            "GT": lambda a, b: int(a > b),
+            "SLT": lambda a, b: int(_signed(a) < _signed(b)),
+            "SGT": lambda a, b: int(_signed(a) > _signed(b)),
+            "EQ": lambda a, b: int(a == b),
+            "AND": lambda a, b: a & b,
+            "OR": lambda a, b: a | b,
+            "XOR": lambda a, b: a ^ b,
+            "BYTE": lambda i, x: (x >> (8 * (31 - i))) & 0xFF if i < 32 else 0,
+            "SHL": lambda s, v: (v << s) & U256 if s < 256 else 0,
+            "SHR": lambda s, v: v >> s if s < 256 else 0,
+            "SAR": lambda s, v: (
+                (_signed(v) >> min(s, 255)) & U256
+            ),
+            "SIGNEXTEND": lambda b, x: (
+                x if b >= 31 else (
+                    (x | (U256 ^ ((1 << (8 * (b + 1))) - 1)))
+                    if x & (1 << (8 * (b + 1) - 1))
+                    else x & ((1 << (8 * (b + 1))) - 1)
+                )
+            ),
+        }
+        if name in simple:
+            self._use_gas(fr, op.constant_gas)
+            a = pop()
+            b = pop()
+            push(simple[name](a, b) & U256)
+            return None
+        if op == OpcodeId.ADDMOD:
+            self._use_gas(fr, 8)
+            a, b, m = pop(), pop(), pop()
+            push((a + b) % m if m else 0)
+            return None
+        if op == OpcodeId.MULMOD:
+            self._use_gas(fr, 8)
+            a, b, m = pop(), pop(), pop()
+            push((a * b) % m if m else 0)
+            return None
+        if op == OpcodeId.EXP:
+            base, exp = pop(), pop()
+            nbytes = (exp.bit_length() + 7) // 8
+            self._use_gas(fr, GasCost.EXP + GasCost.EXP_BYTE * nbytes)
+            push(pow(base, exp, 1 << 256))
+            return None
+        if op in (OpcodeId.ISZERO, OpcodeId.NOT):
+            self._use_gas(fr, 3)
+            a = pop()
+            push(int(a == 0) if op == OpcodeId.ISZERO else a ^ U256)
+            return None
+
+        # -- sha3 --------------------------------------------------------------
+        if op == OpcodeId.SHA3:
+            off, ln = pop(), pop()
+            self._use_gas(
+                fr, GasCost.KECCAK256 + GasCost.KECCAK256_WORD * memory_word_size(ln)
+            )
+            self._mem_gas(fr, off, ln)
+            push(int.from_bytes(keccak256(bytes(fr.memory[off : off + ln])), "big"))
+            return None
+
+        # -- context -------------------------------------------------------------
+        ctx = {
+            "ADDRESS": lambda: fr.address,
+            "ORIGIN": lambda: self._origin,
+            "CALLER": lambda: fr.caller,
+            "CALLVALUE": lambda: fr.value,
+            "CALLDATASIZE": lambda: len(fr.calldata),
+            "CODESIZE": lambda: len(fr.code),
+            "GASPRICE": lambda: self._gas_price,
+            "RETURNDATASIZE": lambda: len(fr.return_data),
+            "COINBASE": lambda: self.block.coinbase,
+            "TIMESTAMP": lambda: self.block.timestamp,
+            "NUMBER": lambda: self.block.number,
+            "DIFFICULTY": lambda: self.block.difficulty,
+            "GASLIMIT": lambda: self.block.gas_limit,
+            "CHAINID": lambda: self.block.chain_id,
+            "BASEFEE": lambda: self.block.base_fee,
+            "PC": lambda: fr.pc - 1,
+            "MSIZE": lambda: len(fr.memory),
+            "GAS": lambda: fr.gas,  # constant gas already charged
+        }
+        if name in ctx:
+            self._use_gas(fr, op.constant_gas)
+            push(ctx[name]() & U256)
+            return None
+        if op == OpcodeId.SELFBALANCE:
+            self._use_gas(fr, 5)
+            push(st.account(fr.address).balance)
+            return None
+        if op == OpcodeId.BALANCE:
+            addr = pop() & ((1 << 160) - 1)
+            self._use_gas(fr, self._touch_addr(fr, addr))
+            push(st.account(addr).balance)
+            return None
+        if op == OpcodeId.EXTCODESIZE:
+            addr = pop() & ((1 << 160) - 1)
+            self._use_gas(fr, self._touch_addr(fr, addr))
+            push(len(st.account(addr).code))
+            return None
+        if op == OpcodeId.EXTCODEHASH:
+            addr = pop() & ((1 << 160) - 1)
+            self._use_gas(fr, self._touch_addr(fr, addr))
+            acct = st.account(addr)
+            push(0 if acct.is_empty() else int.from_bytes(keccak256(acct.code), "big"))
+            return None
+        if op == OpcodeId.BLOCKHASH:
+            self._use_gas(fr, 20)
+            num = pop()
+            push(self.block.prev_hashes.get(num, 0))
+            return None
+
+        if op == OpcodeId.CALLDATALOAD:
+            self._use_gas(fr, 3)
+            off = pop()
+            data = fr.calldata[off : off + 32] if off < len(fr.calldata) else b""
+            push(int.from_bytes(data.ljust(32, b"\x00"), "big"))
+            return None
+
+        # -- copies -------------------------------------------------------------
+        if op in (OpcodeId.CALLDATACOPY, OpcodeId.CODECOPY, OpcodeId.RETURNDATACOPY):
+            dst, src, ln = pop(), pop(), pop()
+            self._use_gas(fr, 3 + GasCost.COPY * memory_word_size(ln))
+            self._mem_gas(fr, dst, ln)
+            source = {
+                OpcodeId.CALLDATACOPY: fr.calldata,
+                OpcodeId.CODECOPY: fr.code,
+                OpcodeId.RETURNDATACOPY: fr.return_data,
+            }[op]
+            if op == OpcodeId.RETURNDATACOPY and src + ln > len(source):
+                raise VmError("return data out of bounds")
+            chunk = bytes(source[src : src + ln]).ljust(ln, b"\x00")
+            fr.memory[dst : dst + ln] = chunk
+            return None
+        if op == OpcodeId.EXTCODECOPY:
+            addr = pop() & ((1 << 160) - 1)
+            dst, src, ln = pop(), pop(), pop()
+            self._use_gas(fr, self._touch_addr(fr, addr))
+            self._use_gas(fr, GasCost.COPY * memory_word_size(ln))
+            self._mem_gas(fr, dst, ln)
+            code = st.account(addr).code
+            fr.memory[dst : dst + ln] = bytes(code[src : src + ln]).ljust(ln, b"\x00")
+            return None
+
+        # -- memory ---------------------------------------------------------------
+        if op == OpcodeId.MLOAD:
+            self._use_gas(fr, 3)
+            off = pop()
+            self._mem_gas(fr, off, 32)
+            push(int.from_bytes(fr.memory[off : off + 32], "big"))
+            return None
+        if op == OpcodeId.MSTORE:
+            self._use_gas(fr, 3)
+            off, val = pop(), pop()
+            self._mem_gas(fr, off, 32)
+            fr.memory[off : off + 32] = val.to_bytes(32, "big")
+            return None
+        if op == OpcodeId.MSTORE8:
+            self._use_gas(fr, 3)
+            off, val = pop(), pop()
+            self._mem_gas(fr, off, 1)
+            fr.memory[off] = val & 0xFF
+            return None
+
+        # -- storage ----------------------------------------------------------------
+        if op == OpcodeId.SLOAD:
+            key = pop()
+            slot = (fr.address, key)
+            if slot in self.warm_slots:
+                self._use_gas(fr, GasCost.WARM_ACCESS)
+            else:
+                self.warm_slots.add(slot)
+                self._use_gas(fr, GasCost.COLD_SLOAD)
+            push(st.get_storage(fr.address, key))
+            return None
+        if op == OpcodeId.SSTORE:
+            if fr.is_static:
+                raise VmError("write protection")
+            if fr.gas <= GasCost.CALL_STIPEND:
+                raise VmError("out of gas")
+            key, val = pop(), pop()
+            slot = (fr.address, key)
+            cost = 0
+            if slot not in self.warm_slots:
+                self.warm_slots.add(slot)
+                cost += GasCost.COLD_SLOAD
+            cur = st.get_storage(fr.address, key)
+            orig = getattr(self, "_tx_original", {}).get(slot, None)
+            if orig is None:
+                orig = cur
+                self._tx_original.setdefault(slot, cur)
+            if cur == val:
+                cost += GasCost.WARM_ACCESS
+            elif cur == orig:
+                cost += (
+                    GasCost.SSTORE_SET if orig == 0 else GasCost.SSTORE_RESET
+                )
+                if val == 0 and orig != 0:
+                    self.refund += GasCost.SSTORE_CLEARS_SCHEDULE
+            else:
+                cost += GasCost.WARM_ACCESS
+                # refund bookkeeping for dirty slots (EIP-3529 rules)
+                if orig != 0:
+                    if cur == 0:
+                        self.refund -= GasCost.SSTORE_CLEARS_SCHEDULE
+                    if val == 0:
+                        self.refund += GasCost.SSTORE_CLEARS_SCHEDULE
+                if val == orig:
+                    if orig == 0:
+                        self.refund += GasCost.SSTORE_SET - GasCost.WARM_ACCESS
+                    else:
+                        self.refund += GasCost.SSTORE_RESET - GasCost.WARM_ACCESS
+            self._use_gas(fr, cost)
+            st.set_storage(fr.address, key, val)
+            return None
+
+        # -- control ----------------------------------------------------------------
+        if op == OpcodeId.JUMP:
+            self._use_gas(fr, 8)
+            dst = pop()
+            self._jump(fr, dst)
+            return None
+        if op == OpcodeId.JUMPI:
+            self._use_gas(fr, 10)
+            dst, cond = pop(), pop()
+            if cond:
+                self._jump(fr, dst)
+            return None
+        if op == OpcodeId.JUMPDEST:
+            self._use_gas(fr, 1)
+            return None
+
+        # -- logs ------------------------------------------------------------------
+        if op.is_log:
+            if fr.is_static:
+                raise VmError("write protection")
+            ntopics = op - 0xA0
+            off, ln = pop(), pop()
+            topics = [pop() for _ in range(ntopics)]
+            self._use_gas(
+                fr,
+                GasCost.LOG + GasCost.LOG_TOPIC * ntopics + GasCost.LOG_DATA * ln,
+            )
+            self._mem_gas(fr, off, ln)
+            self.logs.append(
+                dict(address=fr.address, topics=topics,
+                     data=bytes(fr.memory[off : off + ln]))
+            )
+            return None
+
+        # -- calls / creates -----------------------------------------------------------
+        if op.is_call:
+            return self._op_call(fr, op)
+        if op.is_create:
+            return self._op_create(fr, op)
+
+        if op == OpcodeId.SELFDESTRUCT:
+            if fr.is_static:
+                raise VmError("write protection")
+            ben = pop() & ((1 << 160) - 1)
+            cost = GasCost.SELFDESTRUCT
+            if ben not in self.warm_addrs:
+                self.warm_addrs.add(ben)
+                cost += GasCost.COLD_ACCOUNT_ACCESS
+            acct = st.account(fr.address)
+            if acct.balance and st.account(ben).is_empty():
+                cost += GasCost.NEW_ACCOUNT
+            self._use_gas(fr, cost)
+            st.account(ben).balance += acct.balance
+            acct.balance = 0
+            return b""
+
+        if op == OpcodeId.INVALID:
+            raise VmError("invalid opcode")
+        raise VmError(f"unimplemented opcode {op.name}")
+
+    def _jump(self, fr: Frame, dst: int):
+        if dst >= len(fr.code) or fr.code[dst] != int(OpcodeId.JUMPDEST):
+            raise VmError("invalid jump destination")
+        # must not be push data
+        i = 0
+        while i < dst:
+            opc = opcode_from_byte(fr.code[i])
+            i += 1 + (opc.push_len if opc is not None and opc.is_push_with_data else 0)
+        if i != dst:
+            raise VmError("invalid jump destination")
+        fr.pc = dst
+
+    def _op_call(self, fr: Frame, op: OpcodeId):
+        gas_req = fr.stack.pop()
+        addr = fr.stack.pop() & ((1 << 160) - 1)
+        value = fr.stack.pop() if op in (OpcodeId.CALL, OpcodeId.CALLCODE) else 0
+        in_off, in_len = fr.stack.pop(), fr.stack.pop()
+        out_off, out_len = fr.stack.pop(), fr.stack.pop()
+        if fr.is_static and value and op == OpcodeId.CALL:
+            raise VmError("write protection")
+
+        self._use_gas(fr, self._touch_addr(fr, addr))
+        self._mem_gas(fr, in_off, in_len)
+        self._mem_gas(fr, out_off, out_len)
+        extra = 0
+        if value:
+            extra += GasCost.CALL_VALUE
+            if op == OpcodeId.CALL and self.state.account(addr).is_empty():
+                extra += GasCost.NEW_ACCOUNT
+        self._use_gas(fr, extra)
+
+        avail = fr.gas - fr.gas // 64
+        gas_fwd = min(gas_req, avail)
+        self._use_gas(fr, gas_fwd)
+        if value:
+            gas_fwd += GasCost.CALL_STIPEND
+
+        calldata = bytes(fr.memory[in_off : in_off + in_len])
+        if fr.depth >= 1024 or (
+            value and self.state.account(fr.address).balance < value
+        ):
+            # geth returns the forwarded gas untouched in these cases
+            ok, ret, gas_left = False, b"", gas_fwd
+        else:
+            kwargs = dict(
+                calldata=calldata, gas=gas_fwd, depth=fr.depth + 1,
+            )
+            if op == OpcodeId.CALL:
+                ok, ret, gas_left = self._call_frame(
+                    caller=fr.address, address=addr, code_address=addr,
+                    value=value, is_static=fr.is_static,
+                    transfers_value=True, **kwargs)
+            elif op == OpcodeId.CALLCODE:
+                ok, ret, gas_left = self._call_frame(
+                    caller=fr.address, address=fr.address, code_address=addr,
+                    value=value, is_static=fr.is_static,
+                    transfers_value=False, **kwargs)
+            elif op == OpcodeId.DELEGATECALL:
+                ok, ret, gas_left = self._call_frame(
+                    caller=fr.caller, address=fr.address, code_address=addr,
+                    value=fr.value, is_static=fr.is_static,
+                    transfers_value=False, **kwargs)
+            else:  # STATICCALL
+                ok, ret, gas_left = self._call_frame(
+                    caller=fr.address, address=addr, code_address=addr,
+                    value=0, is_static=True, transfers_value=False, **kwargs)
+        fr.gas += gas_left
+        fr.return_data = ret
+        n = min(out_len, len(ret))
+        fr.memory[out_off : out_off + n] = ret[:n]
+        fr.stack.append(int(ok))
+        return None
+
+    def _op_create(self, fr: Frame, op: OpcodeId):
+        if fr.is_static:
+            raise VmError("write protection")
+        value = fr.stack.pop()
+        off, ln = fr.stack.pop(), fr.stack.pop()
+        salt = fr.stack.pop() if op == OpcodeId.CREATE2 else None
+        if ln > MAX_INITCODE_SIZE:
+            raise VmError("max initcode size exceeded")
+        self._use_gas(fr, GasCost.INIT_CODE_WORD * memory_word_size(ln))
+        if op == OpcodeId.CREATE2:
+            self._use_gas(fr, GasCost.KECCAK256_WORD * memory_word_size(ln))
+        self._mem_gas(fr, off, ln)
+        initcode = bytes(fr.memory[off : off + ln])
+
+        acct = self.state.account(fr.address)
+        avail = fr.gas - fr.gas // 64
+        self._use_gas(fr, avail)
+        if fr.depth >= 1024 or acct.balance < value:
+            # depth/balance checks precede the nonce bump (geth order)
+            fr.gas += avail
+            fr.return_data = b""
+            fr.stack.append(0)
+            return None
+        if op == OpcodeId.CREATE:
+            new_addr = _create_address(fr.address, acct.nonce)
+        else:
+            new_addr = _create2_address(fr.address, salt, initcode)
+        acct.nonce += 1
+        self.warm_addrs.add(new_addr)
+        ok, ret, gas_left = self._create_frame(
+            fr.address, new_addr, value, initcode, avail, fr.depth + 1
+        )
+        fr.gas += gas_left
+        fr.return_data = b"" if ok else ret
+        fr.stack.append(new_addr if ok else 0)
+        return None
+
+def _create_address(sender: int, nonce: int) -> int:
+    payload = rlp.encode([sender.to_bytes(20, "big"), nonce])
+    return int.from_bytes(keccak256(payload)[12:], "big")
+
+
+def _create2_address(sender: int, salt: int, initcode: bytes) -> int:
+    buf = b"\xff" + sender.to_bytes(20, "big") + salt.to_bytes(32, "big")
+    buf += keccak256(initcode)
+    return int.from_bytes(keccak256(buf)[12:], "big")
