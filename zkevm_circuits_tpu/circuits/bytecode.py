@@ -1,0 +1,174 @@
+"""Bytecode circuit — unrolls contract bytecodes into constrained rows.
+
+Equivalent of the reference's `zkevm-circuits/src/bytecode_circuit/`
+(SURVEY.md §2.2 "Bytecode"): per bytecode a header row carrying the
+length, then one row per byte with a running index, push-data marking
+(is_code) driven by a (byte -> push_size) fixed table, and a byte-RLC
+accumulator under the phase-0 challenge (the value the Keccak table will
+bind to a code hash once the Keccak circuit lands).
+
+TPU-first shape: the whole layout is columnar (one numpy pass builds all
+rows for all bytecodes), is_code uses an explicit inverse-witness IsZero,
+and the (value, push_size) pair rides the shared logUp argument which
+simultaneously range-checks the byte.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
+from ..plonk.expression import Advice, Fixed
+from ..types.bytecode import Bytecode
+from ..types.evm import opcode_from_byte
+
+F = fr()
+
+
+def push_size_of(byte: int) -> int:
+    op = opcode_from_byte(byte)
+    return op.push_len if op is not None and op.is_push_with_data else 0
+
+
+@dataclasses.dataclass
+class BytecodeParams:
+    target_rows: int = 0  # 0 => usable rows
+
+
+class BytecodeCircuit(Circuit):
+    def __init__(self, bytecodes: list[Bytecode], params: BytecodeParams | None = None):
+        self.bytecodes = bytecodes
+        self.params = params or BytecodeParams()
+
+    def configure(self, cs: ConstraintSystem):
+        self.q_en = cs.fixed_column()
+        self.tbl_byte = cs.fixed_column()
+        self.tbl_push = cs.fixed_column()
+
+        self.c_is_byte = cs.advice_column()
+        self.c_index = cs.advice_column()
+        self.c_length = cs.advice_column()
+        self.c_value = cs.advice_column()
+        self.c_is_code = cs.advice_column()
+        self.c_pdl = cs.advice_column()  # push_data_left
+        self.c_inv_pdl = cs.advice_column()  # inverse witness of prev pdl
+        self.c_push_size = cs.advice_column()
+        self.c_rlc = cs.advice_column(phase=1)
+        self.r = cs.challenge(phase=0)
+
+        q = Fixed(self.q_en)
+        ib, ib_p, ib_n = (
+            Advice(self.c_is_byte),
+            Advice(self.c_is_byte, -1),
+            Advice(self.c_is_byte, 1),
+        )
+        idx, idx_p = Advice(self.c_index), Advice(self.c_index, -1)
+        ln, ln_p = Advice(self.c_length), Advice(self.c_length, -1)
+        val = Advice(self.c_value)
+        ic = Advice(self.c_is_code)
+        pdl, pdl_p = Advice(self.c_pdl), Advice(self.c_pdl, -1)
+        inv = Advice(self.c_inv_pdl)
+        psz = Advice(self.c_push_size)
+        rlc, rlc_p = Advice(self.c_rlc), Advice(self.c_rlc, -1)
+
+        cs.create_gate("is_byte bool", q * ib * (ib - 1))
+        cs.create_gate("is_code bool", q * ic * (ic - 1))
+        cs.create_gate("header index 0", q * (1 - ib) * idx)
+        cs.create_gate("header value is length", q * (1 - ib) * (val - ln))
+        cs.create_gate("first byte index 0", q * ib * (1 - ib_p) * idx)
+        cs.create_gate(
+            "index increments", q * ib * ib_p * (idx - idx_p - 1)
+        )
+        cs.create_gate("length propagates", q * ib * (ln - ln_p))
+        # is_code: first byte row => 1; else is_zero(prev pdl)
+        cs.create_gate("first byte is code", q * ib * (1 - ib_p) * (ic - 1))
+        cs.create_gate(
+            "is_code def", q * ib * ib_p * (ic - (1 - pdl_p * inv))
+        )
+        cs.create_gate("is_code kill", q * ib * ib_p * ic * pdl_p)
+        # push_data_left evolution
+        cs.create_gate("pdl when code", q * ib * ic * (pdl - psz))
+        cs.create_gate(
+            "pdl when data", q * ib * ib_p * (1 - ic) * (pdl - pdl_p + 1)
+        )
+        # end-of-bytecode: last byte row binds length
+        cs.create_gate(
+            "length binds", q * ib * (1 - ib_n) * (idx + 1 - ln)
+        )
+        # byte RLC accumulator (phase 1)
+        cs.create_gate("rlc first", q * ib * (1 - ib_p) * (rlc - val))
+        cs.create_gate(
+            "rlc step", q * ib * ib_p * (rlc - rlc_p * self.r - val)
+        )
+        # (value, push_size) in push table; also range-checks the byte.
+        cs.lookup_logup(
+            "push table",
+            [[ib * val, ib * psz]],
+            [Fixed(self.tbl_byte), Fixed(self.tbl_push)],
+        )
+
+    # ------------------------------------------------------------------
+    def _target(self, n: int) -> int:
+        t = self.params.target_rows or usable_rows(n)
+        need = sum(1 + len(bc) for bc in self.bytecodes)
+        assert need <= t <= usable_rows(n), (need, t)
+        return t
+
+    def fixed_columns(self, n: int):
+        assert n >= 256, "domain must fit the 256-row push table"
+        t = self._target(n)
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        q = [1 if i < t else 0 for i in range(n)]
+        tb = [i if i < 256 else 0 for i in range(n)]
+        tp = [push_size_of(i) if i < 256 else 0 for i in range(n)]
+        return np.stack([mont(q), mont(tb), mont(tp)])
+
+    def _rows(self, n: int):
+        """(is_byte, index, length, value, is_code, pdl, inv_pdl, push_size)"""
+        rows = []
+        for bc in self.bytecodes:
+            code = bc.to_bytes()
+            marks = bc.is_code_marks()
+            rows.append((0, 0, len(code), len(code), 0, 0, 0, 0))
+            pdl = 0
+            for i, b in enumerate(code):
+                is_code = int(marks[i])
+                prev_pdl = pdl
+                psz = push_size_of(b)
+                pdl = psz if is_code else prev_pdl - 1
+                inv = pow(prev_pdl, -1, R) if (i > 0 and prev_pdl) else 0
+                rows.append((1, i, len(code), b, is_code, pdl, inv, psz))
+        t = self._target(n)
+        while len(rows) < t:
+            rows.append((0, 0, 0, 0, 0, 0, 0, 0))
+        return rows
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        rows = self._rows(n)
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        if phase == 0:
+            cols = {}
+            for ci, j in (
+                (self.c_is_byte, 0), (self.c_index, 1), (self.c_length, 2),
+                (self.c_value, 3), (self.c_is_code, 4), (self.c_pdl, 5),
+                (self.c_inv_pdl, 6), (self.c_push_size, 7),
+            ):
+                cols[ci] = mont([r[j] for r in rows])
+            return cols
+        r_chal = challenges[self.r.index]
+        r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+        rlcs, acc = [], 0
+        for row in rows:
+            if row[0] == 0:
+                acc = 0
+                rlcs.append(0)
+            else:
+                acc = (acc * r_int + row[3]) % R
+                rlcs.append(acc)
+        return {self.c_rlc: mont(rlcs)}

@@ -43,16 +43,46 @@ M_FULL = (_SUM[:, :, None] == np.arange(2 * ND - 1)[None, None, :]).astype(np.fl
 M_LO = M_FULL[:, :, :ND].copy()
 
 
+M_FULL2 = M_FULL.reshape(ND * ND, 2 * ND - 1)  # (1024, 63) for flat matmul
+
+
 def _conv_full(a32, b32):
-    """(..., 32) x (..., 32) int32 -> (..., 63) int32 digit convolution."""
+    """(..., 32) x (..., 32) int32 -> (..., 63) int32 digit convolution.
+
+    Data x data: outer product + one matmul against the flattened one-hot
+    anti-diagonal matrix.  Products <= 255^2 and column sums < 2^22 stay
+    exact in float32.  Precision MUST be HIGHEST: the TPU MXU's default
+    f32 matmul truncates operands to bf16 passes, silently corrupting the
+    integer sums (CPU is unaffected, which is why only on-device tests
+    catch it)."""
     outer = (a32[..., :, None] * b32[..., None, :]).astype(jnp.float32)
-    return jnp.einsum("...ij,ijk->...k", outer, jnp.asarray(M_FULL)).astype(jnp.int32)
+    o = outer.reshape(*outer.shape[:-2], ND * ND)
+    return jnp.matmul(
+        o, jnp.asarray(M_FULL2), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
 
 
-def _conv_lo(a32, b32):
-    """Low 32 digits of the digit convolution (product mod 2^256)."""
-    outer = (a32[..., :, None] * b32[..., None, :]).astype(jnp.float32)
-    return jnp.einsum("...ij,ijk->...k", outer, jnp.asarray(M_LO)).astype(jnp.int32)
+def _toeplitz_full(digits: np.ndarray) -> np.ndarray:
+    """(32, 63) matrix T with T[i, k] = digits[k - i]: conv against a FIXED
+    operand becomes one matmul — no outer product through HBM."""
+    out = np.zeros((ND, 2 * ND - 1), np.float32)
+    for i in range(ND):
+        out[i, i : i + ND] = digits
+    return out
+
+
+def _toeplitz_lo(digits: np.ndarray) -> np.ndarray:
+    """(32, 32) lower-triangular band: conv mod 2^256 against a constant."""
+    return _toeplitz_full(digits)[:, :ND].copy()
+
+
+def _conv_const(a32, toep) -> jnp.ndarray:
+    """a (..., 32) x constant Toeplitz (32, m) -> (..., m), exact in f32
+    (HIGHEST precision — see _conv_full)."""
+    return jnp.matmul(
+        a32.astype(jnp.float32), jnp.asarray(toep),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
 
 
 def _shl_digits(x, s: int):
@@ -120,6 +150,9 @@ class Fp:
         self.P_DIGITS = np.array(to_digits(modulus), np.int32)
         self.PCOMP_DIGITS = np.array(to_digits((1 << 256) - modulus), np.int32)
         self.NPINV_DIGITS = np.array(to_digits(self.npinv_full), np.int32)
+        # constant-operand convolutions as Toeplitz matmuls (see _conv_const)
+        self.NPINV_TOEP = _toeplitz_lo(self.NPINV_DIGITS.astype(np.float32))
+        self.P_TOEP = _toeplitz_full(self.P_DIGITS.astype(np.float32))
         self.ZERO = np.zeros(ND, np.uint8)
         self.ONE = np.array(to_digits(1), np.uint8)
         self.ONE_MONT = np.array(to_digits(self.R), np.uint8)
@@ -198,10 +231,10 @@ class Fp:
         b32 = b.astype(jnp.int32)
         t = _conv_full(a32, b32)  # (..., 63), digits < 2^22
         t = _canon(t, 2 * ND, passes=3)  # T < p^2 < 2^508: 64 digits
-        # m = T_lo * N' mod 2^256
-        m = _conv_lo(t[..., :ND], jnp.asarray(self.NPINV_DIGITS))
+        # m = T_lo * N' mod 2^256 — constant conv: single matmul
+        m = _conv_const(t[..., :ND], self.NPINV_TOEP)
         m = _canon(m, ND, passes=3)  # mod 2^256
-        mp = _conv_full(m, jnp.asarray(self.P_DIGITS))  # (..., 63)
+        mp = _conv_const(m, self.P_TOEP)  # (..., 63)
         res = t + jnp.concatenate(
             [mp, jnp.zeros(mp.shape[:-1] + (1,), jnp.int32)], axis=-1
         )
