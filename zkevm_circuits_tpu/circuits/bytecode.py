@@ -125,7 +125,11 @@ class BytecodeCircuit(Circuit):
         q = [1 if i < t else 0 for i in range(n)]
         tb = [i if i < 256 else 0 for i in range(n)]
         tp = [push_size_of(i) if i < 256 else 0 for i in range(n)]
-        return np.stack([mont(q), mont(tb), mont(tp)])
+        return {
+            self.q_en: mont(q),
+            self.tbl_byte: mont(tb),
+            self.tbl_push: mont(tp),
+        }
 
     def _rows(self, n: int):
         """(is_byte, index, length, value, is_code, pdl, inv_pdl, push_size)"""

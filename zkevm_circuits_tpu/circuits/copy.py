@@ -1,0 +1,188 @@
+"""Copy circuit — byte-accurate copy proofs between data sources.
+
+Equivalent of the reference's `zkevm-circuits/src/copy_circuit.rs`
+(SURVEY.md §2.2 "Copy"): one row per copied byte with source/destination
+continuity and bus bindings — the source byte must appear in the source
+table (TxTable calldata rows for CALLDATACOPY) and the destination write
+must appear in the RW table (Memory rows).
+
+TPU-first: flat one-row-per-byte layout, both bindings on logUp
+arguments; in the SuperCircuit both table sides are the other circuits'
+actual columns.
+
+Round-1 scope: calldata->memory copies; `is_pad` (out-of-range source
+bytes, zero-filled) is witness-driven with byte=0 enforced — the LT
+gadget binding is_pad to src_addr >= calldata_length lands with the word
+gadget family (documented gap, mirrors the reference's copy pad logic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
+from ..plonk.expression import Advice, Fixed
+from ..witness.builder import CopyEvent
+from ..witness.rw import RwTag
+from .tx import TxFieldTag
+
+F = fr()
+
+
+@dataclasses.dataclass
+class CopyParams:
+    target_rows: int = 0
+
+
+class CopyCircuit(Circuit):
+    def __init__(self, events: list[CopyEvent], params: CopyParams | None = None,
+                 rw_rows=None, tx_rows=None):
+        """Standalone mode: `rw_rows` (list of Rw) and `tx_rows`
+        (list of (tx_id, index, byte)) back the in-circuit tables."""
+        self.events = events
+        self.params = params or CopyParams()
+        self.rw_rows = rw_rows
+        self.tx_rows = tx_rows
+
+    def configure(self, cs: ConstraintSystem, rw_table=None, tx_table=None,
+                  challenge=None):
+        self.standalone = rw_table is None
+        self.q_copy = cs.fixed_column()
+
+        self.c_active = cs.advice_column()
+        self.c_cont = cs.advice_column()  # next row continues this event
+        self.c_pad = cs.advice_column()  # source out of range (byte = 0)
+        self.c_src_id = cs.advice_column()
+        self.c_src_addr = cs.advice_column()
+        self.c_dst_id = cs.advice_column()
+        self.c_dst_addr = cs.advice_column()
+        self.c_byte = cs.advice_column()
+        self.c_rwc = cs.advice_column()
+
+        if self.standalone:
+            self.t_rwc = cs.advice_column()
+            self.t_id = cs.advice_column()
+            self.t_addr = cs.advice_column()
+            self.t_byte = cs.advice_column()
+            self.x_txid = cs.advice_column()
+            self.x_idx = cs.advice_column()
+            self.x_byte = cs.advice_column()
+            self.q_trw = cs.fixed_column()
+            self.q_ttx = cs.fixed_column()
+
+        q = Fixed(self.q_copy)
+        act = Advice(self.c_active)
+        cont, cont_n = Advice(self.c_cont), Advice(self.c_cont, 1)
+        pad = Advice(self.c_pad)
+        sid, sid_n = Advice(self.c_src_id), Advice(self.c_src_id, 1)
+        sad, sad_n = Advice(self.c_src_addr), Advice(self.c_src_addr, 1)
+        did, did_n = Advice(self.c_dst_id), Advice(self.c_dst_id, 1)
+        dad, dad_n = Advice(self.c_dst_addr), Advice(self.c_dst_addr, 1)
+        byte = Advice(self.c_byte)
+        rwc, rwc_n = Advice(self.c_rwc), Advice(self.c_rwc, 1)
+
+        for name, e in (("active", act), ("cont", cont), ("pad", pad)):
+            cs.create_gate(f"{name} bool", q * e * (e - 1))
+        cs.create_gate("cont implies active", q * cont * (1 - act))
+        cs.create_gate("pad byte zero", q * pad * byte)
+        for name, cur, nxt, d in (
+            ("src_addr", sad, sad_n, 1), ("dst_addr", dad, dad_n, 1),
+            ("rwc", rwc, rwc_n, 1),
+        ):
+            cs.create_gate(f"copy cont {name}", q * cont * (nxt - cur - d))
+        cs.create_gate("copy cont src_id", q * cont * (sid_n - sid))
+        cs.create_gate("copy cont dst_id", q * cont * (did_n - did))
+
+        if self.standalone:
+            trw = Fixed(self.q_trw)
+            rw_table = [
+                trw * Advice(self.t_rwc), trw * 1, trw * int(RwTag.Memory),
+                trw * Advice(self.t_id), trw * Advice(self.t_addr),
+                trw * Advice(self.t_byte),
+            ]
+            ttx = Fixed(self.q_ttx)
+            tx_table = [
+                ttx * Advice(self.x_txid), ttx * int(TxFieldTag.CallData),
+                ttx * Advice(self.x_idx), ttx * Advice(self.x_byte),
+            ]
+
+        g = q * act
+        cs.lookup_logup(
+            "copy rw bus",
+            [[g * rwc, g, g * int(RwTag.Memory), g * did, g * dad, g * byte]],
+            rw_table,
+        )
+        gs = g * (1 - pad)
+        cs.lookup_logup(
+            "copy tx source",
+            [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
+            tx_table,
+        )
+
+    # ------------------------------------------------------------------
+    def _target(self, n: int) -> int:
+        t = self.params.target_rows or usable_rows(n)
+        need = sum(ev.length for ev in self.events)
+        assert need <= t <= usable_rows(n)
+        return t
+
+    def _mem_writes(self):
+        return [
+            r for r in (self.rw_rows or [])
+            if r.tag == RwTag.Memory and r.is_write
+        ]
+
+    def fixed_columns(self, n: int):
+        t = self._target(n)
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        out = {self.q_copy: mont([1 if i < t else 0 for i in range(n)])}
+        if self.standalone:
+            nrw = len(self._mem_writes())
+            ntx = len(self.tx_rows or [])
+            out[self.q_trw] = mont([1 if i < nrw else 0 for i in range(n)])
+            out[self.q_ttx] = mont([1 if i < ntx else 0 for i in range(n)])
+        return out
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        if phase != 0:
+            return {}
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc)
+        for ev in self.events:
+            # source calldata length determines padding
+            for j in range(ev.length):
+                src = ev.src_addr + j
+                is_pad = 0
+                if self.tx_rows is not None:
+                    in_range = any(
+                        t[0] == ev.src_id and t[1] == src for t in self.tx_rows
+                    )
+                    is_pad = 0 if in_range else 1
+                rows.append((
+                    1, int(j + 1 < ev.length), is_pad,
+                    ev.src_id, src, ev.dst_id, ev.dst_addr + j,
+                    ev.bytes_[j], ev.rw_counter_start + j,
+                ))
+        cols = {}
+        for ci, k in (
+            (self.c_active, 0), (self.c_cont, 1), (self.c_pad, 2),
+            (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
+            (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
+        ):
+            cols[ci] = mont([r[k] for r in rows])
+        if self.standalone:
+            rws = self._mem_writes()
+            cols[self.t_rwc] = mont([r.rw_counter for r in rws])
+            cols[self.t_id] = mont([r.id for r in rws])
+            cols[self.t_addr] = mont([r.address for r in rws])
+            cols[self.t_byte] = mont([r.value for r in rws])
+            cols[self.x_txid] = mont([t[0] for t in (self.tx_rows or [])])
+            cols[self.x_idx] = mont([t[1] for t in (self.tx_rows or [])])
+            cols[self.x_byte] = mont([t[2] for t in (self.tx_rows or [])])
+        return cols

@@ -1,0 +1,340 @@
+"""EVM circuit — proves the execution trace step by step.
+
+Equivalent of the reference's `zkevm-circuits/src/evm_circuit/` (SURVEY.md
+§2.2 "EVM"): each execution step constrains its state transition
+(pc / gas / rw_counter / stack_pointer) and its bus accesses against the
+RW table.
+
+TPU-first redesign (vs the reference's 141-col x 21-row step regions +
+CellManager):
+  * ONE row per execution step; every gadget's cells are dedicated
+    columns on that row.  Witness assignment is a single columnar numpy
+    pass over all steps (the reference's per-step `assign_exec_step`
+    rayon loop becomes table construction, SURVEY.md §7.1).
+  * Execution states are one-hot indicator columns; each gadget's
+    constraints are gated by its indicator — so the quotient pass
+    evaluates every gadget exactly once over the whole column, fully
+    vectorized.
+  * Bus accesses ride ONE logUp argument whose table is the RW table
+    (provided as witness columns here, exactly like the reference's dev
+    mode loads the RwTable; the SuperCircuit ties it to the State circuit
+    by sharing the actual columns).
+
+Round-1 gadget coverage: PUSHn, POP, ADD, MUL (via committed result +
+range-free check through stack writes), DUPn, SWAP-free, SSTORE/SLOAD and
+memory ops land with the Copy circuit.  Stack values are byte-RLC words
+under the phase-0 challenge (values here are < 2^128 in tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
+from ..plonk.expression import Advice, Expression, Fixed
+from ..types.evm import OpcodeId
+from ..witness.builder import ExecStep, STACK_BASE
+from ..witness.rw import Rw, RwTag
+from .state import word_rlc
+
+F = fr()
+
+# implemented execution states, in gate order
+GADGETS = ["PUSH", "POP", "ADD", "STOP"]
+
+
+@dataclasses.dataclass
+class EvmParams:
+    target_steps: int = 0  # 0 => usable rows
+    rw_target: int = 0
+
+
+class EvmCircuit(Circuit):
+    """Standalone EVM circuit over (steps, rws) witness.
+
+    `steps`: list of ExecStep from the builder (only implemented opcodes).
+    `rws`: the RW records the steps reference (chronological by counter).
+    """
+
+    def __init__(self, steps: list[ExecStep], rws: list[Rw],
+                 params: EvmParams | None = None):
+        self.steps = [s for s in steps if s.exec_state not in ("BeginTx", "EndTx")]
+        self.rw_by_counter = {r.rw_counter: r for r in rws}
+        self.params = params or EvmParams()
+
+    # ------------------------------------------------------------------
+    def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None):
+        """`rw_table`: optional 6 expressions (rw_counter, is_write, tag,
+        id, address, value) — the SuperCircuit passes the State circuit's
+        recomposed columns; standalone mode allocates its own table.
+        `challenge`: optional shared word-RLC challenge."""
+        self.standalone = rw_table is None
+        self.q_step = cs.fixed_column()
+        if self.standalone:
+            self.q_rw = cs.fixed_column()
+
+        # step columns
+        self.c_ind = {g: cs.advice_column() for g in GADGETS}
+        self.c_pc = cs.advice_column()
+        self.c_gas_cost = cs.advice_column()
+        self.c_rwc = cs.advice_column()  # rw_counter at step start
+        self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
+        self.c_call_id = cs.advice_column()
+        self.c_push_len = cs.advice_column()  # for PUSHn: n (1..32)
+        self.c_val_a = cs.advice_column(phase=1)  # operand / result RLCs
+        self.c_val_b = cs.advice_column(phase=1)
+        self.c_val_c = cs.advice_column(phase=1)
+        # AddWords gadget cells (reference math_gadget/add_words.rs): byte
+        # decompositions of the three words + carry chain
+        self.c_bytes_a = [cs.advice_column() for _ in range(32)]
+        self.c_bytes_b = [cs.advice_column() for _ in range(32)]
+        self.c_bytes_c = [cs.advice_column() for _ in range(32)]
+        self.c_carry = [cs.advice_column() for _ in range(32)]
+        self.tbl_byte = cs.fixed_column()
+
+        if self.standalone:
+            # in-circuit RW table columns (the SuperCircuit points these
+            # lookups at the State circuit's columns instead)
+            self.t_rwc = cs.advice_column()
+            self.t_is_write = cs.advice_column()
+            self.t_tag = cs.advice_column()
+            self.t_id = cs.advice_column()
+            self.t_addr = cs.advice_column()
+            self.t_val = cs.advice_column(phase=1)
+
+        self.r_word = (
+            challenge if challenge is not None else cs.challenge(phase=0)
+        )
+
+        q = Fixed(self.q_step)
+        ind = {g: Advice(c) for g, c in self.c_ind.items()}
+        pc, pc_n = Advice(self.c_pc), Advice(self.c_pc, 1)
+        rwc, rwc_n = Advice(self.c_rwc), Advice(self.c_rwc, 1)
+        sp, sp_n = Advice(self.c_sp), Advice(self.c_sp, 1)
+        plen = Advice(self.c_push_len)
+        va, vb, vc = (
+            Advice(self.c_val_a), Advice(self.c_val_b), Advice(self.c_val_c)
+        )
+        q_n = Fixed(self.q_step, 1)  # next row is still a step
+
+        # indicators boolean + exactly one active per step row
+        sum_ind: Expression | None = None
+        for g, e in ind.items():
+            cs.create_gate(f"ind {g} bool", q * e * (e - 1))
+            sum_ind = e if sum_ind is None else sum_ind + e
+        cs.create_gate("one gadget per step", q * (sum_ind - 1))
+
+        def transition(indicator, d_pc, d_rwc, d_sp):
+            """Common state-transition constraints, gated to rows whose
+            successor is also a step row (the last step ends the chain)."""
+            gate = q * q_n * indicator
+            cs.create_gate("pc step", gate * (pc_n - pc - d_pc))
+            cs.create_gate("rwc step", gate * (rwc_n - rwc - d_rwc))
+            cs.create_gate("sp step", gate * (sp_n - sp - d_sp))
+
+        # PUSH: writes one stack value (va) at sp-1; pc += 1 + plen
+        gate_push = q * q_n * ind["PUSH"]
+        cs.create_gate("PUSH pc", gate_push * (pc_n - pc - 1 - plen))
+        cs.create_gate("PUSH rwc", gate_push * (rwc_n - rwc - 1))
+        cs.create_gate("PUSH sp", gate_push * (sp_n - sp + 1))
+        # POP: reads one value; sp += 1, rwc += 1, pc += 1
+        transition(ind["POP"], 1, 1, 1)
+        # ADD: reads two (va, vb), writes vc; sp += 1, rwc += 3, pc += 1
+        transition(ind["ADD"], 1, 3, 1)
+        # STOP: terminal — no transition constraints
+
+        # ---- ADD word semantics: a + b = c mod 2^256 over byte cells -----
+        ga = q * ind["ADD"]
+        ba = [Advice(c) for c in self.c_bytes_a]
+        bb = [Advice(c) for c in self.c_bytes_b]
+        bc = [Advice(c) for c in self.c_bytes_c]
+        cr = [Advice(c) for c in self.c_carry]
+        # byte-wise ripple: a_i + b_i + carry_in = c_i + 256*carry_out
+        for i in range(32):
+            cin = cr[i - 1] if i else 0
+            cs.create_gate(
+                f"ADD byte {i}",
+                ga * (ba[i] + bb[i] + cin - bc[i] - 256 * cr[i]),
+            )
+            cs.create_gate(f"ADD carry {i} bool", ga * cr[i] * (cr[i] - 1))
+        # bind byte cells to the RLC operands (challenge powers are
+        # degree-0, so these stay linear in the advice)
+        def rlc_expr(bytes_):
+            expr = None
+            rpow = None
+            for i, b in enumerate(bytes_):
+                term = b if i == 0 else b * rpow
+                expr = term if expr is None else expr + term
+                rpow = self.r_word if rpow is None else rpow * self.r_word
+            return expr
+
+        cs.create_gate("ADD a rlc", ga * (rlc_expr(ba) - va))
+        cs.create_gate("ADD b rlc", ga * (rlc_expr(bb) - vb))
+        cs.create_gate("ADD c rlc", ga * (rlc_expr(bc) - vc))
+        # byte range checks ride one logUp argument
+        byte_inputs = [[ga * b] for b in ba + bb + bc]
+        cs.lookup_logup("ADD byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
+
+        # ---- bus accesses via one logUp into the rw table -----------------
+        if self.standalone:
+            tq = Fixed(self.q_rw)
+            table = [
+                tq * Advice(self.t_rwc),
+                tq * Advice(self.t_is_write),
+                tq * Advice(self.t_tag),
+                tq * Advice(self.t_id),
+                tq * Advice(self.t_addr),
+                tq * Advice(self.t_val),
+            ]
+        else:
+            table = rw_table
+        cid = Advice(self.c_call_id)
+        stack = int(RwTag.Stack)
+
+        def access(gate, d_rwc, is_write, addr_expr, val_expr):
+            return [
+                gate * (rwc + d_rwc),
+                gate * is_write,
+                gate * stack,
+                gate * cid,
+                gate * addr_expr,
+                gate * val_expr,
+            ]
+
+        inputs = [
+            # PUSH: write va at sp-1
+            access(q * ind["PUSH"], 0, 1, sp - 1, va),
+            # POP: read va at sp
+            access(q * ind["POP"], 0, 0, sp, va),
+            # ADD: read va@sp, read vb@sp+1, write vc@sp+1
+            access(q * ind["ADD"], 0, 0, sp, va),
+            access(q * ind["ADD"], 1, 0, sp + 1, vb),
+            access(q * ind["ADD"], 2, 1, sp + 1, vc),
+        ]
+        cs.lookup_logup("rw bus", inputs, table)
+
+    # ------------------------------------------------------------------
+    def _target(self, n: int) -> int:
+        t = self.params.target_steps or usable_rows(n)
+        assert len(self.steps) <= t <= usable_rows(n)
+        return t
+
+    def _rw_target(self, n: int) -> int:
+        t = self.params.rw_target or usable_rows(n)
+        return t
+
+    def fixed_columns(self, n: int):
+        t = self._target(n)
+        assert n >= 256, "domain must fit the byte range table"
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        out = {
+            self.q_step: mont([1 if i < t else 0 for i in range(n)]),
+            self.tbl_byte: mont([i if i < 256 else 0 for i in range(n)]),
+        }
+        if self.standalone:
+            rt = self._rw_target(n)
+            out[self.q_rw] = mont([1 if i < rt else 0 for i in range(n)])
+        return out
+
+    def _classify(self, s: ExecStep) -> str:
+        if s.op is not None and s.op.is_push:
+            return "PUSH"
+        assert s.exec_state in GADGETS, f"unsupported opcode {s.exec_state}"
+        return s.exec_state
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        t = self._target(n)
+        steps = self.steps
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        if phase == 0:
+            cols = {}
+            kinds = [self._classify(s) for s in steps]
+            for g in GADGETS:
+                base = [int(k == g) for k in kinds]
+                # padding rows are STOP steps (terminal, no transitions)
+                pad = [1 if g == "STOP" else 0] * (t - len(steps))
+                cols[self.c_ind[g]] = mont(base + pad)
+            cols[self.c_pc] = mont([s.pc for s in steps])
+            cols[self.c_gas_cost] = mont([s.gas_cost for s in steps])
+            cols[self.c_rwc] = mont([s.rw_counter_start for s in steps])
+            cols[self.c_sp] = mont([s.stack_pointer for s in steps])
+            cols[self.c_call_id] = mont([s.call_id for s in steps])
+            plens = [
+                s.op.push_len if (s.op is not None and s.op.is_push) else 0
+                for s in steps
+            ]
+            cols[self.c_push_len] = mont(plens)
+            # AddWords byte cells + carries (zero on non-ADD rows)
+            n_steps = len(steps)
+            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abc"}
+            carries = [[0] * n_steps for _ in range(32)]
+            for si, s in enumerate(steps):
+                if self._classify(s) != "ADD":
+                    continue
+                ops = [self.rw_by_counter[i] for i in s.rw_indices]
+                words = {
+                    "a": ops[0].value, "b": ops[1].value, "c": ops[2].value
+                }
+                for key, w in words.items():
+                    le = w.to_bytes(32, "little")
+                    for i in range(32):
+                        byts[key][i][si] = le[i]
+                carry = 0
+                for i in range(32):
+                    tot = byts["a"][i][si] + byts["b"][i][si] + carry
+                    carry = tot >> 8
+                    carries[i][si] = carry
+            for key, colset in (
+                ("a", self.c_bytes_a), ("b", self.c_bytes_b),
+                ("c", self.c_bytes_c),
+            ):
+                for i, ci in enumerate(colset):
+                    cols[ci] = mont(byts[key][i])
+            for i, ci in enumerate(self.c_carry):
+                cols[ci] = mont(carries[i])
+            if self.standalone:
+                # rw table (phase-0 part)
+                rws = sorted(
+                    self.rw_by_counter.values(), key=lambda r: r.rw_counter
+                )
+                rws = [r for r in rws if r.tag == RwTag.Stack]
+                cols[self.t_rwc] = mont([r.rw_counter for r in rws])
+                cols[self.t_is_write] = mont([int(r.is_write) for r in rws])
+                cols[self.t_tag] = mont([int(r.tag) for r in rws])
+                cols[self.t_id] = mont([r.id for r in rws])
+                cols[self.t_addr] = mont([r.address for r in rws])
+                self._rw_rows = rws
+            return cols
+        # phase 1: word RLCs
+        r_chal = challenges[self.r_word.index]
+        r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+        va, vb, vc = [], [], []
+        for s in steps:
+            ops = [self.rw_by_counter[i] for i in s.rw_indices]
+            kind = self._classify(s)
+            def rlc(rw):
+                return word_rlc(rw.value, r_int)
+            if kind == "PUSH":
+                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "POP":
+                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "ADD":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(rlc(ops[2]))
+            else:
+                va.append(0); vb.append(0); vc.append(0)
+        out = {
+            self.c_val_a: mont(va),
+            self.c_val_b: mont(vb),
+            self.c_val_c: mont(vc),
+        }
+        if self.standalone:
+            out[self.t_val] = mont(
+                [word_rlc(r.value, r_int) for r in self._rw_rows]
+            )
+        return out

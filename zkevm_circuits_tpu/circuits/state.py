@@ -80,10 +80,10 @@ def _decompose(value: int, count: int, bits: int) -> list[int]:
 
 
 def word_rlc(value: int, r_chal: int) -> int:
-    """Byte-RLC of a 256-bit word, little-endian bytes (reference
-    convention: evm_word challenge RLC)."""
+    """Byte-RLC of a 256-bit word: sum_i le_bytes[i] * r^i (the reference's
+    evm_word RLC convention — least-significant byte gets r^0)."""
     acc = 0
-    for b in reversed(value.to_bytes(32, "big")):
+    for b in value.to_bytes(32, "big"):  # big-endian fold == sum le[i] r^i
         acc = (acc * r_chal + b) % R
     return acc
 
@@ -95,11 +95,12 @@ class StateCircuit(Circuit):
         self.rows = rows
 
     # ------------------------------------------------------------------
-    def configure(self, cs: ConstraintSystem):
+    def configure(self, cs: ConstraintSystem, challenge=None):
         p = self.params
         self.q_row = cs.fixed_column()  # 1 on all table rows
         self.q_ord = cs.fixed_column()  # 1 on rows 1..target-1 (has a prev)
         self.tbl = cs.fixed_column()  # range table 0..2^limb_bits-1
+        self._shared_challenge = challenge
 
         self.col_is_write = cs.advice_column()
         self.col_value = cs.advice_column(phase=1)
@@ -113,7 +114,9 @@ class StateCircuit(Circuit):
         self.col_is_mem = cs.advice_column()
         self.col_inv_mem = cs.advice_column()
 
-        self.r_word = cs.challenge(phase=0)  # squeezed after phase-0 advice
+        self.r_word = (
+            challenge if challenge is not None else cs.challenge(phase=0)
+        )  # word-RLC challenge, squeezed after phase-0 advice
 
         q_row = Fixed(self.q_row)
         q_ord = Fixed(self.q_ord)
@@ -187,6 +190,33 @@ class StateCircuit(Circuit):
         inputs.append([q_ord * (diff - 1)])
         cs.lookup_logup("limb ranges", inputs, [Fixed(self.tbl)])
 
+    def rw_table_exprs(self) -> list:
+        """The RW table as (rw_counter, is_write, tag, id, address, value)
+        expressions recomposed from the limb columns — the SuperCircuit
+        points the EVM circuit's bus lookups at these (reference RwTable,
+        zkevm-circuits/src/table.rs:577), zero-gated outside table rows."""
+        p = self.params
+        q = Fixed(self.q_row)
+        limbs = [Advice(c) for c in self.limb_cols]
+        counts = p.limb_counts()
+        out_by_name = {}
+        off = 0
+        for name, cnt in counts:
+            expr = None
+            for i in range(cnt):
+                term = limbs[off + i] * (1 << (p.limb_bits * (cnt - 1 - i)))
+                expr = term if expr is None else expr + term
+            out_by_name[name] = expr
+            off += cnt
+        return [
+            q * out_by_name["rw_counter"],
+            q * Advice(self.col_is_write),
+            q * out_by_name["tag"],
+            q * out_by_name["id"],
+            q * out_by_name["address"],
+            q * Advice(self.col_value),
+        ]
+
     # ------------------------------------------------------------------
     def _target(self, n: int) -> int:
         from ..plonk.circuit import usable_rows
@@ -214,7 +244,11 @@ class StateCircuit(Circuit):
         tbl = [i if i < (1 << p.limb_bits) else 0 for i in range(n)]
         assert n >= (1 << p.limb_bits), "domain must fit the range table"
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
-        return np.stack([mont(q_row), mont(q_ord), mont(tbl)])
+        return {
+            self.q_row: mont(q_row),
+            self.q_ord: mont(q_ord),
+            self.tbl: mont(tbl),
+        }
 
     def _limbify(self, r: Rw) -> list[int]:
         p = self.params

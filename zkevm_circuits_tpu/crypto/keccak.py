@@ -68,9 +68,65 @@ def keccak_f(state: list[list[int]]) -> list[list[int]]:
 
 RATE_BYTES = 136  # 1088-bit rate for keccak256
 
+# ---------------------------------------------------------------------------
+# native fast path: C++ batch keccak (native/keccak.cc), auto-loaded when
+# built via `make -C native`; the pure-Python path stays as spec/fallback.
+# ---------------------------------------------------------------------------
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libzkevm_native.so"
+    )
+    try:
+        _native = ctypes.CDLL(os.path.abspath(path))
+    except OSError:
+        _native = False
+    return _native
+
 
 def keccak256(data: bytes) -> bytes:
     """Ethereum keccak256 (original Keccak padding 0x01 ... 0x80)."""
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        out = (ctypes.c_uint8 * 32)()
+        lib.zkevm_keccak256(bytes(data), ctypes.c_uint64(len(data)), out)
+        return bytes(out)
+    return _keccak256_py(data)
+
+
+def keccak256_batch(inputs: list[bytes]) -> list[bytes]:
+    """Batch hashing for block-wide witness collection (the reference's
+    `keccak_inputs`, bus-mapping circuit_input_builder.rs:724)."""
+    lib = _load_native()
+    if lib and inputs:
+        import ctypes
+
+        flat = b"".join(inputs)
+        offs = [0]
+        for m in inputs:
+            offs.append(offs[-1] + len(m))
+        arr = (ctypes.c_uint64 * len(offs))(*offs)
+        out = (ctypes.c_uint8 * (32 * len(inputs)))()
+        lib.zkevm_keccak256_batch(
+            flat, arr, ctypes.c_uint64(len(inputs)), out
+        )
+        raw = bytes(out)
+        return [raw[32 * i : 32 * i + 32] for i in range(len(inputs))]
+    return [_keccak256_py(m) for m in inputs]
+
+
+def _keccak256_py(data: bytes) -> bytes:
+    """Pure-Python reference implementation (the spec oracle)."""
     state = [[0] * 5 for _ in range(5)]
     # pad10*1 with domain byte 0x01
     padded = bytearray(data)

@@ -190,3 +190,18 @@ class Circuit:
 
 def usable_rows(n: int) -> int:
     return n - (BLINDING_FACTORS + 1)
+
+
+def assemble_fixed(circuit: Circuit, cs: ConstraintSystem, n: int):
+    """Normalize Circuit.fixed_columns output to a (num_fixed, n, 32)
+    array.  Circuits may return either a positional stack (standalone
+    layout) or a {column_index: (n, 32)} dict (composed layout)."""
+    import numpy as np
+
+    out = circuit.fixed_columns(n)
+    if isinstance(out, dict):
+        arr = np.zeros((max(cs.num_fixed, 1), n, 32), np.uint8)
+        for ci, col in out.items():
+            arr[ci] = np.asarray(col)
+        return arr
+    return np.asarray(out)

@@ -137,8 +137,10 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
     dom = domain(k)
 
     # ---- fixed columns ----------------------------------------------------
+    from .circuit import assemble_fixed
+
     nf = max(cs.num_fixed, 1)
-    fixed_evals = jnp.asarray(circuit.fixed_columns(n))
+    fixed_evals = jnp.asarray(assemble_fixed(circuit, cs, n))
     if cs.num_fixed == 0:
         fixed_evals = jnp.zeros((1, n, 32), jnp.uint8)
     fixed_coeffs = intt(fixed_evals, k)

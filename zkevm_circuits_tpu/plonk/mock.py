@@ -48,7 +48,9 @@ class MockProver:
         self.instances = instances or [[] for _ in range(self.cs.num_instance)]
 
         n = self.n
-        self.fixed = jnp.asarray(circuit.fixed_columns(n))
+        from .circuit import assemble_fixed
+
+        self.fixed = jnp.asarray(assemble_fixed(circuit, self.cs, n))
         assert self.fixed.shape == (max(self.cs.num_fixed, 1), n, 32) or self.cs.num_fixed == 0
 
         # instance columns -> Montgomery arrays padded to n

@@ -1,0 +1,149 @@
+"""Production proving API — chunk prover with file-memoized artifacts.
+
+Equivalent of the reference's `prover` crate (SURVEY.md §2.1 item 11):
+  * `Proof` — JSON+base64 proof/vk serialization (prover/src/proof.rs:34)
+  * `ChunkProver.gen_chunk_proof` — trace -> witness -> SuperCircuit ->
+    proof (prover/src/zkevm/prover.rs:42), with every artifact
+    load-or-gen cached to `output_dir` the way each reference layer does
+    (prover/src/common/prover/{inner,compression,...}.rs:31-38)
+  * SRS cached per degree in `params_dir` (utils.rs:27)
+  * `CircuitCapacityChecker` — row-usage estimation for block packing
+    (prover/src/zkevm/capacity_checker.rs:116)
+The recursion layers (compression/aggregation) stack on this API next.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import hashlib
+import json
+import os
+import pickle
+
+from ..circuits.super_circuit import SuperCircuit, SuperParams
+from ..plonk.circuit import ConstraintSystem, usable_rows
+from ..plonk.keygen import keygen
+from ..plonk.prover import prove
+from ..plonk.verifier import verify
+from ..poly.kzg import Srs
+from ..types.bytecode import Bytecode
+from ..utils.stats import timer
+from ..witness.builder import CircuitInputBuilder
+
+
+@dataclasses.dataclass
+class Proof:
+    proof: bytes
+    instances: list[list[int]]
+    k: int
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "proof": base64.b64encode(self.proof).decode(),
+            "instances": [[hex(v) for v in col] for col in self.instances],
+            "k": self.k,
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "Proof":
+        d = json.loads(s)
+        return cls(
+            proof=base64.b64decode(d["proof"]),
+            instances=[[int(v, 16) for v in col] for col in d["instances"]],
+            k=d["k"],
+        )
+
+
+class ChunkProver:
+    def __init__(self, params_dir: str, output_dir: str | None = None,
+                 params: SuperParams | None = None, k: int = 9):
+        self.params_dir = params_dir
+        self.output_dir = output_dir
+        self.k = k
+        self.super_params = params or SuperParams()
+        os.makedirs(params_dir, exist_ok=True)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        self._srs: Srs | None = None
+        self._keys = None
+
+    # ---- cached SRS per degree (reference params_dir behavior) -----------
+    def srs(self) -> Srs:
+        if self._srs is None:
+            path = os.path.join(self.params_dir, f"srs_k{self.k}.pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    self._srs = pickle.load(f)
+            else:
+                with timer(f"SRS setup k={self.k}"):
+                    self._srs = Srs.unsafe_setup(self.k)
+                import jax
+                g1 = jax.tree.map(
+                    lambda a: __import__("numpy").asarray(a),
+                    self._srs.g1_powers,
+                )
+                self._srs.g1_powers = type(self._srs.g1_powers)(*g1)
+                with open(path, "wb") as f:
+                    pickle.dump(self._srs, f)
+        return self._srs
+
+    def keys(self, circuit: SuperCircuit):
+        if self._keys is None:
+            with timer("keygen"):
+                self._keys = keygen(circuit, self.k, self.srs())
+        return self._keys
+
+    # ---- chunk proving ------------------------------------------------------
+    def gen_chunk_proof(self, builder: CircuitInputBuilder,
+                        bytecodes: list[Bytecode], txs,
+                        name: str = "chunk") -> Proof:
+        """load_or_gen: the reference memoizes every layer's snark to
+        output_dir; identical behavior keyed by a witness digest."""
+        digest = hashlib.sha256(
+            repr([
+                [(r.rw_counter, int(r.tag), r.value) for r in builder.rws.rws],
+                [bc.to_bytes() for bc in bytecodes],
+            ]).encode()
+        ).hexdigest()[:16]
+        cache = (
+            os.path.join(self.output_dir, f"proof_{name}_{digest}.json")
+            if self.output_dir else None
+        )
+        if cache and os.path.exists(cache):
+            return Proof.from_json(open(cache).read())
+        circuit = SuperCircuit(builder, bytecodes, txs, self.super_params)
+        pk, vk = self.keys(circuit)
+        with timer("prove chunk"):
+            proof = prove(pk, circuit, [], self.srs())
+        out = Proof(proof=proof, instances=[], k=self.k)
+        if cache:
+            with open(cache, "w") as f:
+                f.write(out.to_json())
+        return out
+
+    def verify_chunk_proof(self, proof: Proof) -> bool:
+        assert self._keys is not None, "keys not generated yet"
+        _, vk = self._keys
+        return verify(vk, proof.instances, proof.proof)
+
+
+class CircuitCapacityChecker:
+    """Estimates per-circuit row usage for a block, to pack chunks below
+    circuit capacity (reference capacity_checker.rs:116,159)."""
+
+    def __init__(self, params: SuperParams, k: int):
+        self.params = params
+        self.k = k
+
+    def estimate(self, builder: CircuitInputBuilder,
+                 bytecodes: list[Bytecode]) -> dict:
+        rows = {
+            "state": len(builder.rws.rws),
+            "evm": len(builder.steps),
+            "bytecode": sum(1 + len(bc) for bc in bytecodes),
+            "copy": sum(ev.length for ev in builder.copy_events),
+        }
+        cap = usable_rows(1 << self.k)
+        rows["fits"] = all(v <= cap for v in rows.values())
+        return rows

@@ -467,6 +467,10 @@ class Interpreter:
             a = pop()
             push(int(a == 0) if op == OpcodeId.ISZERO else a ^ U256)
             return None
+        if op == OpcodeId.POP:
+            self._use_gas(fr, 2)
+            pop()
+            return None
 
         # -- sha3 --------------------------------------------------------------
         if op == OpcodeId.SHA3:

@@ -43,6 +43,22 @@ class ExecStep:
 
 
 @dataclasses.dataclass
+class CopyEvent:
+    """One byte-accurate copy (reference bus-mapping CopyEvent,
+    circuit_input_builder/execution.rs; SURVEY.md §2.1 item 5)."""
+
+    src_type: str  # 'calldata' | 'memory' | 'bytecode' | 'returndata'
+    src_id: int  # tx_id / call_id / code hash handle
+    src_addr: int
+    dst_type: str
+    dst_id: int
+    dst_addr: int
+    length: int
+    rw_counter_start: int
+    bytes_: bytes
+
+
+@dataclasses.dataclass
 class TxContext:
     tx_id: int
     call_id: int
@@ -59,6 +75,7 @@ class CircuitInputBuilder:
         self.rws = RwMap()
         self.steps: list[ExecStep] = []
         self.txs: list[TxContext] = []
+        self.copy_events: list[CopyEvent] = []
         self._next_call_id = 1
 
     # ------------------------------------------------------------------
@@ -187,6 +204,22 @@ class CircuitInputBuilder:
                 self.rws.storage_write(ctx.tx_id, ctx.to_addr, key, val, prev)
             )
             storage[(ctx.to_addr, key)] = val
+        elif op == OpcodeId.CALLDATACOPY:
+            dst, src, ln = stack_val(0), stack_val(1), stack_val(2)
+            rws.append(self.rws.stack_read(call_id, sp, dst))
+            rws.append(self.rws.stack_read(call_id, sp + 1, src))
+            rws.append(self.rws.stack_read(call_id, sp + 2, ln))
+            data = ctx.calldata[src : src + ln]
+            chunk = bytes(data).ljust(ln, b"\x00")
+            ev = CopyEvent(
+                src_type="calldata", src_id=ctx.tx_id, src_addr=src,
+                dst_type="memory", dst_id=call_id, dst_addr=dst,
+                length=ln, rw_counter_start=self.rws.counter + 1,
+                bytes_=chunk,
+            )
+            for j, byte in enumerate(chunk):
+                rws.append(self.rws.memory_write(call_id, dst + j, byte))
+            self.copy_events.append(ev)
         elif op.is_call or op.is_create:
             raise NotImplementedError("nested calls land with the call opcodes")
         else:
