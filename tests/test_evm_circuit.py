@@ -35,6 +35,23 @@ def test_evm_circuit_push_add_pop():
     MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
 
 
+def test_evm_circuit_sub_dup_swap_pc():
+    b = _witness(
+        Bytecode()
+        .push(1, 100).push(1, 30).op("JUMPDEST")
+        .op("DUP2").op("SUB")        # 100 - 30 = 70? stack: [100,30,100] -> sub -> [100, 30-100 wrap]
+        .op("SWAP1").op("PC")
+        .op("POP").op("POP").op("POP").op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_sub_underflow_wraps():
+    # 5 - 9 wraps mod 2^256: exercises the final carry bit
+    b = _witness(Bytecode().push(1, 9).push(1, 5).op("SUB").op("POP").op("STOP"))
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
 def test_evm_circuit_catches_bad_stack_value():
     b = _witness(Bytecode().push(1, 5).push(1, 7).op("ADD").op("POP").op("STOP"))
 

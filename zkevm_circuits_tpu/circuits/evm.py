@@ -44,7 +44,7 @@ from .state import word_rlc
 F = fr()
 
 # implemented execution states, in gate order
-GADGETS = ["PUSH", "POP", "ADD", "STOP"]
+GADGETS = ["PUSH", "POP", "ADD", "SUB", "DUP", "SWAP", "PC", "JUMPDEST", "STOP"]
 
 
 @dataclasses.dataclass
@@ -85,6 +85,7 @@ class EvmCircuit(Circuit):
         self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
         self.c_call_id = cs.advice_column()
         self.c_push_len = cs.advice_column()  # for PUSHn: n (1..32)
+        self.c_depth_n = cs.advice_column()  # for DUPn/SWAPn: n
         self.c_val_a = cs.advice_column(phase=1)  # operand / result RLCs
         self.c_val_b = cs.advice_column(phase=1)
         self.c_val_c = cs.advice_column(phase=1)
@@ -143,24 +144,47 @@ class EvmCircuit(Circuit):
         cs.create_gate("PUSH sp", gate_push * (sp_n - sp + 1))
         # POP: reads one value; sp += 1, rwc += 1, pc += 1
         transition(ind["POP"], 1, 1, 1)
-        # ADD: reads two (va, vb), writes vc; sp += 1, rwc += 3, pc += 1
+        # ADD/SUB: read two, write one; sp += 1, rwc += 3, pc += 1
         transition(ind["ADD"], 1, 3, 1)
+        transition(ind["SUB"], 1, 3, 1)
+        # DUPn: 1 read + 1 write; sp -= 1, rwc += 2, pc += 1
+        transition(ind["DUP"], 1, 2, -1)
+        # SWAPn: 2 reads + 2 writes; sp unchanged, rwc += 4, pc += 1
+        transition(ind["SWAP"], 1, 4, 0)
+        # PC: pushes the pc value; sp -= 1, rwc += 1
+        transition(ind["PC"], 1, 1, -1)
+        # PC semantics: the pushed word equals pc (< 2^16 here => its RLC
+        # is pc_lo + r*pc_hi; bind bytes via the shared byte cells)
+        gpc = q * ind["PC"]
+        cs.create_gate(
+            "PC value",
+            gpc * (Advice(self.c_bytes_a[0])
+                   + 256 * Advice(self.c_bytes_a[1]) - pc),
+        )
+        cs.create_gate(
+            "PC rlc",
+            gpc * (Advice(self.c_bytes_a[0])
+                   + self.r_word * Advice(self.c_bytes_a[1]) - va),
+        )
+        # JUMPDEST: no-op; pc += 1
+        transition(ind["JUMPDEST"], 1, 0, 0)
         # STOP: terminal — no transition constraints
 
-        # ---- ADD word semantics: a + b = c mod 2^256 over byte cells -----
-        ga = q * ind["ADD"]
+        # ---- word-sum gadget (AddWords): x + y = z mod 2^256 over byte
+        # cells, shared by ADD (va+vb=vc) and SUB (vc+vb=va) ----------------
+        gw = q * (ind["ADD"] + ind["SUB"])
         ba = [Advice(c) for c in self.c_bytes_a]
         bb = [Advice(c) for c in self.c_bytes_b]
         bc = [Advice(c) for c in self.c_bytes_c]
         cr = [Advice(c) for c in self.c_carry]
-        # byte-wise ripple: a_i + b_i + carry_in = c_i + 256*carry_out
+        # byte-wise ripple: x_i + y_i + carry_in = z_i + 256*carry_out
         for i in range(32):
             cin = cr[i - 1] if i else 0
             cs.create_gate(
                 f"ADD byte {i}",
-                ga * (ba[i] + bb[i] + cin - bc[i] - 256 * cr[i]),
+                gw * (ba[i] + bb[i] + cin - bc[i] - 256 * cr[i]),
             )
-            cs.create_gate(f"ADD carry {i} bool", ga * cr[i] * (cr[i] - 1))
+            cs.create_gate(f"ADD carry {i} bool", gw * cr[i] * (cr[i] - 1))
         # bind byte cells to the RLC operands (challenge powers are
         # degree-0, so these stay linear in the advice)
         def rlc_expr(bytes_):
@@ -172,11 +196,20 @@ class EvmCircuit(Circuit):
                 rpow = self.r_word if rpow is None else rpow * self.r_word
             return expr
 
+        ga = q * ind["ADD"]
+        gs = q * ind["SUB"]
         cs.create_gate("ADD a rlc", ga * (rlc_expr(ba) - va))
         cs.create_gate("ADD b rlc", ga * (rlc_expr(bb) - vb))
         cs.create_gate("ADD c rlc", ga * (rlc_expr(bc) - vc))
-        # byte range checks ride one logUp argument
-        byte_inputs = [[ga * b] for b in ba + bb + bc]
+        # SUB: va - vb = vc  <=>  bytes hold (x=vc, y=vb, z=va)
+        cs.create_gate("SUB x rlc", gs * (rlc_expr(ba) - vc))
+        cs.create_gate("SUB y rlc", gs * (rlc_expr(bb) - vb))
+        cs.create_gate("SUB z rlc", gs * (rlc_expr(bc) - va))
+        # byte range checks ride one logUp argument (+ the PC bytes)
+        gpc2 = q * ind["PC"]
+        byte_inputs = [[gw * b] for b in ba + bb + bc]
+        byte_inputs.append([gpc2 * ba[0]])
+        byte_inputs.append([gpc2 * ba[1]])
         cs.lookup_logup("ADD byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -205,15 +238,26 @@ class EvmCircuit(Circuit):
                 gate * val_expr,
             ]
 
+        nd = Advice(self.c_depth_n)
         inputs = [
             # PUSH: write va at sp-1
             access(q * ind["PUSH"], 0, 1, sp - 1, va),
             # POP: read va at sp
             access(q * ind["POP"], 0, 0, sp, va),
-            # ADD: read va@sp, read vb@sp+1, write vc@sp+1
-            access(q * ind["ADD"], 0, 0, sp, va),
-            access(q * ind["ADD"], 1, 0, sp + 1, vb),
-            access(q * ind["ADD"], 2, 1, sp + 1, vc),
+            # ADD/SUB: read va@sp, read vb@sp+1, write vc@sp+1
+            access(q * (ind["ADD"] + ind["SUB"]), 0, 0, sp, va),
+            access(q * (ind["ADD"] + ind["SUB"]), 1, 0, sp + 1, vb),
+            access(q * (ind["ADD"] + ind["SUB"]), 2, 1, sp + 1, vc),
+            # DUPn: read va@(sp+n-1), write va@(sp-1)
+            access(q * ind["DUP"], 0, 0, sp + nd - 1, va),
+            access(q * ind["DUP"], 1, 1, sp - 1, va),
+            # SWAPn: read va@sp, read vb@(sp+n), write va@(sp+n), write vb@sp
+            access(q * ind["SWAP"], 0, 0, sp, va),
+            access(q * ind["SWAP"], 1, 0, sp + nd, vb),
+            access(q * ind["SWAP"], 2, 1, sp + nd, va),
+            access(q * ind["SWAP"], 3, 1, sp, vb),
+            # PC: write va at sp-1
+            access(q * ind["PC"], 0, 1, sp - 1, va),
         ]
         cs.lookup_logup("rw bus", inputs, table)
 
@@ -243,6 +287,10 @@ class EvmCircuit(Circuit):
     def _classify(self, s: ExecStep) -> str:
         if s.op is not None and s.op.is_push:
             return "PUSH"
+        if s.op is not None and s.op.is_dup:
+            return "DUP"
+        if s.op is not None and s.op.is_swap:
+            return "SWAP"
         assert s.exec_state in GADGETS, f"unsupported opcode {s.exec_state}"
         return s.exec_state
 
@@ -270,17 +318,35 @@ class EvmCircuit(Circuit):
                 for s in steps
             ]
             cols[self.c_push_len] = mont(plens)
-            # AddWords byte cells + carries (zero on non-ADD rows)
+            depth = [
+                (s.op - 0x7F) if (s.op is not None and s.op.is_dup)
+                else (s.op - 0x8F) if (s.op is not None and s.op.is_swap)
+                else 0
+                for s in steps
+            ]
+            cols[self.c_depth_n] = mont(depth)
+            # AddWords byte cells + carries (ADD: a+b=c; SUB: c+b=a; PC
+            # borrows bytes_a for the pc decomposition)
             n_steps = len(steps)
             byts = {k: [[0] * n_steps for _ in range(32)] for k in "abc"}
             carries = [[0] * n_steps for _ in range(32)]
             for si, s in enumerate(steps):
-                if self._classify(s) != "ADD":
+                kind = self._classify(s)
+                if kind == "PC":
+                    byts["a"][0][si] = s.pc & 0xFF
+                    byts["a"][1][si] = (s.pc >> 8) & 0xFF
+                    continue
+                if kind not in ("ADD", "SUB"):
                     continue
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
-                words = {
-                    "a": ops[0].value, "b": ops[1].value, "c": ops[2].value
-                }
+                if kind == "ADD":
+                    words = {
+                        "a": ops[0].value, "b": ops[1].value, "c": ops[2].value
+                    }
+                else:  # SUB: x=result, y=subtrahend, z=minuend
+                    words = {
+                        "a": ops[2].value, "b": ops[1].value, "c": ops[0].value
+                    }
                 for key, w in words.items():
                     le = w.to_bytes(32, "little")
                     for i in range(32):
@@ -320,12 +386,14 @@ class EvmCircuit(Circuit):
             kind = self._classify(s)
             def rlc(rw):
                 return word_rlc(rw.value, r_int)
-            if kind == "PUSH":
+            if kind in ("PUSH", "POP", "PC"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
-            elif kind == "POP":
-                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
-            elif kind == "ADD":
+            elif kind in ("ADD", "SUB"):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(rlc(ops[2]))
+            elif kind == "DUP":
+                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "SWAP":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             else:
                 va.append(0); vb.append(0); vc.append(0)
         out = {
