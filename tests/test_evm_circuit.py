@@ -25,7 +25,7 @@ def _witness(code: Bytecode):
     return b
 
 
-PARAMS = EvmParams(target_steps=40, rw_target=40)
+PARAMS = EvmParams(target_steps=40, rw_target=256)
 
 
 def test_evm_circuit_push_add_pop():
@@ -44,6 +44,41 @@ def test_evm_circuit_sub_dup_swap_pc():
         .op("POP").op("POP").op("POP").op("STOP")
     )
     MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_mstore_mload():
+    b = _witness(
+        Bytecode()
+        .push(2, 0xBEEF).push(1, 7).op("MSTORE")   # mem[7..38] = word
+        .push(1, 7).op("MLOAD")                    # load it back
+        .op("POP").op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_mem_byte():
+    b = _witness(
+        Bytecode().push(1, 0xAB).push(1, 0).op("MSTORE").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "MSTORE"
+                )
+                arr = np.array(cols[self.c_mem[31]])
+                arr[row] = F.from_int(0x99 * F.R % F.modulus)
+                cols[self.c_mem[31]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures
 
 
 def test_evm_circuit_sub_underflow_wraps():

@@ -44,7 +44,10 @@ from .state import word_rlc
 F = fr()
 
 # implemented execution states, in gate order
-GADGETS = ["PUSH", "POP", "ADD", "SUB", "DUP", "SWAP", "PC", "JUMPDEST", "STOP"]
+GADGETS = [
+    "PUSH", "POP", "ADD", "SUB", "DUP", "SWAP", "PC", "JUMPDEST",
+    "MLOAD", "MSTORE", "STOP",
+]
 
 
 @dataclasses.dataclass
@@ -95,6 +98,10 @@ class EvmCircuit(Circuit):
         self.c_bytes_b = [cs.advice_column() for _ in range(32)]
         self.c_bytes_c = [cs.advice_column() for _ in range(32)]
         self.c_carry = [cs.advice_column() for _ in range(32)]
+        # memory-bus cells: the word crossing memory (big-endian byte j ->
+        # address addr+j) + a 4-byte decomposition of the address word
+        self.c_mem = [cs.advice_column() for _ in range(32)]
+        self.c_addr = [cs.advice_column() for _ in range(4)]
         self.tbl_byte = cs.fixed_column()
 
         if self.standalone:
@@ -168,6 +175,10 @@ class EvmCircuit(Circuit):
         )
         # JUMPDEST: no-op; pc += 1
         transition(ind["JUMPDEST"], 1, 0, 0)
+        # MLOAD: read addr, read 32 mem bytes, write word; sp 0, rwc += 34
+        transition(ind["MLOAD"], 1, 34, 0)
+        # MSTORE: read addr, read value, write 32 mem bytes; sp += 2
+        transition(ind["MSTORE"], 1, 34, 2)
         # STOP: terminal — no transition constraints
 
         # ---- word-sum gadget (AddWords): x + y = z mod 2^256 over byte
@@ -210,6 +221,11 @@ class EvmCircuit(Circuit):
         byte_inputs = [[gw * b] for b in ba + bb + bc]
         byte_inputs.append([gpc2 * ba[0]])
         byte_inputs.append([gpc2 * ba[1]])
+        gmem2 = q * (ind["MLOAD"] + ind["MSTORE"])
+        byte_inputs += [[gmem2 * m] for m in
+                        [Advice(c) for c in self.c_mem]]
+        byte_inputs += [[gmem2 * a2] for a2 in
+                        [Advice(c) for c in self.c_addr]]
         cs.lookup_logup("ADD byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -228,11 +244,12 @@ class EvmCircuit(Circuit):
         cid = Advice(self.c_call_id)
         stack = int(RwTag.Stack)
 
-        def access(gate, d_rwc, is_write, addr_expr, val_expr):
+        def access(gate, d_rwc, is_write, addr_expr, val_expr,
+                   tag: int = stack):
             return [
                 gate * (rwc + d_rwc),
                 gate * is_write,
-                gate * stack,
+                gate * tag,
                 gate * cid,
                 gate * addr_expr,
                 gate * val_expr,
@@ -259,6 +276,45 @@ class EvmCircuit(Circuit):
             # PC: write va at sp-1
             access(q * ind["PC"], 0, 1, sp - 1, va),
         ]
+
+        # ---- memory word gadgets ------------------------------------------
+        mem = [Advice(c) for c in self.c_mem]  # big-endian: mem[j] @ addr+j
+        ab = [Advice(c) for c in self.c_addr]  # le bytes of the address
+        addr_expr = ab[0] + 256 * ab[1] + 65536 * ab[2] + 16777216 * ab[3]
+        gml = q * ind["MLOAD"]
+        gms = q * ind["MSTORE"]
+        gmem = q * (ind["MLOAD"] + ind["MSTORE"])
+        # address word RLC binding (addr < 2^32: higher RLC bytes vanish)
+        addr_rlc = ab[0] + self.r_word * ab[1] \
+            + self.r_word * self.r_word * ab[2] \
+            + self.r_word * self.r_word * self.r_word * ab[3]
+        cs.create_gate("MEM addr rlc", gmem * (addr_rlc - va))
+        # word RLC binding: le byte i of the word is mem[31-i]
+        def word_rlc_from_mem():
+            expr = None
+            rpow = None
+            for i in range(32):
+                b = mem[31 - i]
+                term = b if i == 0 else b * rpow
+                expr = term if expr is None else expr + term
+                rpow = self.r_word if rpow is None else rpow * self.r_word
+            return expr
+
+        cs.create_gate("MEM word rlc", gmem * (word_rlc_from_mem() - vb))
+        # stack accesses
+        inputs.append(access(gml, 0, 0, sp, va))           # MLOAD addr pop
+        inputs.append(access(gml, 33, 1, sp, vb))          # MLOAD result
+        inputs.append(access(gms, 0, 0, sp, va))           # MSTORE addr pop
+        inputs.append(access(gms, 1, 0, sp + 1, vb))       # MSTORE value pop
+        # per-byte memory bus accesses
+        memtag = int(RwTag.Memory)
+        for j in range(32):
+            inputs.append(
+                access(gml, 1 + j, 0, addr_expr + j, mem[j], tag=memtag)
+            )
+            inputs.append(
+                access(gms, 2 + j, 1, addr_expr + j, mem[j], tag=memtag)
+            )
         cs.lookup_logup("rw bus", inputs, table)
 
     # ------------------------------------------------------------------
@@ -330,11 +386,24 @@ class EvmCircuit(Circuit):
             n_steps = len(steps)
             byts = {k: [[0] * n_steps for _ in range(32)] for k in "abc"}
             carries = [[0] * n_steps for _ in range(32)]
+            membytes = [[0] * n_steps for _ in range(32)]
+            addrbytes = [[0] * n_steps for _ in range(4)]
             for si, s in enumerate(steps):
                 kind = self._classify(s)
                 if kind == "PC":
                     byts["a"][0][si] = s.pc & 0xFF
                     byts["a"][1][si] = (s.pc >> 8) & 0xFF
+                    continue
+                if kind in ("MLOAD", "MSTORE"):
+                    ops = [self.rw_by_counter[i] for i in s.rw_indices]
+                    addr = ops[0].value
+                    for i in range(4):
+                        addrbytes[i][si] = (addr >> (8 * i)) & 0xFF
+                    mem_ops = (
+                        ops[1:33] if kind == "MLOAD" else ops[2:34]
+                    )
+                    for j, op_ in enumerate(mem_ops):
+                        membytes[j][si] = op_.value
                     continue
                 if kind not in ("ADD", "SUB"):
                     continue
@@ -364,12 +433,20 @@ class EvmCircuit(Circuit):
                     cols[ci] = mont(byts[key][i])
             for i, ci in enumerate(self.c_carry):
                 cols[ci] = mont(carries[i])
+            for i, ci in enumerate(self.c_mem):
+                cols[ci] = mont(membytes[i])
+            for i, ci in enumerate(self.c_addr):
+                cols[ci] = mont(addrbytes[i])
             if self.standalone:
                 # rw table (phase-0 part)
                 rws = sorted(
                     self.rw_by_counter.values(), key=lambda r: r.rw_counter
                 )
-                rws = [r for r in rws if r.tag == RwTag.Stack]
+                rws = [r for r in rws if r.tag in (RwTag.Stack, RwTag.Memory)]
+                assert len(rws) <= self._rw_target(n), (
+                    f"rw table overflow: {len(rws)} rows > rw_target "
+                    f"{self._rw_target(n)} — raise EvmParams.rw_target"
+                )
                 cols[self.t_rwc] = mont([r.rw_counter for r in rws])
                 cols[self.t_is_write] = mont([int(r.is_write) for r in rws])
                 cols[self.t_tag] = mont([int(r.tag) for r in rws])
@@ -388,6 +465,11 @@ class EvmCircuit(Circuit):
                 return word_rlc(rw.value, r_int)
             if kind in ("PUSH", "POP", "PC"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "MLOAD":
+                # va = addr, vb = loaded word (the final stack write)
+                va.append(rlc(ops[0])); vb.append(rlc(ops[33])); vc.append(0)
+            elif kind == "MSTORE":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             elif kind in ("ADD", "SUB"):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(rlc(ops[2]))
             elif kind == "DUP":
