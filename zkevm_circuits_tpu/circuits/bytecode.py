@@ -44,10 +44,17 @@ class BytecodeCircuit(Circuit):
         self.bytecodes = bytecodes
         self.params = params or BytecodeParams()
 
-    def configure(self, cs: ConstraintSystem):
+    def configure(self, cs: ConstraintSystem, challenge=None,
+                  keccak_table=None):
+        """`keccak_table`: optional (is_enabled, input_rlc, output_rlc)
+        expressions from KeccakCircuit.keccak_table_exprs() — when given,
+        each bytecode's (value_rlc, code_hash) pair is looked up there,
+        binding code hashes in-circuit (reference bytecode_circuit
+        code-hash keccak lookup)."""
         self.q_en = cs.fixed_column()
         self.tbl_byte = cs.fixed_column()
         self.tbl_push = cs.fixed_column()
+        self.has_hash_binding = keccak_table is not None
 
         self.c_is_byte = cs.advice_column()
         self.c_index = cs.advice_column()
@@ -58,7 +65,10 @@ class BytecodeCircuit(Circuit):
         self.c_inv_pdl = cs.advice_column()  # inverse witness of prev pdl
         self.c_push_size = cs.advice_column()
         self.c_rlc = cs.advice_column(phase=1)
-        self.r = cs.challenge(phase=0)
+        if self.has_hash_binding:
+            self.c_hash = cs.advice_column(phase=1)
+            self.c_is_pad = cs.advice_column()
+        self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
         q = Fixed(self.q_en)
         ib, ib_p, ib_n = (
@@ -75,10 +85,21 @@ class BytecodeCircuit(Circuit):
         psz = Advice(self.c_push_size)
         rlc, rlc_p = Advice(self.c_rlc), Advice(self.c_rlc, -1)
 
+        if self.has_hash_binding:
+            ipad = Advice(self.c_is_pad)
+            ipad_p = Advice(self.c_is_pad, -1)
+            ipad_n = Advice(self.c_is_pad, 1)
+            not_pad = 1 - ipad
+        else:
+            ipad = ipad_p = ipad_n = None
+            not_pad = 1
+
         cs.create_gate("is_byte bool", q * ib * (ib - 1))
         cs.create_gate("is_code bool", q * ic * (ic - 1))
-        cs.create_gate("header index 0", q * (1 - ib) * idx)
-        cs.create_gate("header value is length", q * (1 - ib) * (val - ln))
+        cs.create_gate("header index 0", q * (1 - ib) * not_pad * idx)
+        cs.create_gate(
+            "header value is length", q * (1 - ib) * not_pad * (val - ln)
+        )
         cs.create_gate("first byte index 0", q * ib * (1 - ib_p) * idx)
         cs.create_gate(
             "index increments", q * ib * ib_p * (idx - idx_p - 1)
@@ -110,11 +131,41 @@ class BytecodeCircuit(Circuit):
             [[ib * val, ib * psz]],
             [Fixed(self.tbl_byte), Fixed(self.tbl_push)],
         )
+        if self.has_hash_binding:
+            # pad10*1 rows after the code bytes: the KeccakTable's
+            # input_rlc covers the PADDED message (padding is injective,
+            # so binding the padded stream binds the code).  One gate
+            # pins the whole pad pattern: first pad byte contributes
+            # 0x01, last contributes 0x80 (both on a single-row pad).
+            cs.create_gate("is_pad bool", q * ipad * (ipad - 1))
+            cs.create_gate("pad not byte", q * ipad * ib)
+            cs.create_gate(
+                "pad pattern",
+                q * ipad * (val - (1 - ipad_p) - 128 * (1 - ipad_n)),
+            )
+            cs.create_gate(
+                "pad rlc step", q * ipad * (rlc - rlc_p * self.r - val)
+            )
+            # last pad row: (1, padded-code RLC, hash RLC) must be an
+            # enabled KeccakTable row
+            g_last = q * ipad * (1 - ipad_n)
+            cs.lookup_logup(
+                "code hash keccak",
+                [[g_last, g_last * rlc, g_last * Advice(self.c_hash)]],
+                keccak_table,
+            )
 
     # ------------------------------------------------------------------
+    def _pad_len(self, code_len: int) -> int:
+        return 136 - (code_len % 136)
+
     def _target(self, n: int) -> int:
         t = self.params.target_rows or usable_rows(n)
-        need = sum(1 + len(bc) for bc in self.bytecodes)
+        extra = (
+            sum(self._pad_len(len(bc)) for bc in self.bytecodes)
+            if getattr(self, "has_hash_binding", False) else 0
+        )
+        need = sum(1 + len(bc) for bc in self.bytecodes) + extra
         assert need <= t <= usable_rows(n), (need, t)
         return t
 
@@ -132,12 +183,14 @@ class BytecodeCircuit(Circuit):
         }
 
     def _rows(self, n: int):
-        """(is_byte, index, length, value, is_code, pdl, inv_pdl, push_size)"""
+        """(is_byte, index, length, value, is_code, pdl, inv_pdl,
+        push_size, is_pad)"""
+        binding = getattr(self, "has_hash_binding", False)
         rows = []
         for bc in self.bytecodes:
             code = bc.to_bytes()
             marks = bc.is_code_marks()
-            rows.append((0, 0, len(code), len(code), 0, 0, 0, 0))
+            rows.append((0, 0, len(code), len(code), 0, 0, 0, 0, 0))
             pdl = 0
             for i, b in enumerate(code):
                 is_code = int(marks[i])
@@ -145,10 +198,15 @@ class BytecodeCircuit(Circuit):
                 psz = push_size_of(b)
                 pdl = psz if is_code else prev_pdl - 1
                 inv = pow(prev_pdl, -1, R) if (i > 0 and prev_pdl) else 0
-                rows.append((1, i, len(code), b, is_code, pdl, inv, psz))
+                rows.append((1, i, len(code), b, is_code, pdl, inv, psz, 0))
+            if binding:
+                np_ = self._pad_len(len(code))
+                for j in range(np_):
+                    v = (1 if j == 0 else 0) + (128 if j == np_ - 1 else 0)
+                    rows.append((0, 0, 0, v, 0, 0, 0, 0, 1))
         t = self._target(n)
         while len(rows) < t:
-            rows.append((0, 0, 0, 0, 0, 0, 0, 0))
+            rows.append((0, 0, 0, 0, 0, 0, 0, 0, 0))
         return rows
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
@@ -164,15 +222,31 @@ class BytecodeCircuit(Circuit):
                 (self.c_inv_pdl, 6), (self.c_push_size, 7),
             ):
                 cols[ci] = mont([r[j] for r in rows])
+            if self.has_hash_binding:
+                cols[self.c_is_pad] = mont([r[8] for r in rows])
             return cols
         r_chal = challenges[self.r.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
         rlcs, acc = [], 0
         for row in rows:
-            if row[0] == 0:
-                acc = 0
-                rlcs.append(0)
-            else:
+            if row[0] == 1 or row[8] == 1:  # byte or pad row: accumulate
                 acc = (acc * r_int + row[3]) % R
                 rlcs.append(acc)
-        return {self.c_rlc: mont(rlcs)}
+            else:
+                acc = 0
+                rlcs.append(0)
+        out = {self.c_rlc: mont(rlcs)}
+        if self.has_hash_binding:
+            from ..crypto.keccak import keccak256
+
+            hashes = []
+            for bc in self.bytecodes:
+                digest = keccak256(bc.to_bytes())
+                hr = sum(
+                    b * pow(r_int, i, R) for i, b in enumerate(digest)
+                ) % R
+                nrows = 1 + len(bc) + self._pad_len(len(bc))
+                hashes += [hr] * nrows
+            hashes += [0] * (len(rows) - len(hashes))
+            out[self.c_hash] = mont(hashes)
+        return out

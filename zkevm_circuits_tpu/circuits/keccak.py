@@ -404,7 +404,13 @@ class KeccakCircuit(KeccakFCircuit):
         msb-first byte fold acc = acc*r + byte, matching bytecode's
         value_rlc)."""
         q = Fixed(self.q_final)
-        return [q, q * Advice(self.c_in_rlc), q * Advice(self.c_out_rlc)]
+        # the running input-RLC lives on absorb row 0 of the same (last)
+        # permutation — a static -24*64 rotation from the final-output row
+        return [
+            q,
+            q * Advice(self.c_in_rlc, -24 * 64),
+            q * Advice(self.c_out_rlc),
+        ]
 
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
