@@ -59,6 +59,40 @@ class CopyEvent:
 
 
 @dataclasses.dataclass
+class ExpEvent:
+    """One EXP opcode's exponentiation-by-squaring trace (reference
+    bus-mapping `ExpEvent`, circuit_input_builder/execution.rs:871;
+    steps generated as in bus-mapping/src/evm/opcodes/exp.rs:12-34)."""
+
+    identifier: int  # rw_counter at the EXP step (unique per event)
+    base: int
+    exponent: int
+    exponentiation: int  # base**exponent mod 2^256
+    steps: list[tuple[int, int, int]]  # (a, b, d): d = a*b mod 2^256
+
+
+M256 = 1 << 256
+
+
+def exp_by_squaring(base: int, exponent: int, steps: list) -> int:
+    """Recursive square-and-multiply; appends (a, b, d) mul steps in
+    computation order (the circuit consumes them reversed)."""
+    if exponent == 0:
+        return 1
+    if exponent == 1:
+        return base
+    q, odd = divmod(exponent, 2)
+    exp1 = exp_by_squaring(base, q, steps)
+    exp2 = exp1 * exp1 % M256
+    steps.append((exp1, exp1, exp2))
+    if not odd:
+        return exp2
+    out = exp2 * base % M256
+    steps.append((exp2, base, out))
+    return out
+
+
+@dataclasses.dataclass
 class TxContext:
     tx_id: int
     call_id: int
@@ -76,6 +110,7 @@ class CircuitInputBuilder:
         self.steps: list[ExecStep] = []
         self.txs: list[TxContext] = []
         self.copy_events: list[CopyEvent] = []
+        self.exp_events: list[ExpEvent] = []
         self._next_call_id = 1
 
     # ------------------------------------------------------------------
@@ -220,6 +255,23 @@ class CircuitInputBuilder:
             for j, byte in enumerate(chunk):
                 rws.append(self.rws.memory_write(call_id, dst + j, byte))
             self.copy_events.append(ev)
+        elif op == OpcodeId.EXP:
+            base, exponent = stack_val(0), stack_val(1)
+            rws.append(self.rws.stack_read(call_id, sp, base))
+            rws.append(self.rws.stack_read(call_id, sp + 1, exponent))
+            result = pow(base, exponent, M256)
+            rws.append(self.rws.stack_write(call_id, sp + 1, result))
+            steps: list[tuple[int, int, int]] = []
+            calc = exp_by_squaring(base, exponent, steps)
+            assert calc == result
+            if steps:  # exponent >= 2: provable by the Exp circuit; the
+                # EVM gadget handles exponent 0/1 arithmetically instead
+                self.exp_events.append(
+                    ExpEvent(
+                        identifier=es.rw_counter_start, base=base,
+                        exponent=exponent, exponentiation=result, steps=steps,
+                    )
+                )
         elif op.is_call or op.is_create:
             raise NotImplementedError("nested calls land with the call opcodes")
         else:
