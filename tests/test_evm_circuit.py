@@ -139,6 +139,85 @@ def test_evm_circuit_catches_wrong_sum():
     assert any("ADD byte" in f or "ADD carry" in f for f in failures), failures
 
 
+def test_evm_circuit_mul_div_mod():
+    big = (1 << 255) + 12345
+    b = _witness(
+        Bytecode()
+        .push(32, big).push(32, big).op("MUL").op("POP")  # 256-bit wrap
+        .push(1, 7).push(1, 100).op("DIV").op("POP")      # 100 // 7
+        .push(1, 0).push(1, 5).op("DIV").op("POP")        # x / 0 == 0
+        .push(1, 7).push(1, 100).op("MOD").op("POP")      # 100 % 7
+        .push(1, 0).push(1, 9).op("MOD").op("POP")        # x % 0 == 0
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_comparators():
+    b = _witness(
+        Bytecode()
+        .push(1, 5).push(2, 0x100).op("LT").op("POP")     # 0x100 < 5 = 0
+        .push(2, 0x100).push(1, 5).op("LT").op("POP")     # 5 < 0x100 = 1
+        .push(1, 9).push(1, 9).op("GT").op("POP")         # 9 > 9 = 0
+        .push(1, 3).push(1, 8).op("GT").op("POP")         # 8 > 3 = 1
+        .push(1, 7).push(1, 7).op("EQ").op("POP")
+        .push(1, 7).push(1, 8).op("EQ").op("POP")
+        .push(1, 0).op("ISZERO").op("POP")
+        .push(1, 42).op("ISZERO").op("POP")
+        .push(32, (1 << 256) - 1 - 0xFF00).op("NOT").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_quotient():
+    b = _witness(
+        Bytecode().push(1, 7).push(1, 100).op("DIV").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "DIV"
+                )
+                arr = np.array(cols[self.c_bytes_c[0]])
+                arr[row] = F.from_int(15 * F.R % F.modulus)  # 100//7 is 14
+                cols[self.c_bytes_c[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert any("DIV" in f for f in failures), failures
+
+
+def test_evm_circuit_catches_bad_iszero_inverse():
+    b = _witness(Bytecode().push(1, 42).op("ISZERO").op("POP").op("STOP"))
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 1:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "ISZERO"
+                )
+                arr = np.array(cols[self.c_inv])
+                arr[row] = F.from_int(1 * F.R % F.modulus)  # wrong inverse
+                cols[self.c_inv] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert any("ISZERO" in f for f in failures), failures
+
+
 def test_evm_circuit_catches_bad_pc():
     b = _witness(Bytecode().push(1, 5).op("POP").op("STOP"))
 

@@ -20,10 +20,12 @@ CellManager):
     mode loads the RwTable; the SuperCircuit ties it to the State circuit
     by sharing the actual columns).
 
-Round-1 gadget coverage: PUSHn, POP, ADD, MUL (via committed result +
-range-free check through stack writes), DUPn, SWAP-free, SSTORE/SLOAD and
-memory ops land with the Copy circuit.  Stack values are byte-RLC words
-under the phase-0 challenge (values here are < 2^128 in tests).
+Gadget coverage: PUSHn, POP, ADD, SUB (AddWords ripple-carry), MUL, DIV,
+MOD (MulAddWords 512-bit limb products + carry banks, zero-divisor
+semantics), LT, GT (LtWord borrow split), EQ, ISZERO (inverse witness),
+NOT (bytewise complement), DUPn, SWAPn, PC, JUMPDEST, MLOAD, MSTORE
+(per-byte memory bus), STOP.  Stack values are byte-RLC words under the
+phase-0 challenge.
 """
 
 from __future__ import annotations
@@ -45,7 +47,8 @@ F = fr()
 
 # implemented execution states, in gate order
 GADGETS = [
-    "PUSH", "POP", "ADD", "SUB", "DUP", "SWAP", "PC", "JUMPDEST",
+    "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
+    "ISZERO", "NOT", "DUP", "SWAP", "PC", "JUMPDEST",
     "MLOAD", "MSTORE", "STOP",
 ]
 
@@ -92,12 +95,16 @@ class EvmCircuit(Circuit):
         self.c_val_a = cs.advice_column(phase=1)  # operand / result RLCs
         self.c_val_b = cs.advice_column(phase=1)
         self.c_val_c = cs.advice_column(phase=1)
-        # AddWords gadget cells (reference math_gadget/add_words.rs): byte
-        # decompositions of the three words + carry chain
+        # word gadget cells (reference math_gadget/{add_words,mul_add_words,
+        # lt_word}.rs): byte decompositions of up to four words + a carry
+        # bank whose meaning is per-gadget (ADD/SUB: 32 ripple carry bits;
+        # MUL/DIV/MOD: 9+9 carry bytes + borrow bit; LT/GT: borrow bit)
         self.c_bytes_a = [cs.advice_column() for _ in range(32)]
         self.c_bytes_b = [cs.advice_column() for _ in range(32)]
         self.c_bytes_c = [cs.advice_column() for _ in range(32)]
+        self.c_bytes_d = [cs.advice_column() for _ in range(32)]
         self.c_carry = [cs.advice_column() for _ in range(32)]
+        self.c_inv = cs.advice_column(phase=1)  # IsZero inverse witness
         # memory-bus cells: the word crossing memory (big-endian byte j ->
         # address addr+j) + a 4-byte decomposition of the address word
         self.c_mem = [cs.advice_column() for _ in range(32)]
@@ -151,9 +158,12 @@ class EvmCircuit(Circuit):
         cs.create_gate("PUSH sp", gate_push * (sp_n - sp + 1))
         # POP: reads one value; sp += 1, rwc += 1, pc += 1
         transition(ind["POP"], 1, 1, 1)
-        # ADD/SUB: read two, write one; sp += 1, rwc += 3, pc += 1
-        transition(ind["ADD"], 1, 3, 1)
-        transition(ind["SUB"], 1, 3, 1)
+        # binary word ops: read two, write one; sp += 1, rwc += 3, pc += 1
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ"):
+            transition(ind[g], 1, 3, 1)
+        # unary word ops: read one, write one; sp 0, rwc += 2, pc += 1
+        transition(ind["ISZERO"], 1, 2, 0)
+        transition(ind["NOT"], 1, 2, 0)
         # DUPn: 1 read + 1 write; sp -= 1, rwc += 2, pc += 1
         transition(ind["DUP"], 1, 2, -1)
         # SWAPn: 2 reads + 2 writes; sp unchanged, rwc += 4, pc += 1
@@ -216,17 +226,156 @@ class EvmCircuit(Circuit):
         cs.create_gate("SUB x rlc", gs * (rlc_expr(ba) - vc))
         cs.create_gate("SUB y rlc", gs * (rlc_expr(bb) - vb))
         cs.create_gate("SUB z rlc", gs * (rlc_expr(bc) - va))
-        # byte range checks ride one logUp argument (+ the PC bytes)
-        gpc2 = q * ind["PC"]
-        byte_inputs = [[gw * b] for b in ba + bb + bc]
-        byte_inputs.append([gpc2 * ba[0]])
-        byte_inputs.append([gpc2 * ba[1]])
-        gmem2 = q * (ind["MLOAD"] + ind["MSTORE"])
-        byte_inputs += [[gmem2 * m] for m in
-                        [Advice(c) for c in self.c_mem]]
-        byte_inputs += [[gmem2 * a2] for a2 in
-                        [Advice(c) for c in self.c_addr]]
-        cs.lookup_logup("ADD byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
+
+        # ---- MulAddWords gadget (reference math_gadget/mul_add_words.rs):
+        # x * y + z = w over 64-bit limbs of the byte cells, with 9-byte
+        # carry banks in c_carry[0..8] (lo) and c_carry[9..17] (hi) --------
+        bd = [Advice(c) for c in self.c_bytes_d]
+        L64, L128 = 1 << 64, 1 << 128
+
+        def limb64(bytes_, k):
+            expr = None
+            for i in range(8):
+                term = bytes_[8 * k + i] * (1 << (8 * i))
+                expr = term if expr is None else expr + term
+            return expr
+
+        def half128(bytes_, lo: bool):
+            base = 0 if lo else 16
+            expr = None
+            for i in range(16):
+                term = bytes_[base + i] * (1 << (8 * i))
+                expr = term if expr is None else expr + term
+            return expr
+
+        def carry_bank(lo: bool):
+            base = 0 if lo else 9
+            expr = None
+            for i in range(9):
+                term = cr[base + i] * (1 << (8 * i))
+                expr = term if expr is None else expr + term
+            return expr
+
+        def mul_t(x_bytes, y_bytes):
+            lx = [limb64(x_bytes, k) for k in range(4)]
+            ly = [limb64(y_bytes, k) for k in range(4)]
+            t = []
+            for k in range(7):
+                expr = None
+                for i in range(4):
+                    j = k - i
+                    if 0 <= j < 4:
+                        term = lx[i] * ly[j]
+                        expr = term if expr is None else expr + term
+                t.append(expr)
+            return t
+
+        cl, ch = carry_bank(True), carry_bank(False)
+        # MUL: a * b = c (mod 2^256); overflow limbs discarded
+        gm = q * ind["MUL"]
+        tm = mul_t(ba, bb)
+        cs.create_gate(
+            "MUL lo", gm * (tm[0] + tm[1] * L64 - half128(bc, True) - cl * L128)
+        )
+        cs.create_gate(
+            "MUL hi",
+            gm * (tm[2] + tm[3] * L64 + cl - half128(bc, False) - ch * L128),
+        )
+        cs.create_gate("MUL a rlc", gm * (rlc_expr(ba) - va))
+        cs.create_gate("MUL b rlc", gm * (rlc_expr(bb) - vb))
+        cs.create_gate("MUL c rlc", gm * (rlc_expr(bc) - vc))
+
+        # DIV/MOD: dividend a (bytes_a), divisor b (bytes_b), quotient q
+        # (bytes_c), remainder r (bytes_d): q*b + r = a with NO 2^256
+        # overflow, r < b when b != 0; pushed value is q (DIV) / r (MOD),
+        # forced to 0 when the divisor is zero (EVM semantics).
+        inv = Advice(self.c_inv)
+        gdm = q * (ind["DIV"] + ind["MOD"])
+        td = mul_t(bc, bb)
+        cs.create_gate(
+            "DIVMOD lo",
+            gdm * (td[0] + td[1] * L64 + half128(bd, True)
+                   - half128(ba, True) - cl * L128),
+        )
+        cs.create_gate(
+            "DIVMOD hi",
+            gdm * (td[2] + td[3] * L64 + half128(bd, False) + cl
+                   - half128(ba, False) - ch * L128),
+        )
+        # q*b + r == a exactly: everything above bit 255 vanishes
+        cs.create_gate("DIVMOD no overflow", gdm * (ch + td[4] + td[5] + td[6]))
+        cs.create_gate("DIVMOD a rlc", gdm * (rlc_expr(ba) - va))
+        cs.create_gate("DIVMOD b rlc", gdm * (rlc_expr(bb) - vb))
+        # divisor-is-zero flag: bz = 1 - vb*inv with vb*bz = 0
+        nz = vb * inv  # 1 iff divisor != 0 (given the gate below)
+        cs.create_gate("DIVMOD divisor iszero", gdm * vb * (1 - nz))
+        cs.create_gate(
+            "DIV result", q * ind["DIV"] * (vc - nz * rlc_expr(bc))
+        )
+        cs.create_gate(
+            "MOD result", q * ind["MOD"] * (vc - nz * rlc_expr(bd))
+        )
+        # r < b when b != 0: diff = r - b + 2^256 held in c_mem bytes
+        mem_b = [Advice(c) for c in self.c_mem]
+        bor2 = cr[18]
+        cs.create_gate("DIVMOD borrow bool", gdm * bor2 * (bor2 - 1))
+        cs.create_gate(
+            "DIVMOD r<b lo",
+            gdm * nz * (half128(bd, True) - half128(bb, True)
+                        + bor2 * L128 - half128(mem_b, True)),
+        )
+        cs.create_gate(
+            "DIVMOD r<b hi",
+            gdm * nz * (half128(bd, False) - half128(bb, False) - bor2
+                        + L128 - half128(mem_b, False)),
+        )
+
+        # LT/GT (reference math_gadget/lt_word.rs): result = x < y with
+        # diff = x - y + result*2^256 in bytes_c; GT swaps the operands.
+        glt, ggt = q * ind["LT"], q * ind["GT"]
+        gcmp = q * (ind["LT"] + ind["GT"])
+        bor1 = cr[0]
+        cs.create_gate("CMP result bool", gcmp * vc * (vc - 1))
+        cs.create_gate("CMP borrow bool", gcmp * bor1 * (bor1 - 1))
+        cs.create_gate(
+            "CMP diff lo",
+            gcmp * (half128(ba, True) - half128(bb, True) + bor1 * L128
+                    - half128(bc, True)),
+        )
+        cs.create_gate(
+            "CMP diff hi",
+            gcmp * (half128(ba, False) - half128(bb, False) - bor1
+                    + vc * L128 - half128(bc, False)),
+        )
+        cs.create_gate("LT x rlc", glt * (rlc_expr(ba) - va))
+        cs.create_gate("LT y rlc", glt * (rlc_expr(bb) - vb))
+        cs.create_gate("GT x rlc", ggt * (rlc_expr(ba) - vb))
+        cs.create_gate("GT y rlc", ggt * (rlc_expr(bb) - va))
+
+        # EQ / ISZERO: result from an IsZero inverse witness (reference
+        # math_gadget/is_zero.rs); operands compared as word RLCs
+        geq = q * ind["EQ"]
+        cs.create_gate("EQ result", geq * (vc - 1 + (va - vb) * inv))
+        cs.create_gate("EQ kill", geq * (va - vb) * vc)
+        giz = q * ind["ISZERO"]
+        cs.create_gate("ISZERO result", giz * (vc - 1 + va * inv))
+        cs.create_gate("ISZERO kill", giz * va * vc)
+
+        # NOT: bytewise complement
+        gnot = q * ind["NOT"]
+        for i in range(32):
+            cs.create_gate(f"NOT byte {i}", gnot * (ba[i] + bc[i] - 255))
+        cs.create_gate("NOT a rlc", gnot * (rlc_expr(ba) - va))
+        cs.create_gate("NOT c rlc", gnot * (rlc_expr(bc) - vc))
+
+        # byte range checks: every word-gadget byte cell rides one logUp
+        # argument, gated by q alone (padding/unused cells are 0 = valid)
+        all_byte_cols = (
+            self.c_bytes_a + self.c_bytes_b + self.c_bytes_c
+            + self.c_bytes_d + self.c_carry + self.c_mem + self.c_addr
+        )
+        byte_inputs = [[q * Advice(c)] for c in all_byte_cols]
+        cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
         if self.standalone:
@@ -243,6 +392,11 @@ class EvmCircuit(Circuit):
             table = rw_table
         cid = Advice(self.c_call_id)
         stack = int(RwTag.Stack)
+        gbin = None
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ"):
+            gbin = ind[g] if gbin is None else gbin + ind[g]
+        gbin = q * gbin
+        gun = q * (ind["ISZERO"] + ind["NOT"])
 
         def access(gate, d_rwc, is_write, addr_expr, val_expr,
                    tag: int = stack):
@@ -261,10 +415,13 @@ class EvmCircuit(Circuit):
             access(q * ind["PUSH"], 0, 1, sp - 1, va),
             # POP: read va at sp
             access(q * ind["POP"], 0, 0, sp, va),
-            # ADD/SUB: read va@sp, read vb@sp+1, write vc@sp+1
-            access(q * (ind["ADD"] + ind["SUB"]), 0, 0, sp, va),
-            access(q * (ind["ADD"] + ind["SUB"]), 1, 0, sp + 1, vb),
-            access(q * (ind["ADD"] + ind["SUB"]), 2, 1, sp + 1, vc),
+            # binary ops: read va@sp, read vb@sp+1, write vc@sp+1
+            access(gbin, 0, 0, sp, va),
+            access(gbin, 1, 0, sp + 1, vb),
+            access(gbin, 2, 1, sp + 1, vc),
+            # unary ops: read va@sp, write vc@sp
+            access(gun, 0, 0, sp, va),
+            access(gun, 1, 1, sp, vc),
             # DUPn: read va@(sp+n-1), write va@(sp-1)
             access(q * ind["DUP"], 0, 0, sp + nd - 1, va),
             access(q * ind["DUP"], 1, 1, sp - 1, va),
@@ -384,18 +541,47 @@ class EvmCircuit(Circuit):
             # AddWords byte cells + carries (ADD: a+b=c; SUB: c+b=a; PC
             # borrows bytes_a for the pc decomposition)
             n_steps = len(steps)
-            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abc"}
+            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abcd"}
             carries = [[0] * n_steps for _ in range(32)]
             membytes = [[0] * n_steps for _ in range(32)]
             addrbytes = [[0] * n_steps for _ in range(4)]
+            M128, M256 = (1 << 128) - 1, 1 << 256
+
+            def set_word(key, si, w):
+                le = w.to_bytes(32, "little")
+                for i in range(32):
+                    byts[key][i][si] = le[i]
+
+            def mul_carries(x, y, z, w):
+                """carry bytes for x*y + z = w (mod 2^256)."""
+                lx = [(x >> (64 * k)) & ((1 << 64) - 1) for k in range(4)]
+                ly = [(y >> (64 * k)) & ((1 << 64) - 1) for k in range(4)]
+                t = [
+                    sum(lx[i] * ly[k - i] for i in range(4) if 0 <= k - i < 4)
+                    for k in range(4)
+                ]
+                cl = (t[0] + (t[1] << 64) + (z & M128) - (w & M128)) >> 128
+                ch = (t[2] + (t[3] << 64) + (z >> 128) + cl
+                      - ((w >> 128) & M128)) >> 128
+                assert 0 <= cl < (1 << 72) and 0 <= ch < (1 << 72)
+                return cl, ch
+
+            def set_carry_bytes(si, cl, ch, bor=None):
+                clb = cl.to_bytes(9, "little")
+                chb = ch.to_bytes(9, "little")
+                for i in range(9):
+                    carries[i][si] = clb[i]
+                    carries[9 + i][si] = chb[i]
+                if bor is not None:
+                    carries[18][si] = bor
+
             for si, s in enumerate(steps):
                 kind = self._classify(s)
+                ops = [self.rw_by_counter[i] for i in s.rw_indices]
                 if kind == "PC":
                     byts["a"][0][si] = s.pc & 0xFF
                     byts["a"][1][si] = (s.pc >> 8) & 0xFF
-                    continue
-                if kind in ("MLOAD", "MSTORE"):
-                    ops = [self.rw_by_counter[i] for i in s.rw_indices]
+                elif kind in ("MLOAD", "MSTORE"):
                     addr = ops[0].value
                     for i in range(4):
                         addrbytes[i][si] = (addr >> (8 * i)) & 0xFF
@@ -404,30 +590,56 @@ class EvmCircuit(Circuit):
                     )
                     for j, op_ in enumerate(mem_ops):
                         membytes[j][si] = op_.value
-                    continue
-                if kind not in ("ADD", "SUB"):
-                    continue
-                ops = [self.rw_by_counter[i] for i in s.rw_indices]
-                if kind == "ADD":
-                    words = {
-                        "a": ops[0].value, "b": ops[1].value, "c": ops[2].value
-                    }
-                else:  # SUB: x=result, y=subtrahend, z=minuend
-                    words = {
-                        "a": ops[2].value, "b": ops[1].value, "c": ops[0].value
-                    }
-                for key, w in words.items():
-                    le = w.to_bytes(32, "little")
+                elif kind in ("ADD", "SUB"):
+                    if kind == "ADD":
+                        words = dict(
+                            a=ops[0].value, b=ops[1].value, c=ops[2].value
+                        )
+                    else:  # SUB: x=result, y=subtrahend, z=minuend
+                        words = dict(
+                            a=ops[2].value, b=ops[1].value, c=ops[0].value
+                        )
+                    for key, w in words.items():
+                        set_word(key, si, w)
+                    carry = 0
                     for i in range(32):
-                        byts[key][i][si] = le[i]
-                carry = 0
-                for i in range(32):
-                    tot = byts["a"][i][si] + byts["b"][i][si] + carry
-                    carry = tot >> 8
-                    carries[i][si] = carry
+                        tot = byts["a"][i][si] + byts["b"][i][si] + carry
+                        carry = tot >> 8
+                        carries[i][si] = carry
+                elif kind == "MUL":
+                    x, y, w = ops[0].value, ops[1].value, ops[2].value
+                    set_word("a", si, x)
+                    set_word("b", si, y)
+                    set_word("c", si, w)
+                    set_carry_bytes(si, *mul_carries(x, y, 0, w))
+                elif kind in ("DIV", "MOD"):
+                    a_, b_ = ops[0].value, ops[1].value
+                    qv = a_ // b_ if b_ else 0
+                    r_ = a_ - qv * b_ if b_ else a_
+                    set_word("a", si, a_)
+                    set_word("b", si, b_)
+                    set_word("c", si, qv)
+                    set_word("d", si, r_)
+                    bor = int((r_ & M128) < (b_ & M128))
+                    set_carry_bytes(si, *mul_carries(qv, b_, r_, a_), bor=bor)
+                    diff = (r_ - b_ + M256) % M256 if b_ else 0
+                    db = diff.to_bytes(32, "little")
+                    for j in range(32):
+                        membytes[j][si] = db[j]
+                elif kind in ("LT", "GT"):
+                    x = ops[0].value if kind == "LT" else ops[1].value
+                    y = ops[1].value if kind == "LT" else ops[0].value
+                    res = ops[2].value
+                    set_word("a", si, x)
+                    set_word("b", si, y)
+                    set_word("c", si, x - y + res * M256)
+                    carries[0][si] = int((x & M128) < (y & M128))
+                elif kind == "NOT":
+                    set_word("a", si, ops[0].value)
+                    set_word("c", si, ops[1].value)
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
-                ("c", self.c_bytes_c),
+                ("c", self.c_bytes_c), ("d", self.c_bytes_d),
             ):
                 for i, ci in enumerate(colset):
                     cols[ci] = mont(byts[key][i])
@@ -457,12 +669,14 @@ class EvmCircuit(Circuit):
         # phase 1: word RLCs
         r_chal = challenges[self.r_word.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
-        va, vb, vc = [], [], []
+        va, vb, vc, invs = [], [], [], []
+        binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ")
         for s in steps:
             ops = [self.rw_by_counter[i] for i in s.rw_indices]
             kind = self._classify(s)
             def rlc(rw):
                 return word_rlc(rw.value, r_int)
+            inv_of = 0
             if kind in ("PUSH", "POP", "PC"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "MLOAD":
@@ -470,18 +684,28 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[33])); vc.append(0)
             elif kind == "MSTORE":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
-            elif kind in ("ADD", "SUB"):
+            elif kind in binary:
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(rlc(ops[2]))
+                if kind in ("DIV", "MOD"):
+                    inv_of = vb[-1]
+                elif kind == "EQ":
+                    inv_of = (va[-1] - vb[-1]) % R
+            elif kind in ("ISZERO", "NOT"):
+                va.append(rlc(ops[0])); vb.append(0); vc.append(rlc(ops[1]))
+                if kind == "ISZERO":
+                    inv_of = va[-1]
             elif kind == "DUP":
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SWAP":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             else:
                 va.append(0); vb.append(0); vc.append(0)
+            invs.append(pow(inv_of, -1, R) if inv_of else 0)
         out = {
             self.c_val_a: mont(va),
             self.c_val_b: mont(vb),
             self.c_val_c: mont(vc),
+            self.c_inv: mont(invs),
         }
         if self.standalone:
             out[self.t_val] = mont(

@@ -131,11 +131,15 @@ def _add_block(a32, b32, pcomp):
     return _cond_sub_p(c, pcomp)
 
 
-_ONE_AT_0 = np.eye(1, ND, 0, dtype=np.int32)  # [1, 0, ..., 0]
+def _one_at_0(shape):
+    """[1, 0, ..., 0] broadcast to shape — built from iota in-kernel
+    (Mosaic rejects closed-over vector constants)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jnp.where(col == 0, jnp.ones(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
 
 
 def _sub_block(a32, b32, pdig, pcomp):
-    c = a32 + (MASK - b32) + pdig + jnp.asarray(_ONE_AT_0)
+    c = a32 + (MASK - b32) + pdig + _one_at_0(a32.shape)
     c = _canon(c, ND, passes=2)
     return _cond_sub_p(c, pcomp)
 
