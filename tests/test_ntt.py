@@ -88,3 +88,53 @@ def test_sharded_ntt_matches(rng, inverse):
     got = np.asarray(jax.device_get(fn(x)))
     want = np.asarray(nttmod.intt(x) if inverse else nttmod.ntt(x))
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# MXU four-step NTT (poly/ntt_mxu.py): must match the butterfly path exactly
+# ---------------------------------------------------------------------------
+def test_mxu_ntt_matches_butterfly(rng):
+    from zkevm_circuits_tpu.poly import ntt_mxu as mxu
+
+    for k in (4, 7):
+        n = 1 << k
+        x = np.frombuffer(rng.bytes(n * 32), np.uint8).reshape(n, 32).copy()
+        x[:, 31] = 0
+        for a, b in (
+            (nttmod.ntt, mxu.ntt_mxu), (nttmod.intt, mxu.intt_mxu),
+            (nttmod.coset_ntt, mxu.coset_ntt_mxu),
+            (nttmod.coset_intt, mxu.coset_intt_mxu),
+        ):
+            assert np.array_equal(np.asarray(a(x, k)), np.asarray(b(x, k)))
+
+
+def test_mxu_ntt_batch_and_roundtrip(rng):
+    from zkevm_circuits_tpu.poly import ntt_mxu as mxu
+
+    k, n = 6, 64
+    xb = np.frombuffer(rng.bytes(3 * n * 32), np.uint8).reshape(3, n, 32).copy()
+    xb[..., 31] = 0
+    assert np.array_equal(
+        np.asarray(nttmod.ntt(xb, k)), np.asarray(mxu.ntt_mxu(xb, k))
+    )
+    assert np.array_equal(
+        np.asarray(mxu.intt_mxu(mxu.ntt_mxu(xb, k), k)), xb
+    )
+    assert np.array_equal(
+        np.asarray(mxu.coset_intt_mxu(mxu.coset_ntt_mxu(xb, k), k)), xb
+    )
+
+
+def test_mxu_redc_bound_regression(rng):
+    """Accumulated product sums T < r*p^2 exceed the narrow REDC bound
+    T < 2^256*p for r > ~5 — this drove data-dependent wrong results until
+    the wide 2^272 REDC landed.  Stress many random vectors at r=16."""
+    from zkevm_circuits_tpu.poly import ntt_mxu as mxu
+
+    k, n = 8, 256  # n1=16: accumulation over 16 terms per output
+    for _ in range(4):
+        x = np.frombuffer(rng.bytes(n * 32), np.uint8).reshape(n, 32).copy()
+        x[:, 31] = 0
+        assert np.array_equal(
+            np.asarray(nttmod.ntt(x, k)), np.asarray(mxu.ntt_mxu(x, k))
+        )
