@@ -1,0 +1,236 @@
+"""MPT circuit — proves zktrie value updates against old/new roots.
+
+Equivalent of the reference's MPT circuit wrapper + external
+`halo2-mpt-circuits` (reference zkevm-circuits/src/mpt_circuit.rs:38-80,
+SURVEY.md §2.2 "MPT"): each storage/account write is proven as a pair of
+Merkle paths (old value, new value) sharing the same siblings, with every
+node hash delegated to the Poseidon circuit via PoseidonTable lookups —
+the TPU-first layering: this circuit is pure plumbing (selects + chaining
++ lookups), all permutation work rides the fixed-geometry Poseidon blocks.
+
+Layout: one row per path node, bottom-up per update (leaf row first, root
+row last).  Leaf row binds (key, old_value)/(key, new_value) through
+DOM_LEAF hashes (old side skipped for fresh inserts into empty slots);
+branch rows select (child, sibling) order by the path bit and chain
+accumulators upward; the root row pins both accumulators to the carried
+old_root/new_root and exposes the MptTable tuple
+(enable, key, old_value, new_value, old_root, new_root).
+
+Round-1 scope note (witness/mpt.py): leaf-split insertions are not yet
+witnessable; path-bit <-> key binding relies on hash collision resistance
+via the root (the canonical-placement argument), as documented there.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
+from ..plonk.expression import Advice, Fixed
+from ..trie.zktrie import DOM_BRANCH, DOM_LEAF, hash2_domain
+from ..witness.mpt import MptUpdate
+
+F = fr()
+
+
+@dataclasses.dataclass
+class MptParams:
+    target_rows: int = 0
+
+
+class MptCircuit(Circuit):
+    def __init__(self, updates: list[MptUpdate], params: MptParams | None = None):
+        self.updates = updates
+        self.params = params or MptParams()
+
+    # ------------------------------------------------------------------
+    def configure(self, cs: ConstraintSystem, poseidon_table=None):
+        """`poseidon_table`: (enable, domain, in0, in1, out) exprs from the
+        Poseidon circuit; standalone mode carries witness columns."""
+        self.standalone = poseidon_table is None
+        self.q_mpt = cs.fixed_column()
+        self.q_row0 = cs.fixed_column()
+
+        self.c_first = cs.advice_column()
+        self.c_last = cs.advice_column()
+        self.c_emp = cs.advice_column()  # leaf row: old slot was empty
+        self.c_bit = cs.advice_column()
+        self.c_sib = cs.advice_column()
+        self.c_old_acc = cs.advice_column()
+        self.c_new_acc = cs.advice_column()
+        # carried per-update values (constant within a block)
+        self.c_key = cs.advice_column()
+        self.c_old_v = cs.advice_column()
+        self.c_new_v = cs.advice_column()
+        self.c_old_root = cs.advice_column()
+        self.c_new_root = cs.advice_column()
+
+        if self.standalone:
+            self.t_en = cs.fixed_column()
+            self.t_dom = cs.advice_column()
+            self.t_in0 = cs.advice_column()
+            self.t_in1 = cs.advice_column()
+            self.t_out = cs.advice_column()
+            poseidon_table = [
+                Fixed(self.t_en), Advice(self.t_dom), Advice(self.t_in0),
+                Advice(self.t_in1), Advice(self.t_out),
+            ]
+
+        q = Fixed(self.q_mpt)
+        q_n = Fixed(self.q_mpt, 1)
+        qz = Fixed(self.q_row0)
+        first, first_n = Advice(self.c_first), Advice(self.c_first, 1)
+        last = Advice(self.c_last)
+        emp = Advice(self.c_emp)
+        bit = Advice(self.c_bit)
+        sib = Advice(self.c_sib)
+        oa, oa_p = Advice(self.c_old_acc), Advice(self.c_old_acc, -1)
+        na, na_p = Advice(self.c_new_acc), Advice(self.c_new_acc, -1)
+
+        for name, e in (("first", first), ("last", last), ("emp", emp),
+                        ("bit", bit)):
+            cs.create_gate(f"mpt {name} bool", q * e * (e - 1))
+        cs.create_gate("mpt first row", q * qz * (first - 1))
+        cs.create_gate("mpt trailing last", q * (1 - q_n) * (1 - last))
+        cs.create_gate("mpt boundary", q * q_n * (first_n - last))
+        intra = q * q_n * (1 - last)
+        for name, col in (("key", self.c_key), ("old_v", self.c_old_v),
+                          ("new_v", self.c_new_v),
+                          ("old_root", self.c_old_root),
+                          ("new_root", self.c_new_root)):
+            cs.create_gate(
+                f"mpt {name} carry", intra * (Advice(col, 1) - Advice(col))
+            )
+
+        key = Advice(self.c_key)
+        old_v, new_v = Advice(self.c_old_v), Advice(self.c_new_v)
+        old_root, new_root = Advice(self.c_old_root), Advice(self.c_new_root)
+
+        # leaf row: empty old slot starts the old chain at 0
+        gf = q * first
+        cs.create_gate("mpt empty old acc", gf * emp * oa)
+        # root row: accumulators match the claimed roots
+        gl = q * last
+        cs.create_gate("mpt old root", gl * (oa - old_root))
+        cs.create_gate("mpt new root", gl * (na - new_root))
+
+        # poseidon lookups: leaf hashes + branch hashes (old & new sides)
+        g_old_leaf = gf * (1 - emp)
+        g_branch = q * (1 - first)
+        l_old = bit * sib + (1 - bit) * oa_p
+        r_old = bit * oa_p + (1 - bit) * sib
+        l_new = bit * sib + (1 - bit) * na_p
+        r_new = bit * na_p + (1 - bit) * sib
+        cs.lookup_logup(
+            "mpt poseidon",
+            [
+                [g_old_leaf, g_old_leaf * DOM_LEAF, g_old_leaf * key,
+                 g_old_leaf * old_v, g_old_leaf * oa],
+                [gf, gf * DOM_LEAF, gf * key, gf * new_v, gf * na],
+                [g_branch, g_branch * DOM_BRANCH, g_branch * l_old,
+                 g_branch * r_old, g_branch * oa],
+                [g_branch, g_branch * DOM_BRANCH, g_branch * l_new,
+                 g_branch * r_new, g_branch * na],
+            ],
+            poseidon_table,
+        )
+
+        # exposed MptTable (reference table.rs:748) on root rows
+        self.mpt_table = [
+            gl, gl * key, gl * old_v, gl * new_v, gl * old_root,
+            gl * new_root,
+        ]
+
+    # ------------------------------------------------------------------
+    def _rows(self):
+        """(first, last, emp, bit, sib, old_acc, new_acc, key, old_v,
+        new_v, old_root, new_root) per row, bottom-up per update."""
+        rows = []
+        for u in self.updates:
+            oacc = 0 if u.was_empty else hash2_domain(DOM_LEAF, u.key, u.old_value)
+            nacc = hash2_domain(DOM_LEAF, u.key, u.new_value)
+            n_rows = u.depth + 1
+            for j in range(n_rows):
+                if j == 0:
+                    b, s = 0, 0
+                else:
+                    d = u.depth - j  # branch for depth d
+                    b, s = u.bits[d], u.siblings[d]
+                    lo, ro = (s, oacc) if b else (oacc, s)
+                    ln, rn = (s, nacc) if b else (nacc, s)
+                    oacc = hash2_domain(DOM_BRANCH, lo, ro)
+                    nacc = hash2_domain(DOM_BRANCH, ln, rn)
+                rows.append((
+                    int(j == 0), int(j == n_rows - 1), int(u.was_empty and j == 0),
+                    b, s, oacc, nacc, u.key, u.old_value, u.new_value,
+                    u.old_root, u.new_root,
+                ))
+            assert oacc == u.old_root and nacc == u.new_root
+        return rows
+
+    def _target(self, n: int) -> int:
+        t = self.params.target_rows or len(self._rows())
+        assert len(self._rows()) <= t <= usable_rows(n)
+        return t
+
+    def fixed_columns(self, n: int):
+        t = self._target(n)
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        out = {
+            self.q_mpt: mont([1 if i < t else 0 for i in range(n)]),
+            self.q_row0: mont([1 if i == 0 else 0 for i in range(n)]),
+        }
+        if self.standalone:
+            n_evs = len(self._poseidon_rows())
+            if t > sum(u.depth + 1 for u in self.updates):
+                n_evs += 1  # pad-block leaf hash row (see synthesize)
+            out[self.t_en] = mont(
+                [1 if i < n_evs else 0 for i in range(n)]
+            )
+        return out
+
+    def _poseidon_rows(self):
+        from ..witness.mpt import mpt_poseidon_events
+
+        return [
+            (ev.domain, ev.in0, ev.in1,
+             hash2_domain(ev.domain, ev.in0, ev.in1))
+            for ev in mpt_poseidon_events(self.updates)
+        ]
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        if phase != 0:
+            return {}
+        rows = self._rows()
+        t = self._target(n)
+        # padding rows are degenerate depth-0 updates "insert value 0 at
+        # key 0 into an empty slot": old side empty (emp=1, old_acc=0,
+        # old_root=0), new side a real (key=0, value=0) leaf — the ONE
+        # extra poseidon row H(DOM_LEAF, 0, 0) is appended to the table
+        # witness (composed mode must add the matching PoseidonEvent).
+        pad_hash = hash2_domain(DOM_LEAF, 0, 0)
+        pad = (1, 1, 1, 0, 0, 0, pad_hash, 0, 0, 0, 0, pad_hash)
+        n_real = len(rows)
+        rows = rows + [pad] * (t - n_real)
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        cols = {}
+        for ci, idx in (
+            (self.c_first, 0), (self.c_last, 1), (self.c_emp, 2),
+            (self.c_bit, 3), (self.c_sib, 4), (self.c_old_acc, 5),
+            (self.c_new_acc, 6), (self.c_key, 7), (self.c_old_v, 8),
+            (self.c_new_v, 9), (self.c_old_root, 10), (self.c_new_root, 11),
+        ):
+            cols[ci] = mont([r[idx] for r in rows])
+        if self.standalone:
+            evs = self._poseidon_rows()
+            if t > n_real:
+                evs = evs + [(DOM_LEAF, 0, 0, pad_hash)]
+            cols[self.t_dom] = mont([e[0] for e in evs])
+            cols[self.t_in0] = mont([e[1] for e in evs])
+            cols[self.t_in1] = mont([e[2] for e in evs])
+            cols[self.t_out] = mont([e[3] for e in evs])
+        return cols

@@ -1,0 +1,106 @@
+"""MPT update witness — zktrie state transitions with Merkle proofs.
+
+Equivalent of the reference's `ZktrieState` -> `MptUpdates` pipeline
+(reference zktrie/src/state.rs:84-156, zkevm-circuits/src/witness/mpt.rs:93,
+SURVEY.md §2.1 item 9): applies key/value writes to the sparse
+Poseidon-Merkle trie and records, per write, everything the MPT circuit
+needs (old/new roots, the shared sibling path, leaf values).
+
+Round-1 scope: value updates of EXISTING keys re-use the same tree shape
+(old and new paths share all siblings); fresh-key insertions that split a
+leaf are applied to the trie but witness rows are only emitted when the
+insertion does not restructure the path (i.e. lands in an empty slot —
+the leaf-split gadget is a documented gap, reference halo2-mpt-circuits
+covers it via its extension-node machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..crypto.params import FR_MODULUS as P
+from ..trie.zktrie import DOM_LEAF, ZkTrie, hash2_domain
+
+
+@dataclasses.dataclass
+class MptUpdate:
+    key: int
+    old_value: int  # 0 => the slot was empty (fresh insert into empty slot)
+    new_value: int
+    old_root: int
+    new_root: int
+    depth: int
+    siblings: list[int]  # top-down
+    bits: list[int]  # top-down path bits (little-endian key bits)
+    was_empty: bool
+
+
+class MptUpdates:
+    """Apply writes in order, recording one MptUpdate per write."""
+
+    def __init__(self, trie: ZkTrie | None = None):
+        self.trie = trie or ZkTrie()
+        self.updates: list[MptUpdate] = []
+
+    def write(self, key: int, new_value: int) -> MptUpdate:
+        key %= P
+        old_root = self.trie.root()
+        before = self.trie.prove(key)
+        was_existing = before.found and before.leaf_key == key
+        self.trie.update(key, new_value)
+        after = self.trie.prove(key)
+        new_root = self.trie.root()
+        if was_existing:
+            assert after.depth == before.depth
+            assert after.siblings == before.siblings, "structure changed"
+            old_value = before.leaf_value
+            was_empty = False
+        else:
+            # fresh key: witnessable only if it landed without a leaf split
+            if before.found or after.depth != before.depth:
+                raise NotImplementedError(
+                    "leaf-split insertion witness lands with the extension "
+                    "gadget (apply-only for now)"
+                )
+            old_value = 0
+            was_empty = True
+        upd = MptUpdate(
+            key=key, old_value=old_value, new_value=new_value,
+            old_root=old_root, new_root=new_root, depth=after.depth,
+            siblings=after.siblings,
+            bits=[(key >> d) & 1 for d in range(after.depth)],
+            was_empty=was_empty,
+        )
+        self.updates.append(upd)
+        return upd
+
+    def poseidon_events(self):
+        return mpt_poseidon_events(self.updates)
+
+
+def mpt_poseidon_events(updates: list[MptUpdate]):
+    """Every Poseidon permutation the MPT circuit will look up, as
+    PoseidonEvent triples (the Poseidon circuit's witness share)."""
+    from ..circuits.poseidon import PoseidonEvent
+    from ..trie.zktrie import DOM_BRANCH
+
+    events = []
+
+    def emit(update: MptUpdate, value: int, skip_leaf: bool):
+        if not skip_leaf:
+            acc = hash2_domain(DOM_LEAF, update.key, value)
+            events.append(
+                PoseidonEvent(domain=DOM_LEAF, in0=update.key, in1=value)
+            )
+        else:
+            acc = 0
+        for d in reversed(range(update.depth)):
+            sib = update.siblings[d]
+            l, r = (sib, acc) if update.bits[d] else (acc, sib)
+            events.append(PoseidonEvent(domain=DOM_BRANCH, in0=l, in1=r))
+            acc = hash2_domain(DOM_BRANCH, l, r)
+
+    for u in updates:
+        emit(u, u.old_value, skip_leaf=u.was_empty)
+        emit(u, u.new_value, skip_leaf=False)
+    return events
