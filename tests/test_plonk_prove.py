@@ -139,3 +139,13 @@ def test_corrupt_witness_rejected(srs, keys):
     pk, vk = keys
     proof = prove(pk, DemoCircuit(corrupt_row=5), [[A_IN]], srs)
     assert not verify(vk, [[A_IN]], proof)
+
+
+def test_proofs_are_randomized(srs, keys):
+    """ZK blinding: same witness, two proofs -> different bytes, both
+    verify (the commitments differ because blinding rows are random)."""
+    pk, vk = keys
+    p1 = prove(pk, DemoCircuit(), [[A_IN]], srs)
+    p2 = prove(pk, DemoCircuit(), [[A_IN]], srs)
+    assert p1 != p2
+    assert verify(vk, [[A_IN]], p1) and verify(vk, [[A_IN]], p2)

@@ -16,8 +16,11 @@ every polynomial pass is a batched device op:
   multiopen                             — SHPLONK in evaluation form (kzg.py)
 
 Divergences from halo2 (documented, self-consistent with verifier.py):
-  * no ZK blinding yet (blinding rows exist and are unconstrained but are
-    filled deterministically); the statement proved is identical.
+  * ZK blinding randomizes rows [u, n-1) of every committed witness
+    column (advice, permuted lookup cols, grand products, logup helpers)
+    — row n-1 stays zero because row-0 gates with -1 rotations wrap to
+    it (halo2 instead forbids such wraps circuit-side).  BLINDING_FACTORS
+    random rows mask the handful of openings each poly gets.
   * single permutation grand product (no column chunking) — quotient
     degree grows with the number of equality columns; fine until the
     SuperCircuit-scale configs land.
@@ -25,6 +28,8 @@ Divergences from halo2 (documented, self-consistent with verifier.py):
 """
 
 from __future__ import annotations
+
+import secrets
 
 import numpy as np
 import jax
@@ -103,12 +108,29 @@ def _compress(exprs, theta: int, ev: Evaluator, shape):
     return acc
 
 
+def _make_blinder(u: int, n: int, rng: np.random.Generator):
+    """Returns blind(evals, start_row) -> evals with rows [start, n-1)
+    replaced by random canonical field elements (row n-1 stays zero: row-0
+    gates with -1 rotations wrap to it)."""
+
+    def blind(evals, start: int = u):
+        arr = np.asarray(evals).copy()
+        for i in range(start, n - 1):
+            arr[i] = F.from_int(
+                int.from_bytes(rng.bytes(48), "little") % R * F.R % R
+            )
+        return jnp.asarray(arr)
+
+    return blind
+
+
 def prove(
     pk: ProvingKey,
     circuit: Circuit,
     instances: list[list[int]],
     srs: Srs,
     transcript: Blake2bTranscript | None = None,
+    rng: np.random.Generator | None = None,
 ) -> bytes:
     cs: ConstraintSystem = pk.vk.cs
     # (re)configure the instance so its column-index attributes exist;
@@ -121,6 +143,10 @@ def prove(
     u = usable_rows(n)
     dom = domain(k)
     t = transcript or Blake2bTranscript()
+    rng = rng or np.random.default_rng(
+        int.from_bytes(secrets.token_bytes(16), "little")
+    )
+    blind = _make_blinder(u, n, rng)
 
     # ---- instances ---------------------------------------------------------
     for col in instances:
@@ -147,8 +173,7 @@ def prove(
             ci for ci, ph in enumerate(cs.advice_phases) if ph == phase
         )
         for ci in phase_cols:
-            arr = cols[ci]
-            advice_evals[ci] = np.asarray(arr)
+            advice_evals[ci] = np.asarray(blind(cols[ci]))
             coeffs = intt(jnp.asarray(advice_evals[ci]), k)
             comm = g1_to_affine_ints(srs.commit(coeffs))[0]
             t.write_point(comm)
@@ -176,8 +201,8 @@ def prove(
         a_host = _to_host_ints(a_evals)
         s_host = _to_host_ints(s_evals)
         ap_host, sp_host = _permuted_lookup_columns(a_host, s_host, u, n)
-        ap = jnp.asarray(F.from_ints([v * F.R % R for v in ap_host]))
-        sp = jnp.asarray(F.from_ints([v * F.R % R for v in sp_host]))
+        ap = blind(F.from_ints([v * F.R % R for v in ap_host]))
+        sp = blind(F.from_ints([v * F.R % R for v in sp_host]))
         ap_coeffs = intt(ap, k)
         sp_coeffs = intt(sp, k)
         t.write_point(g1_to_affine_ints(srs.commit(ap_coeffs))[0])
@@ -207,7 +232,7 @@ def prove(
                         f"logup '{lg.name}': input value not in table"
                     )
                 mult[idx] += 1
-        m_col = jnp.asarray(F.from_ints([v * F.R % R for v in mult]))
+        m_col = blind(F.from_ints([v * F.R % R for v in mult]))
         m_coeffs = intt(m_col, k)
         t.write_point(g1_to_affine_ints(srs.commit(m_coeffs))[0])
         logup_data.append(
@@ -238,7 +263,7 @@ def prove(
             sig = pk.sigma_evals[ci]
             den = F.mul(den, F.add(v, F.add(F.mul(beta_m, sig), gamma_m)))
         ratio = F.mul(num, F.batch_inv(den, axis=0))
-        z_perm = _exclusive_prefix_product(ratio, u, n)
+        z_perm = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
         z_perm_coeffs = intt(z_perm, k)
         t.write_point(g1_to_affine_ints(srs.commit(z_perm_coeffs))[0])
 
@@ -247,7 +272,7 @@ def prove(
         num = F.mul(F.add(ld["a"], beta_m), F.add(ld["s"], gamma_m))
         den = F.mul(F.add(ld["ap"], beta_m), F.add(ld["sp"], gamma_m))
         ratio = F.mul(num, F.batch_inv(den, axis=0))
-        z = _exclusive_prefix_product(ratio, u, n)
+        z = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
         ld["z"] = z
         ld["z_coeffs"] = intt(z, k)
         t.write_point(g1_to_affine_ints(srs.commit(ld["z_coeffs"]))[0])
@@ -269,6 +294,9 @@ def prove(
         delta = F.sub(delta, h_t)
         incl = jax.lax.associative_scan(F._add, delta, axis=0)
         phi = jnp.concatenate([F.zeros((1,)), incl[:-1]], axis=0)
+        hs = [blind(h) for h in hs]
+        h_t = blind(h_t)
+        phi = blind(phi, u + 1)
         ld["hs"] = hs
         ld["h_t"] = h_t
         ld["phi"] = phi
