@@ -1,0 +1,342 @@
+"""RLP circuit — proves RLP decoding of legacy tx signing payloads.
+
+Equivalent of the reference's `zkevm-circuits/src/rlp_circuit_fsm.rs`
+(SURVEY.md §2.2 "RLP"): a byte-per-row finite-state machine over the
+RLP-encoded tx payload whose tag transitions are constrained by a ROM
+lookup, producing the RlpTable (tx_id, field tag, value) that the Tx
+circuit consumes.
+
+TPU-first layout: ONE row per RLP byte with columnar state — one-hot tag
+indicators, a remaining-bytes countdown, a prefix flag, a list-payload
+countdown, and a value accumulator.  The accumulator's Horner fold
+acc = acc*r + byte over big-endian payload bytes equals the TxTable's
+little-endian word-RLC convention (sum le_byte[i] * r^i), so RlpTable
+values plug straight into the Tx circuit's value cells.
+
+Round-1 scope (documented): legacy EIP-155 signing payloads
+rlp([nonce, gas_price, gas, to, value, data, chain_id, 0, 0]) with
+data <= 55 bytes (short-form strings); both short lists (0xc0+len) and
+56..255-byte long lists (0xf8 + one length byte).  Canonical-minimality of integer fields is
+witness-side: a non-canonical encoding changes the keccak digest and is
+caught by the signature binding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+from ..crypto.field import fr
+from ..crypto.params import FR_MODULUS as R
+from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
+from ..plonk.expression import Advice, Fixed
+from ..types import rlp as rlp_host
+from ..types.transaction import Transaction
+
+F = fr()
+
+
+class RlpTag(enum.IntEnum):
+    List = 0  # the 0xf8 long-list prefix byte
+    ListLen = 1  # the list's single length byte
+    Nonce = 2
+    GasPrice = 3
+    Gas = 4
+    To = 5
+    Value = 6
+    Data = 7
+    ChainId = 8
+    Zero1 = 9
+    Zero2 = 10
+
+
+TAGS = list(RlpTag)
+FIELD_TAGS = [
+    RlpTag.Nonce, RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
+    RlpTag.Data, RlpTag.ChainId, RlpTag.Zero1, RlpTag.Zero2,
+]
+
+# tag-order ROM: (tag, next_tag) pairs (reference's ROM table,
+# rlp_circuit_fsm.rs).  Zero2 -> List chains the next tx.
+ROM = (
+    [(int(RlpTag.List), int(RlpTag.ListLen)),  # long form
+     (int(RlpTag.List), int(RlpTag.Nonce)),  # short form (gated by c_long)
+     (int(RlpTag.ListLen), int(RlpTag.Nonce))]
+    + [(int(a), int(b)) for a, b in zip(FIELD_TAGS, FIELD_TAGS[1:])]
+    + [(int(RlpTag.Zero2), int(RlpTag.List))]
+)
+
+
+@dataclasses.dataclass
+class RlpParams:
+    pass  # geometry is exactly the witness rows (no padding yet)
+
+
+def _tx_rows(tx: Transaction, tx_id: int):
+    """(tx_id, tag, rem, is_pfx, byte) rows for one signing payload."""
+    fields = [
+        tx.nonce, tx.gas_price, tx.gas,
+        b"" if tx.to is None else tx.to.to_bytes(20, "big"),
+        tx.value, tx.data, tx.chain_id, 0, 0,
+    ]
+    payload = rlp_host.encode(fields)
+    rows = [(tx_id, int(RlpTag.List), 1, 1, payload[0])]
+    if payload[0] == 0xF8:  # long list, one length byte
+        rows.append((tx_id, int(RlpTag.ListLen), 1, 0, payload[1]))
+        pos = 2
+    else:
+        assert 0xC0 <= payload[0] <= 0xF7, "list of this size not in scope"
+        pos = 1
+    for tag, val in zip(FIELD_TAGS, fields):
+        enc = rlp_host.encode(val)
+        if len(enc) == 1 and enc[0] < 0x80:
+            rows.append((tx_id, int(tag), 1, 0, enc[0]))
+        else:
+            plen = enc[0] - 0x80
+            assert 0 <= plen <= 55, "long-form strings not in scope"
+            rows.append((tx_id, int(tag), plen + 1, 1, enc[0]))
+            for j in range(plen):
+                rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j]))
+        pos += len(enc)
+    assert pos == len(payload)
+    return rows, payload
+
+
+class RlpCircuit(Circuit):
+    def __init__(self, txs: list[Transaction], params: RlpParams | None = None):
+        self.txs = txs
+        self.params = params or RlpParams()
+        self.rows = []
+        self.payloads = []
+        for i, tx in enumerate(txs):
+            rows, payload = _tx_rows(tx, i + 1)
+            self.rows += rows
+            self.payloads.append(payload)
+
+    # ------------------------------------------------------------------
+    def configure(self, cs: ConstraintSystem, challenge=None):
+        self.q_rlp = cs.fixed_column()
+        self.q_row0 = cs.fixed_column()
+        self.tbl_byte = cs.fixed_column()  # 0..255
+        self.tbl_b7 = cs.fixed_column()  # 0..127
+        self.tbl_56 = cs.fixed_column()  # 0..55
+        self.q_rom = cs.fixed_column()
+        self.rom_a = cs.fixed_column()
+        self.rom_b = cs.fixed_column()
+
+        self.c_ind = {t: cs.advice_column() for t in TAGS}
+        self.c_tx_id = cs.advice_column()
+        self.c_rem = cs.advice_column()  # bytes left in segment incl. this
+        self.c_pfx = cs.advice_column()
+        self.c_byte = cs.advice_column()
+        self.c_entry = cs.advice_column()  # first row of a segment
+        self.c_inv = cs.advice_column()  # iszero witness for rem_prev - 1
+        self.c_tot = cs.advice_column()  # list-payload countdown
+        self.c_long = cs.advice_column()  # List rows: 0xf8 long form flag
+        self.c_acc = cs.advice_column(phase=1)  # le word-RLC accumulator
+        self.r = challenge if challenge is not None else cs.challenge(phase=0)
+
+        q = Fixed(self.q_rlp)
+        q_n = Fixed(self.q_rlp, 1)
+        qz = Fixed(self.q_row0)
+        ind = {t: Advice(c) for t, c in self.c_ind.items()}
+        txid, txid_p = Advice(self.c_tx_id), Advice(self.c_tx_id, -1)
+        rem, rem_p = Advice(self.c_rem), Advice(self.c_rem, -1)
+        pfx = Advice(self.c_pfx)
+        byte = Advice(self.c_byte)
+        ent, ent_n = Advice(self.c_entry), Advice(self.c_entry, 1)
+        inv = Advice(self.c_inv)
+        tot, tot_p = Advice(self.c_tot), Advice(self.c_tot, -1)
+        acc, acc_p = Advice(self.c_acc), Advice(self.c_acc, -1)
+
+        # one-hot tags
+        ind_sum = None
+        for t, e in ind.items():
+            cs.create_gate(f"rlp ind {t.name} bool", q * e * (e - 1))
+            ind_sum = e if ind_sum is None else ind_sum + e
+        cs.create_gate("rlp one tag", q * (ind_sum - 1))
+        tag_val = None
+        for t, e in ind.items():
+            term = e * int(t)
+            tag_val = term if tag_val is None else tag_val + term
+        tag_val_p = None
+        for t, c in self.c_ind.items():
+            term = Advice(c, -1) * int(t)
+            tag_val_p = term if tag_val_p is None else tag_val_p + term
+        fld = None  # sum of field-tag indicators
+        for t in FIELD_TAGS:
+            fld = ind[t] if fld is None else fld + ind[t]
+
+        cs.create_gate("rlp pfx bool", q * pfx * (pfx - 1))
+        cs.create_gate("rlp entry bool", q * ent * (ent - 1))
+        # entry <=> rem_prev == 1 (IsZero via inverse witness); row 0 entry
+        nz = (rem_p - 1) * inv
+        cs.create_gate("rlp entry iff a", q * (1 - qz) * ent * (rem_p - 1))
+        cs.create_gate("rlp entry iff b", q * (1 - qz) * (1 - ent) * (1 - nz))
+        cs.create_gate("rlp row0 entry", q * qz * (ent - 1))
+
+        # non-entry rows: same tag/tx, countdown, never a prefix
+        cont = q * (1 - ent)
+        for t, c in self.c_ind.items():
+            cs.create_gate(
+                f"rlp cont tag {t.name}", cont * (ind[t] - Advice(c, -1))
+            )
+        cs.create_gate("rlp cont tx", cont * (txid - txid_p))
+        cs.create_gate("rlp cont rem", cont * (rem - rem_p + 1))
+        cs.create_gate("rlp cont not pfx", cont * pfx)
+
+        # entry tag order from the ROM (row 0 pinned to List)
+        g_ent = q * ent * (1 - qz)
+        cs.lookup_logup(
+            "rlp rom",
+            [[g_ent, g_ent * tag_val_p, g_ent * tag_val]],
+            [Fixed(self.q_rom), Fixed(self.rom_a), Fixed(self.rom_b)],
+        )
+        cs.create_gate("rlp row0 list", q * qz * (1 - ind[RlpTag.List]))
+        # tx id: List entries increment, all other rows carry
+        cs.create_gate(
+            "rlp tx id inc", q * ent * ind[RlpTag.List] * (txid - txid_p - 1)
+        )
+        cs.create_gate(
+            "rlp tx id keep", q * ent * (1 - ind[RlpTag.List]) * (txid - txid_p)
+        )
+
+        # List prefix row: 0xf8 (long, ListLen follows) or 0xc0+len
+        # (short, the length lands in tot directly); single-row segment
+        long = Advice(self.c_long)
+        g_list = q * ind[RlpTag.List]
+        cs.create_gate("rlp long bool", g_list * long * (long - 1))
+        cs.create_gate("rlp list long byte", g_list * long * (byte - 0xF8))
+        cs.create_gate(
+            "rlp list short byte", g_list * (1 - long) * (byte - 0xC0 - tot)
+        )
+        cs.create_gate(
+            "rlp list form", q * q_n * ind[RlpTag.List]
+            * (Advice(self.c_ind[RlpTag.ListLen], 1) - long)
+        )
+        cs.create_gate("rlp list rem", g_list * (rem - 1))
+        cs.create_gate("rlp list pfx", g_list * (pfx - 1))
+        # ListLen row: single row, not a prefix, sets the payload countdown
+        g_ll = q * ind[RlpTag.ListLen]
+        cs.create_gate("rlp listlen rem", g_ll * (rem - 1))
+        cs.create_gate("rlp listlen pfx", g_ll * pfx)
+        cs.create_gate("rlp listlen tot", g_ll * (tot - byte))
+        # countdown over the list body; exhausted exactly at Zero2
+        g_body = q * fld
+        cs.create_gate("rlp tot countdown", g_body * (tot - tot_p + 1))
+        cs.create_gate("rlp tot exhausted", q * ind[RlpTag.Zero2] * tot)
+
+        # field prefix rows: byte = 0x80 + payload_len, acc restarts at 0
+        g_pfx = q * pfx * fld
+        cs.create_gate("rlp prefix len", g_pfx * (byte - 0x80 - rem + 1))
+        cs.create_gate("rlp prefix acc", q * pfx * acc)
+        # single-byte fields: entry without prefix, byte < 0x80, rem 1
+        g_single = q * ent * (1 - pfx) * fld
+        cs.create_gate("rlp single rem", g_single * (rem - 1))
+        cs.create_gate("rlp single acc", g_single * (acc - byte))
+        # payload continuation: Horner fold
+        cs.create_gate(
+            "rlp acc fold",
+            q * (1 - ent) * (acc - acc_p * self.r - byte),
+        )
+        # zero fields of the EIP-155 suffix must hold value 0
+        cs.create_gate(
+            "rlp zeros", q * (ind[RlpTag.Zero1] + ind[RlpTag.Zero2]) * acc
+        )
+
+        # byte range splits
+        cs.lookup_logup("rlp bytes", [[q * byte]], [Fixed(self.tbl_byte)])
+        cs.lookup_logup(
+            "rlp single byte7", [[g_single * byte]], [Fixed(self.tbl_b7)]
+        )
+        cs.lookup_logup(
+            "rlp prefix len55", [[g_pfx * (byte - 0x80)]], [Fixed(self.tbl_56)]
+        )
+        cs.lookup_logup(
+            "rlp short list len55",
+            [[g_list * (1 - long) * (byte - 0xC0)]],
+            [Fixed(self.tbl_56)],
+        )
+
+        # exposed RlpTable (reference table.rs:2288): each field segment's
+        # last row (the next row is an entry, or the region ends); prefix
+        # rows of empty fields carry acc = 0, the correct value
+        g_out = q * fld * (q_n * ent_n + (1 - q_n))
+        self.rlp_table = [g_out, g_out * txid, g_out * tag_val, g_out * acc]
+
+    # ------------------------------------------------------------------
+    def fixed_columns(self, n: int):
+        t = len(self.rows)
+        assert t <= usable_rows(n) and n >= 256 + len(ROM)
+        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        rom_a = [a for a, _ in ROM]
+        rom_b = [b for _, b in ROM]
+        return {
+            self.q_rlp: mont([1 if i < t else 0 for i in range(n)]),
+            self.q_row0: mont([1 if i == 0 else 0 for i in range(n)]),
+            self.tbl_byte: mont([i if i < 256 else 0 for i in range(n)]),
+            self.tbl_b7: mont([i if i < 128 else 0 for i in range(n)]),
+            self.tbl_56: mont([i if i < 56 else 0 for i in range(n)]),
+            self.q_rom: mont([1 if i < len(ROM) else 0 for i in range(n)]),
+            self.rom_a: mont(rom_a + [0] * (n - len(rom_a))),
+            self.rom_b: mont(rom_b + [0] * (n - len(rom_b))),
+        }
+
+    def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        rows = self.rows
+        mont = lambda vals: F.from_ints(
+            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
+        )
+        ents = [
+            1 if i == 0 else int(rows[i - 1][2] == 1)
+            for i in range(len(rows))
+        ]
+        if phase == 0:
+            cols = {
+                self.c_tx_id: mont([r[0] for r in rows]),
+                self.c_rem: mont([r[2] for r in rows]),
+                self.c_pfx: mont([r[3] for r in rows]),
+                self.c_byte: mont([r[4] for r in rows]),
+                self.c_entry: mont(ents),
+            }
+            for t in TAGS:
+                cols[self.c_ind[t]] = mont(
+                    [int(r[1] == int(t)) for r in rows]
+                )
+            invs, tots = [], []
+            tot = 0
+            for i, r_ in enumerate(rows):
+                if i == 0:
+                    invs.append(0)
+                else:
+                    d = (rows[i - 1][2] - 1) % R
+                    invs.append(pow(d, -1, R) if d else 0)
+                if r_[1] == int(RlpTag.ListLen):
+                    tot = r_[4]
+                elif r_[1] == int(RlpTag.List):
+                    tot = r_[4] - 0xC0 if r_[4] != 0xF8 else 0
+                else:
+                    tot -= 1
+                tots.append(tot)
+            cols[self.c_inv] = mont(invs)
+            cols[self.c_tot] = mont(tots)
+            cols[self.c_long] = mont(
+                [int(r[1] == int(RlpTag.List) and r[4] == 0xF8) for r in rows]
+            )
+            return cols
+        # phase 1: value accumulators
+        r_chal = challenges[self.r.index]
+        r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+        accs = []
+        acc = 0
+        for i, r_ in enumerate(rows):
+            if r_[3]:
+                acc = 0
+            elif ents[i]:
+                acc = r_[4] % R
+            else:
+                acc = (acc * r_int + r_[4]) % R
+            accs.append(acc)
+        return {self.c_acc: mont(accs)}
