@@ -137,13 +137,31 @@ class CircuitCapacityChecker:
         self.k = k
 
     def estimate(self, builder: CircuitInputBuilder,
-                 bytecodes: list[Bytecode]) -> dict:
+                 bytecodes: list[Bytecode],
+                 n_pi_messages: int = 1) -> dict:
+        """Per-sub-circuit row estimates (reference per-tx row-usage
+        accounting, capacity_checker.rs:159).  Keccak counts one padded
+        permutation per 136-byte block of every hashed message (bytecodes
+        + the PI statement)."""
+        from ..circuits.keccak import ROWS_PER_PERM
+
+        keccak_msgs = [len(bc.to_bytes()) for bc in bytecodes]
+        keccak_msgs += [136] * n_pi_messages
+        keccak_rows = sum(
+            (ln // 136 + 1) * ROWS_PER_PERM for ln in keccak_msgs
+        )
         rows = {
             "state": len(builder.rws.rws),
             "evm": len(builder.steps),
             "bytecode": sum(1 + len(bc) for bc in bytecodes),
             "copy": sum(ev.length for ev in builder.copy_events),
+            "exp": sum(len(ev.steps) for ev in builder.exp_events),
+            "keccak": keccak_rows,
+            "tx": (self.params.tx.max_txs * 12 + self.params.tx.max_calldata),
+            "pi": max(136, 256),
         }
         cap = usable_rows(1 << self.k)
-        rows["fits"] = all(v <= cap for v in rows.values())
+        rows["fits"] = all(
+            v <= cap for key, v in rows.items() if key != "fits"
+        )
         return rows
