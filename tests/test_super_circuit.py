@@ -61,3 +61,78 @@ def test_super_circuit_cross_corruption():
 
     failures = MockProver(K, Corrupt(b, codes, txs)).verify()
     assert any("rw bus" in f for f in failures), failures
+
+
+def test_super_circuit_full_composition():
+    """All witness-gated subsystems at once: Copy (CALLDATACOPY), Exp,
+    Keccak (code hash + PI statement), PI instance, Poseidon — one CS,
+    shared challenge, cross-circuit lookups live.  K=13 fits the keccak
+    permutations (1 code block + 2 PI blocks)."""
+    from zkevm_circuits_tpu.circuits.pi import PublicData
+    from zkevm_circuits_tpu.circuits.poseidon import PoseidonEvent
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    code = (
+        Bytecode()
+        .push(1, 4).push(1, 0).push(1, 0).op("CALLDATACOPY")  # copy 4 bytes
+        .push(1, 3).push(1, 2).op("EXP").op("POP")            # 2^3
+        .push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
+    )
+    state = StateDB(
+        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    calldata = bytes([0xAA, 0xBB, 0xCC, 0xDD])
+    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT, data=calldata))
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=calldata), tr
+    )
+    assert b.copy_events and b.exp_events
+    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
+    pd = PublicData(
+        chain_id=1337,
+        prev_state_root=keccak256(b"prev"),
+        post_state_root=keccak256(b"post"),
+        withdraw_root=keccak256(b"w"),
+        data_hash=keccak256(b"d"),
+    )
+    pos = [PoseidonEvent(domain=0, in0=1, in1=2)]
+    circ = SuperCircuit(b, [code], txs, public_data=pd, poseidon_events=pos)
+    MockProver(13, circ, [pd.instance()]).assert_satisfied()
+
+
+def test_super_circuit_full_catches_copy_corruption():
+    """Cross-circuit: a copied byte that disagrees with the Tx table's
+    calldata must miss the copy->tx lookup."""
+    code = (
+        Bytecode()
+        .push(1, 4).push(1, 0).push(1, 0).op("CALLDATACOPY").op("STOP")
+    )
+    state = StateDB(
+        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    calldata = bytes([0xAA, 0xBB, 0xCC, 0xDD])
+    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT, data=calldata))
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=calldata), tr
+    )
+    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 1:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                # tx table claims a different calldata byte than the copy
+                arr = np.array(cols[self.tx.c_value])
+                # calldata rows start after the fixed-field region
+                row = self.tx.params.max_txs * 12  # len(FIXED_TAGS)
+                arr[row] = F.from_int(0x99 * F.R % F.modulus)
+                cols[self.tx.c_value] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b, [code], txs)).verify()
+    assert failures

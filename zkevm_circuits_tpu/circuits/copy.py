@@ -62,6 +62,7 @@ class CopyCircuit(Circuit):
         self.c_dst_addr = cs.advice_column()
         self.c_byte = cs.advice_column()
         self.c_rwc = cs.advice_column()
+        self.c_left = cs.advice_column()  # bytes left incl. this row
 
         if self.standalone:
             self.t_rwc = cs.advice_column()
@@ -96,6 +97,19 @@ class CopyCircuit(Circuit):
             cs.create_gate(f"copy cont {name}", q * cont * (nxt - cur - d))
         cs.create_gate("copy cont src_id", q * cont * (sid_n - sid))
         cs.create_gate("copy cont dst_id", q * cont * (did_n - did))
+        # length countdown: first row holds the event length, decrements to
+        # 1 on the last row — makes `length` a sound first-row value for
+        # the exposed CopyTable (reference copy_circuit's bytes_left)
+        left, left_n = Advice(self.c_left), Advice(self.c_left, 1)
+        cs.create_gate("copy left countdown", q * cont * (left_n - left + 1))
+        cs.create_gate("copy left last", q * act * (1 - cont) * (left - 1))
+
+        # exposed CopyTable, gated on each event's first row (the previous
+        # row's cont is 0 there; advice is zero-padded so row -1 wraps to 0)
+        gf = q * act * (1 - Advice(self.c_cont, -1))
+        self.copy_table = [
+            gf, gf * sid, gf * sad, gf * did, gf * dad, gf * left, gf * rwc,
+        ]
 
         if self.standalone:
             trw = Fixed(self.q_trw)
@@ -167,13 +181,14 @@ class CopyCircuit(Circuit):
                 rows.append((
                     1, int(j + 1 < ev.length), is_pad,
                     ev.src_id, src, ev.dst_id, ev.dst_addr + j,
-                    ev.bytes_[j], ev.rw_counter_start + j,
+                    ev.bytes_[j], ev.rw_counter_start + j, ev.length - j,
                 ))
         cols = {}
         for ci, k in (
             (self.c_active, 0), (self.c_cont, 1), (self.c_pad, 2),
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
+            (self.c_left, 9),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.standalone:

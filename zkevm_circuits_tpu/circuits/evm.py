@@ -48,7 +48,7 @@ F = fr()
 # implemented execution states, in gate order
 GADGETS = [
     "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
-    "ISZERO", "NOT", "DUP", "SWAP", "PC", "JUMPDEST",
+    "ISZERO", "NOT", "EXP", "CALLDATACOPY", "DUP", "SWAP", "PC", "JUMPDEST",
     "MLOAD", "MSTORE", "STOP",
 ]
 
@@ -73,12 +73,18 @@ class EvmCircuit(Circuit):
         self.params = params or EvmParams()
 
     # ------------------------------------------------------------------
-    def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None):
+    def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
+                  exp_table=None, copy_table=None):
         """`rw_table`: optional 6 expressions (rw_counter, is_write, tag,
         id, address, value) — the SuperCircuit passes the State circuit's
         recomposed columns; standalone mode allocates its own table.
-        `challenge`: optional shared word-RLC challenge."""
+        `challenge`: optional shared word-RLC challenge.
+        `exp_table` / `copy_table`: the Exp/Copy circuits' exposed tables;
+        the EXP / CALLDATACOPY gadgets are only usable when given (their
+        steps are rejected at synthesis otherwise)."""
         self.standalone = rw_table is None
+        self.exp_table = exp_table
+        self.copy_table = copy_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -105,6 +111,9 @@ class EvmCircuit(Circuit):
         self.c_bytes_d = [cs.advice_column() for _ in range(32)]
         self.c_carry = [cs.advice_column() for _ in range(32)]
         self.c_inv = cs.advice_column(phase=1)  # IsZero inverse witness
+        self.c_inv2 = cs.advice_column(phase=1)  # second inverse (EXP/CDC)
+        self.c_ez = cs.advice_column()  # EXP: exponent==0; CDC: length==0
+        self.c_eo = cs.advice_column()  # EXP: exponent==1
         # memory-bus cells: the word crossing memory (big-endian byte j ->
         # address addr+j) + a 4-byte decomposition of the address word
         self.c_mem = [cs.advice_column() for _ in range(32)]
@@ -159,7 +168,7 @@ class EvmCircuit(Circuit):
         # POP: reads one value; sp += 1, rwc += 1, pc += 1
         transition(ind["POP"], 1, 1, 1)
         # binary word ops: read two, write one; sp += 1, rwc += 3, pc += 1
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ"):
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP"):
             transition(ind[g], 1, 3, 1)
         # unary word ops: read one, write one; sp 0, rwc += 2, pc += 1
         transition(ind["ISZERO"], 1, 2, 0)
@@ -368,6 +377,80 @@ class EvmCircuit(Circuit):
         cs.create_gate("NOT a rlc", gnot * (rlc_expr(ba) - va))
         cs.create_gate("NOT c rlc", gnot * (rlc_expr(bc) - vc))
 
+        # ---- EXP: lookup into the Exp circuit's table (reference
+        # evm_circuit/execution/exp.rs); exponent 0/1 handled arithmetically
+        # (the Exp circuit only proves exponent >= 2 events) ---------------
+        inv2 = Advice(self.c_inv2)
+        ez, eo = Advice(self.c_ez), Advice(self.c_eo)
+        ge = q * ind["EXP"]
+        gc = q * ind["CALLDATACOPY"]
+        cs.create_gate("flag ez bool", (ge + gc) * ez * (ez - 1))
+        cs.create_gate("flag eo bool", ge * eo * (eo - 1))
+        cs.create_gate("EXP ez kill", ge * ez * vb)
+        cs.create_gate("EXP eo kill", ge * eo * (vb - 1))
+        cs.create_gate(
+            "EXP flags complete",
+            ge * (1 - ez - eo) * (vb * (vb - 1) * inv2 - 1),
+        )
+        cs.create_gate("EXP zero result", ge * ez * (vc - 1))  # x^0 = 1
+        cs.create_gate("EXP one result", ge * eo * (vc - va))  # x^1 = x
+        cs.create_gate("EXP base rlc", ge * (rlc_expr(ba) - va))
+        cs.create_gate("EXP exponent rlc", ge * (rlc_expr(bb) - vb))
+        cs.create_gate("EXP result rlc", ge * (rlc_expr(bc) - vc))
+        if self.exp_table is not None:
+            gt = ge * (1 - ez - eo)
+            cs.lookup_logup(
+                "EXP table",
+                [[
+                    gt, gt * half128(ba, True), gt * half128(ba, False),
+                    gt * half128(bb, True), gt * half128(bb, False),
+                    gt * half128(bc, True), gt * half128(bc, False),
+                ]],
+                self.exp_table,
+            )
+
+        # ---- CALLDATACOPY: 3 stack pops (dst, src, len) + a Copy circuit
+        # event covering the per-byte memory writes (reference
+        # evm_circuit/execution/calldatacopy.rs).  Addresses/length are
+        # 4-byte words: dst in c_addr, src in bytes_a[0:4], len in
+        # bytes_b[0:4].  src_id == call_id (root-call frames; nested calls
+        # land with the call opcodes). ------------------------------------
+        ab4 = [Advice(c) for c in self.c_addr]
+
+        def fold4_rlc(cells):
+            e = cells[0] + cells[1] * self.r_word
+            e = e + cells[2] * self.r_word * self.r_word
+            return e + cells[3] * self.r_word * self.r_word * self.r_word
+
+        def fold4_int(cells):
+            return (cells[0] + cells[1] * 256 + cells[2] * 65536
+                    + cells[3] * 16777216)
+
+        cs.create_gate("CDC dst rlc", gc * (fold4_rlc(ab4) - va))
+        cs.create_gate("CDC src rlc", gc * (fold4_rlc(ba) - vb))
+        cs.create_gate("CDC len rlc", gc * (fold4_rlc(bb) - vc))
+        cs.create_gate("CDC len zero kill", gc * ez * vc)
+        cs.create_gate("CDC len nonzero", gc * (1 - ez) * (vc * inv2 - 1))
+        # transitions: pc += 1, sp += 3, rwc += 3 + len
+        gcn = q * q_n * ind["CALLDATACOPY"]
+        cs.create_gate("CDC pc", gcn * (pc_n - pc - 1))
+        cs.create_gate("CDC sp", gcn * (sp_n - sp - 3))
+        cs.create_gate(
+            "CDC rwc", gcn * (rwc_n - rwc - 3 - fold4_int(bb))
+        )
+        if self.copy_table is not None:
+            gl = gc * (1 - ez)
+            cs.lookup_logup(
+                "CDC copy event",
+                [[
+                    gl, gl * Advice(self.c_call_id),
+                    gl * fold4_int(ba), gl * Advice(self.c_call_id),
+                    gl * fold4_int(ab4), gl * fold4_int(bb),
+                    gl * (rwc + 3),
+                ]],
+                self.copy_table,
+            )
+
         # byte range checks: every word-gadget byte cell rides one logUp
         # argument, gated by q alone (padding/unused cells are 0 = valid)
         all_byte_cols = (
@@ -393,10 +476,11 @@ class EvmCircuit(Circuit):
         cid = Advice(self.c_call_id)
         stack = int(RwTag.Stack)
         gbin = None
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ"):
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP"):
             gbin = ind[g] if gbin is None else gbin + ind[g]
         gbin = q * gbin
         gun = q * (ind["ISZERO"] + ind["NOT"])
+        gcdc = q * ind["CALLDATACOPY"]
 
         def access(gate, d_rwc, is_write, addr_expr, val_expr,
                    tag: int = stack):
@@ -422,6 +506,10 @@ class EvmCircuit(Circuit):
             # unary ops: read va@sp, write vc@sp
             access(gun, 0, 0, sp, va),
             access(gun, 1, 1, sp, vc),
+            # CALLDATACOPY: read dst@sp, src@sp+1, len@sp+2
+            access(gcdc, 0, 0, sp, va),
+            access(gcdc, 1, 0, sp + 1, vb),
+            access(gcdc, 2, 0, sp + 2, vc),
             # DUPn: read va@(sp+n-1), write va@(sp-1)
             access(q * ind["DUP"], 0, 0, sp + nd - 1, va),
             access(q * ind["DUP"], 1, 1, sp - 1, va),
@@ -545,6 +633,8 @@ class EvmCircuit(Circuit):
             carries = [[0] * n_steps for _ in range(32)]
             membytes = [[0] * n_steps for _ in range(32)]
             addrbytes = [[0] * n_steps for _ in range(4)]
+            ez_col = [0] * n_steps
+            eo_col = [0] * n_steps
             M128, M256 = (1 << 128) - 1, 1 << 256
 
             def set_word(key, si, w):
@@ -637,6 +727,26 @@ class EvmCircuit(Circuit):
                 elif kind == "NOT":
                     set_word("a", si, ops[0].value)
                     set_word("c", si, ops[1].value)
+                elif kind == "EXP":
+                    assert self.exp_table is not None or ops[1].value < 2, (
+                        "EXP step needs the Exp circuit's table (composed mode)"
+                    )
+                    set_word("a", si, ops[0].value)
+                    set_word("b", si, ops[1].value)
+                    set_word("c", si, ops[2].value)
+                    ez_col[si] = int(ops[1].value == 0)
+                    eo_col[si] = int(ops[1].value == 1)
+                elif kind == "CALLDATACOPY":
+                    assert self.copy_table is not None or ops[2].value == 0, (
+                        "CALLDATACOPY needs the Copy circuit's table"
+                    )
+                    dst, src, ln = (o.value for o in ops[:3])
+                    assert max(dst, src, ln) < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (dst >> (8 * i)) & 0xFF
+                        byts["a"][i][si] = (src >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (ln >> (8 * i)) & 0xFF
+                    ez_col[si] = int(ln == 0)
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),
@@ -649,6 +759,8 @@ class EvmCircuit(Circuit):
                 cols[ci] = mont(membytes[i])
             for i, ci in enumerate(self.c_addr):
                 cols[ci] = mont(addrbytes[i])
+            cols[self.c_ez] = mont(ez_col)
+            cols[self.c_eo] = mont(eo_col)
             if self.standalone:
                 # rw table (phase-0 part)
                 rws = sorted(
@@ -669,14 +781,16 @@ class EvmCircuit(Circuit):
         # phase 1: word RLCs
         r_chal = challenges[self.r_word.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
-        va, vb, vc, invs = [], [], [], []
-        binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ")
+        va, vb, vc, invs, inv2s = [], [], [], [], []
+        binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
+                  "EXP", "CALLDATACOPY")
         for s in steps:
             ops = [self.rw_by_counter[i] for i in s.rw_indices]
             kind = self._classify(s)
             def rlc(rw):
                 return word_rlc(rw.value, r_int)
             inv_of = 0
+            inv2_of = 0
             if kind in ("PUSH", "POP", "PC"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "MLOAD":
@@ -690,6 +804,10 @@ class EvmCircuit(Circuit):
                     inv_of = vb[-1]
                 elif kind == "EQ":
                     inv_of = (va[-1] - vb[-1]) % R
+                elif kind == "EXP":
+                    inv2_of = vb[-1] * (vb[-1] - 1) % R
+                elif kind == "CALLDATACOPY":
+                    inv2_of = vc[-1]
             elif kind in ("ISZERO", "NOT"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(rlc(ops[1]))
                 if kind == "ISZERO":
@@ -701,11 +819,13 @@ class EvmCircuit(Circuit):
             else:
                 va.append(0); vb.append(0); vc.append(0)
             invs.append(pow(inv_of, -1, R) if inv_of else 0)
+            inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
         out = {
             self.c_val_a: mont(va),
             self.c_val_b: mont(vb),
             self.c_val_c: mont(vc),
             self.c_inv: mont(invs),
+            self.c_inv2: mont(inv2s),
         }
         if self.standalone:
             out[self.t_val] = mont(

@@ -11,8 +11,10 @@ Scroll stack (reference aggregator/src/chunk.rs:18 `ChunkHash`):
     chain_id (8, BE) || prev_state_root (32) || post_state_root (32) ||
     withdraw_root (32) || data_hash (32)        = 136 bytes (1 keccak block)
 
-TPU-first layout: one row per PI byte, a running msb-first RLC accumulator
-column (matching the KeccakTable's input_rlc convention), digest byte
+TPU-first layout: one row per PI byte INCLUDING the keccak pad10*1 bytes
+(the KeccakTable's input_rlc folds over the padded message, so the
+statement rows are followed by 136 pad rows whose bytes are pinned by a
+fixed column), a running msb-first RLC accumulator column, digest byte
 cells + hi/lo recomposition on row 0, instance binding via two copy
 constraints.  Standalone mode carries its own keccak-table witness
 columns; the SuperCircuit passes the Keccak circuit's actual table.
@@ -33,6 +35,15 @@ from ..plonk.expression import Advice, Fixed
 F = fr()
 
 N_PI_BYTES = 136
+N_PADDED = 272  # pi_bytes || pad10*1 fills exactly two keccak blocks
+
+
+def padded_pi_bytes(pi: bytes) -> bytes:
+    assert len(pi) == N_PI_BYTES
+    pad = bytearray(136)
+    pad[0] = 0x01
+    pad[-1] |= 0x80
+    return pi + bytes(pad)
 
 
 @dataclasses.dataclass
@@ -72,8 +83,10 @@ class PiCircuit(Circuit):
         """keccak_table: (is_enabled, input_rlc, output_rlc) exprs from the
         Keccak circuit; standalone mode allocates witness columns."""
         self.standalone = keccak_table is None
-        self.q_pi = cs.fixed_column()  # 1 on the N_PI_BYTES byte rows
+        self.q_pi = cs.fixed_column()  # 1 on the N_PADDED byte rows
         self.q_one = cs.fixed_column()  # 1 on row 0 only
+        self.q_pad = cs.fixed_column()  # 1 on the 136 keccak-pad rows
+        self.f_pad = cs.fixed_column()  # expected pad byte on pad rows
         if byte_table is None:
             self.tbl_byte = cs.fixed_column()
             byte_table = [Fixed(self.tbl_byte)]
@@ -107,9 +120,13 @@ class PiCircuit(Circuit):
         cs.create_gate(
             "pi acc step", q * (1 - q1) * (acc - acc_prev * self.r - byte)
         )
-        # total (row 0) = acc at the last byte row
+        # keccak pad rows carry the fixed pad10*1 pattern
         cs.create_gate(
-            "pi total", q1 * (total - Advice(self.c_acc, N_PI_BYTES - 1))
+            "pi pad bytes", Fixed(self.q_pad) * (byte - Fixed(self.f_pad))
+        )
+        # total (row 0) = acc at the last padded row
+        cs.create_gate(
+            "pi total", q1 * (total - Advice(self.c_acc, N_PADDED - 1))
         )
 
         # digest cells: hi/lo recomposition (big-endian halves)
@@ -154,11 +171,19 @@ class PiCircuit(Circuit):
 
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
-        assert usable_rows(n) >= max(N_PI_BYTES, 256)
+        assert usable_rows(n) >= max(N_PADDED, 256)
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        padded = padded_pi_bytes(self.pd.pi_bytes())
         out = {
-            self.q_pi: mont([1 if i < N_PI_BYTES else 0 for i in range(n)]),
+            self.q_pi: mont([1 if i < N_PADDED else 0 for i in range(n)]),
             self.q_one: mont([1 if i == 0 else 0 for i in range(n)]),
+            self.q_pad: mont(
+                [1 if N_PI_BYTES <= i < N_PADDED else 0 for i in range(n)]
+            ),
+            self.f_pad: mont(
+                [padded[i] if N_PI_BYTES <= i < N_PADDED else 0
+                 for i in range(n)]
+            ),
         }
         if hasattr(self, "tbl_byte"):
             out[self.tbl_byte] = mont([i if i < 256 else 0 for i in range(n)])
@@ -170,7 +195,7 @@ class PiCircuit(Circuit):
         mont = lambda vals: F.from_ints(
             [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
         )
-        pi = self.pd.pi_bytes()
+        pi = padded_pi_bytes(self.pd.pi_bytes())
         dig = self.pd.digest()
         if phase == 0:
             cols = {self.c_byte: mont(list(pi))}

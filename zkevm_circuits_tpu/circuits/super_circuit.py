@@ -13,13 +13,17 @@ Composition mechanics (TPU-native):
     recomposition EXPRESSIONS over the State limb columns — no duplicated
     rw columns at all (the reference shares the RwTable struct,
     zkevm-circuits/src/table.rs:577).
-  * One shared word-RLC challenge is allocated by the SuperCircuit and
-    passed to every sub-circuit (the reference's evm_word challenge,
-    zkevm-circuits/src/util.rs:93-106).
+  * One shared phase-0 challenge serves every RLC (the reference splits
+    evm_word / keccak_input challenges across phases,
+    zkevm-circuits/src/util.rs:93-106; one challenge is sound for the
+    same reasons, documented divergence).
 
-Round-1 composition: State + EVM (shared RW table + challenge), Bytecode
-and Tx side by side.  The Bytecode<->EVM code lookups and Tx<->EVM
-context lookups land as those gadget families grow.
+Cross-circuit bindings wired here:
+  * EVM bus lookups -> State RW table (shared columns).
+  * Bytecode code-hash -> Keccak table (when keccak witness present).
+  * PI statement hash -> Keccak table + instance exposure.
+  * Copy byte bus -> State RW table + Tx table calldata rows.
+  * Exp / Poseidon ride along with shared byte table / own geometry.
 """
 
 from __future__ import annotations
@@ -31,7 +35,12 @@ from ..types.bytecode import Bytecode
 from ..types.transaction import Transaction
 from ..witness.builder import CircuitInputBuilder
 from .bytecode import BytecodeCircuit, BytecodeParams
+from .copy import CopyCircuit, CopyParams
 from .evm import EvmCircuit, EvmParams
+from .exp import ExpCircuit, ExpParams
+from .keccak import KeccakCircuit
+from .pi import PiCircuit, PublicData
+from .poseidon import PoseidonCircuit, PoseidonEvent
 from .state import StateCircuit, StateParams
 from .tx import TxCircuit, TxParams
 
@@ -49,28 +58,94 @@ class SuperParams:
     )
     bytecode: BytecodeParams = dataclasses.field(default_factory=BytecodeParams)
     tx: TxParams = dataclasses.field(default_factory=TxParams)
+    copy: CopyParams = dataclasses.field(
+        default_factory=lambda: CopyParams(target_rows=64)
+    )
+    exp: ExpParams = dataclasses.field(
+        default_factory=lambda: ExpParams(target_rows=64)
+    )
 
 
 class SuperCircuit(Circuit):
+    """Composes every implemented sub-circuit.
+
+    Always-on: State, EVM, Bytecode, Tx.  Witness-gated: Copy and Exp (on
+    when the builder produced events), Keccak (on when `with_keccak` or
+    `public_data` — enables the bytecode code-hash binding), PI (on when
+    `public_data` given; adds the two-element digest instance), Poseidon
+    (on when events given).
+    """
+
     def __init__(self, builder: CircuitInputBuilder,
                  bytecodes: list[Bytecode], txs: list[Transaction],
-                 params: SuperParams | None = None):
+                 params: SuperParams | None = None,
+                 public_data: PublicData | None = None,
+                 poseidon_events: list[PoseidonEvent] | None = None,
+                 with_keccak: bool = False):
         p = params or SuperParams()
         self.params = p
         self.state = StateCircuit(builder.rws, p.state)
         self.evm = EvmCircuit(builder.steps, builder.rws.rws, p.evm)
         self.bytecode = BytecodeCircuit(bytecodes, p.bytecode)
         self.tx = TxCircuit(txs, p.tx)
-        self.subs = [self.state, self.evm, self.bytecode, self.tx]
+        self.subs: list[Circuit] = [self.state, self.evm, self.bytecode, self.tx]
+
+        self.copy = None
+        if builder.copy_events:
+            tx_rows = [
+                (i + 1, j, b)
+                for i, tx in enumerate(txs) for j, b in enumerate(tx.data)
+            ]
+            self.copy = CopyCircuit(builder.copy_events, p.copy, tx_rows=tx_rows)
+            self.subs.append(self.copy)
+        self.exp = None
+        if builder.exp_events:
+            self.exp = ExpCircuit(builder.exp_events, p.exp)
+            self.subs.append(self.exp)
+
+        self.pd = public_data
+        self.keccak = None
+        if with_keccak or public_data is not None:
+            messages = [bc.to_bytes() for bc in bytecodes]
+            if public_data is not None:
+                messages.append(public_data.pi_bytes())
+            self.keccak = KeccakCircuit(messages)
+            self.subs.append(self.keccak)
+        self.pi = None
+        if public_data is not None:
+            self.pi = PiCircuit(public_data)
+            self.subs.append(self.pi)
+        self.poseidon = None
+        if poseidon_events:
+            self.poseidon = PoseidonCircuit(poseidon_events)
+            self.subs.append(self.poseidon)
 
     def configure(self, cs: ConstraintSystem):
         r_word = cs.challenge(phase=0)
         self.state.configure(cs, challenge=r_word)
+        rw_table = self.state.rw_table_exprs()
+        self.tx.configure(cs, challenge=r_word)
+        keccak_table = None
+        if self.keccak is not None:
+            self.keccak.configure(cs, challenge=r_word)
+            keccak_table = self.keccak.keccak_table_exprs()
+        if self.copy is not None:
+            self.copy.configure(
+                cs, rw_table=rw_table, tx_table=self.tx.tx_table_exprs(),
+                challenge=r_word,
+            )
+        if self.exp is not None:
+            self.exp.configure(cs)
         self.evm.configure(
-            cs, rw_table=self.state.rw_table_exprs(), challenge=r_word
+            cs, rw_table=rw_table, challenge=r_word,
+            exp_table=self.exp.exp_table if self.exp is not None else None,
+            copy_table=self.copy.copy_table if self.copy is not None else None,
         )
-        self.bytecode.configure(cs)
-        self.tx.configure(cs)
+        self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
+        if self.pi is not None:
+            self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)
+        if self.poseidon is not None:
+            self.poseidon.configure(cs)
 
     def fixed_columns(self, n: int):
         out = {}

@@ -70,7 +70,7 @@ class TxCircuit(Circuit):
             assert sender is not None, "unsigned tx in witness"
             tx._sender = sender
 
-    def configure(self, cs: ConstraintSystem):
+    def configure(self, cs: ConstraintSystem, challenge=None):
         p = self.params
         self.q_fixed = cs.fixed_column()  # fixed-field region rows
         self.q_data = cs.fixed_column()  # calldata region rows
@@ -82,7 +82,7 @@ class TxCircuit(Circuit):
         self.c_index = cs.advice_column()  # calldata byte index
         self.c_value = cs.advice_column(phase=1)  # field value or byte
         self.c_is_final = cs.advice_column()  # last byte of a tx's calldata
-        self.r = cs.challenge(phase=0)
+        self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
         qf, qd = Fixed(self.q_fixed), Fixed(self.q_data)
         tag, ftag = Advice(self.c_tag), Fixed(self.f_tag)
@@ -108,6 +108,16 @@ class TxCircuit(Circuit):
         )
         # calldata bytes range-checked
         cs.lookup_logup("calldata bytes", [[qd * val]], [Fixed(self.tbl_byte)])
+
+    def tx_table_exprs(self) -> list:
+        """(tx_id, tag, index, value) TxTable exprs for other circuits'
+        lookups (reference table.rs:207 `TxTable`; the Copy circuit's
+        calldata source rides this)."""
+        g = Fixed(self.q_fixed) + Fixed(self.q_data)
+        return [
+            g * Advice(self.c_tx_id), g * Advice(self.c_tag),
+            g * Advice(self.c_index), g * Advice(self.c_value),
+        ]
 
     def _layout(self, n: int):
         p = self.params

@@ -254,7 +254,8 @@ class CircuitInputBuilder:
             )
             for j, byte in enumerate(chunk):
                 rws.append(self.rws.memory_write(call_id, dst + j, byte))
-            self.copy_events.append(ev)
+            if ln:  # zero-length copies produce no event rows
+                self.copy_events.append(ev)
         elif op == OpcodeId.EXP:
             base, exponent = stack_val(0), stack_val(1)
             rws.append(self.rws.stack_read(call_id, sp, base))
