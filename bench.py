@@ -40,7 +40,11 @@ def main():
 
     setup_compile_cache()
 
-    from zkevm_circuits_tpu.poly.ntt_mxu import _device_consts, _ntt_mxu_jit
+    from zkevm_circuits_tpu.poly.ntt_mxu import (
+        _device_consts, _ntt_mxu_jit, _use_pallas,
+    )
+
+    pallas = _use_pallas()
 
     rng = np.random.default_rng(1234)
     n = 1 << K
@@ -53,7 +57,7 @@ def main():
     @jax.jit
     def run(x, w1, tw, w2):
         def body(_, y):
-            return _ntt_mxu_jit(y, w1, tw, w2, K)
+            return _ntt_mxu_jit(y, w1, tw, w2, K, pallas)
 
         return jax.lax.fori_loop(0, REPEAT, body, x)[0, 0, :]
 

@@ -224,3 +224,121 @@ def butterfly_stage(lo, hi, tw, field: Fp | None = None):
         *_const_args(f),
     )
     return olo.astype(jnp.uint8), ohi.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MXU-exact kernels: every convolution is a bf16 x bf16 -> f32 dot with
+# operands <= 255 (EXACT on the MXU; Mosaic's f32 HIGHEST is NOT exact
+# in-kernel — probed).  Values above 255 are split into 8-bit halves.
+# ---------------------------------------------------------------------------
+def _dot_u8(a32, m32):
+    """(B, K) x (K, N) int32 with all entries <= 255 -> exact int32."""
+    return jax.lax.dot_general(
+        a32.astype(jnp.bfloat16), m32.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+def _dot_split(vals32, m32):
+    """(B, K) int32 (entries < 2^16) x 0/255 matrix -> exact int32 via
+    8-bit half splits."""
+    hi = vals32 >> 8
+    lo = vals32 & MASK
+    return _dot_u8(hi, m32) * 256 + _dot_u8(lo, m32)
+
+
+def _redc34_kernel(t_ref, np_ref, p_ref, pc_ref, o_ref):
+    """(BLK, 63) int32 exact digit sums (T < 2^272*p) -> (BLK, 32) int32
+    canonical T * 2^-272 mod p (the NTT-side wide REDC, see ntt_mxu._redc)."""
+    t = _canon(t_ref[:], 66, passes=4)
+    m = _dot_u8(t[:, :34], np_ref[:])
+    m = _canon(m, 34, passes=3)
+    mp = _dot_u8(m, p_ref[:])  # (BLK, 65)
+    res = t + jnp.concatenate(
+        [mp, jnp.zeros((mp.shape[0], 1), jnp.int32)], axis=1
+    )
+    res = _canon(res, 66, passes=3)[:, 34:]
+    o_ref[:] = _cond_sub_p(res, pc_ref[:])
+
+
+def redc34(t32, np34_toep, p34_toep, blk: int = 256):
+    """(rows, 63) int32 -> (rows, 32) uint8, fused VMEM wide-REDC."""
+    rows = t32.shape[0]
+    assert rows % blk == 0, rows
+    spec_in = pl.BlockSpec((blk, 63), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((blk, ND), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cnp = pl.BlockSpec((34, 34), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cp = pl.BlockSpec((34, 65), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cpc = pl.BlockSpec((1, ND), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _redc34_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, ND), jnp.int32),
+        grid=(rows // blk,),
+        in_specs=[spec_in, cnp, cp, cpc],
+        out_specs=spec_out,
+    )(t32, np34_toep, p34_toep, F.PCOMP_DIGITS[None, :].astype(np.int32))
+    return out.astype(jnp.uint8)
+
+
+def _mont_mul_mxu_kernel(a_ref, b_ref, erep_ref, etile_ref, mfull_ref,
+                         np_ref, p_ref, pc_ref, o_ref):
+    """Montgomery product via MXU dots: outer-product digit pairs (split
+    into 8-bit halves) against the 0/1 anti-diagonal matrix, then REDC
+    with constant-Toeplitz dots.  The (BLK, 1024) digit-pair expansion is
+    built with 0/1 expansion matmuls (explicit semantics; pltpu.repeat
+    layouts are not what we need)."""
+    a = a_ref[:]
+    b = b_ref[:]
+    blk = a.shape[0]
+    a_rep = _dot_u8(a, erep_ref[:])  # [i, 32j+k] = a[i, j]
+    b_tile = _dot_u8(b, etile_ref[:])  # [i, 32j+k] = b[i, k]
+    prod = a_rep * b_tile  # <= 255^2
+    t = _dot_split(prod, mfull_ref[:])  # (BLK, 63) exact
+    t = _canon(t, 2 * ND, passes=3)
+    m = _dot_u8(t[:, :ND], np_ref[:])
+    m = _canon(m, ND, passes=3)
+    mp = _dot_u8(m, p_ref[:])  # (BLK, 63)
+    res = t + jnp.concatenate(
+        [mp, jnp.zeros((blk, 1), jnp.int32)], axis=1
+    )
+    res = _canon(res, 2 * ND, passes=3)[:, ND:]
+    o_ref[:] = _cond_sub_p(res, pc_ref[:])
+
+
+@functools.cache
+def _expansion_mats():
+    """E_rep[j, 32j+k] = 1 (a_rep) and E_tile[k, 32j+k] = 1 (b_tile)."""
+    erep = np.zeros((ND, ND * ND), np.int32)
+    etile = np.zeros((ND, ND * ND), np.int32)
+    for j in range(ND):
+        for k in range(ND):
+            erep[j, ND * j + k] = 1
+            etile[k, ND * j + k] = 1
+    return erep, etile
+
+
+def mont_mul_mxu(a, b, blk: int = 256):
+    """(rows, 32) u8 x u8 Montgomery mul, one fused VMEM+MXU kernel."""
+    rows = a.shape[0]
+    assert rows % blk == 0, rows
+    row = pl.BlockSpec((blk, ND), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ce = pl.BlockSpec((ND, ND * ND), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cm = pl.BlockSpec((ND * ND, 63), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cnp = pl.BlockSpec((ND, ND), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cp = pl.BlockSpec((ND, 63), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cpc = pl.BlockSpec((1, ND), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    erep, etile = _expansion_mats()
+    mfull = M_FULL2.astype(np.int32)
+    np_t = F.NPINV_TOEP.astype(np.int32)
+    p_t = F.P_TOEP.astype(np.int32)
+    out = pl.pallas_call(
+        _mont_mul_mxu_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, ND), jnp.int32),
+        grid=(rows // blk,),
+        in_specs=[row, row, ce, ce, cm, cnp, cp, cpc],
+        out_specs=row,
+    )(
+        a.astype(jnp.int32), b.astype(jnp.int32), erep, etile, mfull, np_t,
+        p_t, F.PCOMP_DIGITS[None, :].astype(np.int32),
+    )
+    return out.astype(jnp.uint8)

@@ -164,14 +164,43 @@ def _redc(t32):
     return F._cond_sub_p(res).astype(jnp.uint8)
 
 
-def _dft_pass(x, what):
-    """x: (r, m, 32) u8 -> (r, m, 32) u8 DFT over axis 0 via one matmul."""
+def _use_pallas() -> bool:
+    """Fused VMEM REDC/twiddle kernels: default on TPU (validated against
+    the jnp path across all variants); ZKEVM_TPU_PALLAS=0 disables."""
+    import os
+
+    import jax as _jax
+
+    return (os.environ.get("ZKEVM_TPU_PALLAS", "1") != "0"
+            and _jax.default_backend() == "tpu")
+
+
+@functools.cache
+def _redc34_consts_i32():
+    np_toep, p_toep = _redc34_consts()
+    # plain numpy: small enough to bake as jit constants (13 KB); device
+    # arrays here would leak tracers out of the cache when first touched
+    # inside a trace
+    return np_toep.astype(np.int32), p_toep.astype(np.int32)
+
+
+def _dft_pass(x, what, pallas: bool):
+    """x: (r, m, 32) u8 -> (r, m, 32) u8 DFT over axis 0 via one matmul;
+    the wide REDC runs as a fused VMEM kernel on TPU."""
     r, m, _ = x.shape
     xs = jnp.transpose(x, (0, 2, 1)).reshape(r * ND, m)
     t = jax.lax.dot_general(
         what, xs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )  # (63r, m)
     t = jnp.transpose(t.reshape(r, 63, m), (0, 2, 1))  # (r, m, 63)
+    if pallas:
+        from ..ops.pallas_field import redc34
+
+        rows = r * m
+        blk = 256 if rows % 256 == 0 else rows
+        np34, p34 = _redc34_consts_i32()
+        out = redc34(t.reshape(rows, 63), np34, p34, blk=blk)
+        return out.reshape(r, m, ND)
     return _redc(t)
 
 
@@ -198,8 +227,8 @@ def _device_consts(k: int, inverse: bool, coset: bool):
     return w1, tw, w2
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _ntt_mxu_jit(x, w1, tw, w2, k: int):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _ntt_mxu_jit(x, w1, tw, w2, k: int, pallas: bool = False):
     k1, k2 = _split_k(k)
     n1, n2 = 1 << k1, 1 << k2
     batch = x.shape[:-2]
@@ -207,19 +236,30 @@ def _ntt_mxu_jit(x, w1, tw, w2, k: int):
     y = x.reshape(b, n1, n2, ND)
     # pass 1: DFT_{n1} over j1
     y = jnp.transpose(y, (1, 0, 2, 3)).reshape(n1, b * n2, ND)
-    y = _dft_pass(y, w1).reshape(n1, b, n2, ND)
+    y = _dft_pass(y, w1, pallas).reshape(n1, b, n2, ND)
     # twiddle
-    y = F._mul(y, tw[:, None, :, :])
+    if pallas:
+        from ..ops.pallas_field import mont_mul_mxu
+
+        rows = n1 * b * n2
+        blk = 256 if rows % 256 == 0 else rows
+        tw_full = jnp.broadcast_to(
+            tw[:, None, :, :], (n1, b, n2, ND)
+        ).reshape(rows, ND)
+        y = mont_mul_mxu(y.reshape(rows, ND), tw_full, blk=blk)
+        y = y.reshape(n1, b, n2, ND)
+    else:
+        y = F._mul(y, tw[:, None, :, :])
     # pass 2: DFT_{n2} over j2
     y = jnp.transpose(y, (2, 1, 0, 3)).reshape(n2, b * n1, ND)
-    y = _dft_pass(y, w2).reshape(n2, b, n1, ND)  # [i2, b, i1]
+    y = _dft_pass(y, w2, pallas).reshape(n2, b, n1, ND)  # [i2, b, i1]
     # natural order: out[j] with j = i1 + n1*i2  (i1 minor)
     return jnp.transpose(y, (1, 0, 2, 3)).reshape(*batch, n1 * n2, ND)
 
 
 def _ntt_mxu_impl(x, k: int, inverse: bool, coset: bool):
     w1, tw, w2 = _device_consts(k, inverse, coset)
-    return _ntt_mxu_jit(x, w1, tw, w2, k)
+    return _ntt_mxu_jit(x, w1, tw, w2, k, _use_pallas())
 
 
 # ---------------------------------------------------------------------------
