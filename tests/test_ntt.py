@@ -94,18 +94,32 @@ def test_sharded_ntt_matches(rng, inverse):
 # MXU four-step NTT (poly/ntt_mxu.py): must match the butterfly path exactly
 # ---------------------------------------------------------------------------
 def test_mxu_ntt_matches_butterfly(rng):
+    # compare against the radix-2 ladder ORACLE (_ntt_impl / coset_scale),
+    # not the public API — which now routes through the MXU path itself
     from zkevm_circuits_tpu.poly import ntt_mxu as mxu
 
     for k in (4, 7):
         n = 1 << k
         x = np.frombuffer(rng.bytes(n * 32), np.uint8).reshape(n, 32).copy()
         x[:, 31] = 0
-        for a, b in (
-            (nttmod.ntt, mxu.ntt_mxu), (nttmod.intt, mxu.intt_mxu),
-            (nttmod.coset_ntt, mxu.coset_ntt_mxu),
-            (nttmod.coset_intt, mxu.coset_intt_mxu),
-        ):
-            assert np.array_equal(np.asarray(a(x, k)), np.asarray(b(x, k)))
+        oracle = {
+            "ntt": lambda v: nttmod._ntt_impl(v, k, False),
+            "intt": lambda v: nttmod._ntt_impl(v, k, True),
+            "coset_ntt": lambda v: nttmod._ntt_impl(
+                nttmod.coset_scale(v, k), k, False
+            ),
+            "coset_intt": lambda v: nttmod.coset_scale(
+                nttmod._ntt_impl(v, k, True), k, inverse=True
+            ),
+        }
+        mine = {
+            "ntt": mxu.ntt_mxu, "intt": mxu.intt_mxu,
+            "coset_ntt": mxu.coset_ntt_mxu, "coset_intt": mxu.coset_intt_mxu,
+        }
+        for name in oracle:
+            assert np.array_equal(
+                np.asarray(oracle[name](x)), np.asarray(mine[name](x, k))
+            ), (k, name)
 
 
 def test_mxu_ntt_batch_and_roundtrip(rng):
@@ -115,7 +129,8 @@ def test_mxu_ntt_batch_and_roundtrip(rng):
     xb = np.frombuffer(rng.bytes(3 * n * 32), np.uint8).reshape(3, n, 32).copy()
     xb[..., 31] = 0
     assert np.array_equal(
-        np.asarray(nttmod.ntt(xb, k)), np.asarray(mxu.ntt_mxu(xb, k))
+        np.asarray(nttmod._ntt_impl(xb, k, False)),
+        np.asarray(mxu.ntt_mxu(xb, k)),
     )
     assert np.array_equal(
         np.asarray(mxu.intt_mxu(mxu.ntt_mxu(xb, k), k)), xb
@@ -136,5 +151,6 @@ def test_mxu_redc_bound_regression(rng):
         x = np.frombuffer(rng.bytes(n * 32), np.uint8).reshape(n, 32).copy()
         x[:, 31] = 0
         assert np.array_equal(
-            np.asarray(nttmod.ntt(x, k)), np.asarray(mxu.ntt_mxu(x, k))
+            np.asarray(nttmod._ntt_impl(x, k, False)),
+            np.asarray(mxu.ntt_mxu(x, k)),
         )

@@ -57,10 +57,21 @@ def _ntt_impl(x, k: int, inverse: bool):
     return x
 
 
+# public transforms route through the MXU four-step path (ntt_mxu.py) for
+# k >= MXU_MIN_K — bit-identical results (equality-tested), ~15-25x faster
+# on TPU; the radix-2 ladder below stays as the small-k / sharded-local
+# kernel and the differential-testing oracle.
+MXU_MIN_K = 4
+
+
 def ntt(x, k: int | None = None):
     """coeffs -> evals at H (natural order: index i holds p(omega^i))."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
     assert x.shape[-2] == 1 << k
+    if k >= MXU_MIN_K:
+        from .ntt_mxu import ntt_mxu
+
+        return ntt_mxu(x, k)
     return _ntt_impl(x, k, False)
 
 
@@ -68,6 +79,10 @@ def intt(x, k: int | None = None):
     """evals at H -> coeffs."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
     assert x.shape[-2] == 1 << k
+    if k >= MXU_MIN_K:
+        from .ntt_mxu import intt_mxu
+
+        return intt_mxu(x, k)
     return _ntt_impl(x, k, True)
 
 
@@ -82,12 +97,20 @@ def coset_scale(x, k: int, inverse: bool = False):
 def coset_ntt(x, k: int | None = None):
     """coeffs -> evals on the coset g*H."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
+    if k >= MXU_MIN_K:
+        from .ntt_mxu import coset_ntt_mxu
+
+        return coset_ntt_mxu(x, k)  # coset scale folded into the matrices
     return ntt(coset_scale(x, k), k)
 
 
 def coset_intt(x, k: int | None = None):
     """evals on g*H -> coeffs."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
+    if k >= MXU_MIN_K:
+        from .ntt_mxu import coset_intt_mxu
+
+        return coset_intt_mxu(x, k)
     return coset_scale(intt(x, k), k, inverse=True)
 
 
