@@ -235,3 +235,300 @@ def test_evm_circuit_catches_bad_pc():
 
     failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
     assert any("pc" in f for f in failures), failures
+
+
+def test_evm_circuit_storage_ops():
+    b = _witness(
+        Bytecode()
+        .push(1, 0x42).push(1, 0x01).op("SSTORE")   # storage[1] = 0x42
+        .push(1, 0x01).op("SLOAD").op("POP")        # read it back
+        .push(1, 0x07).op("SLOAD").op("POP")        # fresh slot reads 0
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_context_ops():
+    state_tx = Tx(from_addr=SENDER, to=CONTRACT, value=5,
+                  data=bytes([0xAA, 0xBB, 0xCC]))
+    code = (
+        Bytecode()
+        .op("CALLER").op("POP").op("ADDRESS").op("POP")
+        .op("CALLVALUE").op("POP").op("CALLDATASIZE").op("POP")
+        .op("STOP")
+    )
+    state = StateDB(
+        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(state_tx)
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=5,
+             calldata=state_tx.data), tr
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_sload_value():
+    b = _witness(
+        Bytecode()
+        .push(1, 0x42).push(1, 0x01).op("SSTORE")
+        .push(1, 0x01).op("SLOAD").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 1:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "SLOAD"
+                )
+                arr = np.array(cols[self.c_val_b])
+                arr[row] = F.from_int(0x43 * F.R % F.modulus)
+                cols[self.c_val_b] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert any("rw bus" in f for f in failures), failures
+
+
+def test_evm_circuit_catches_wrong_caller_bytes():
+    b = _witness(Bytecode().op("CALLER").op("POP").op("STOP"))
+
+    class Corrupt(EvmCircuit):
+        """Claim a different caller address byte than the call context."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "CALLER"
+                )
+                arr = np.array(cols[self.c_bytes_a[0]])
+                arr[row] = F.from_int(0x13 * F.R % F.modulus)
+                cols[self.c_bytes_a[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures  # either the ctx-read lookup or the RLC binding trips
+
+
+def test_evm_circuit_bitwise_ops():
+    x = 0x00FF00FF_F0F0F0F0_12345678_9ABCDEF0 << 128 | 0xDEADBEEF
+    y = 0x0F0F0F0F_FF00FF00_87654321_0FEDCBA9 << 128 | 0x12345678
+    b = _witness(
+        Bytecode()
+        .push(32, y).push(32, x).op("AND").op("POP")
+        .push(32, y).push(32, x).op("OR").op("POP")
+        .push(32, y).push(32, x).op("XOR").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_byte_and_shl():
+    x = int.from_bytes(bytes(range(32)), "big")
+    b = _witness(
+        Bytecode()
+        .push(32, x).push(1, 3).op("BYTE").op("POP")     # in range -> 3
+        .push(32, x).push(2, 300).op("BYTE").op("POP")   # i >= 32 -> 0
+        .push(32, x).push(32, 1 << 200).op("BYTE").op("POP")  # huge i -> 0
+        .push(1, 1).push(1, 4).op("SHL").op("POP")       # 1 << 4
+        .push(32, x).push(1, 200).op("SHL").op("POP")    # overflow wrap
+        .push(1, 1).push(2, 300).op("SHL").op("POP")     # shift >= 256 -> 0
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_and_nibble():
+    b = _witness(
+        Bytecode().push(1, 0xF0).push(1, 0xFF).op("AND").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "AND"
+                )
+                # claim a wrong low nibble for the result byte 0
+                arr = np.array(cols[self.c_bytes_d[0]])
+                arr[row] = F.from_int(0x1 * F.R % F.modulus)
+                cols[self.c_bytes_d[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert any("AND" in f for f in failures), failures
+
+
+def test_evm_circuit_shr():
+    x = int.from_bytes(bytes(range(32)), "big")
+    b = _witness(
+        Bytecode()
+        .push(1, 0x55).push(1, 4).op("SHR").op("POP")    # small shift
+        .push(32, x).push(1, 100).op("SHR").op("POP")    # cross-limb shift
+        .push(32, x).push(1, 0).op("SHR").op("POP")      # zero shift
+        .push(32, x).push(2, 300).op("SHR").op("POP")    # shift >= 256 -> 0
+        .push(32, x).push(32, 1 << 200).op("SHR").op("POP")  # huge shift
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_shr_result():
+    b = _witness(
+        Bytecode().push(1, 0xF0).push(1, 4).op("SHR").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        """Claim quotient 0x0E instead of 0x0F (remainder adjusted so the
+        stack push matches the claimed quotient — the q*2^s+r=v identity
+        must catch it because r would need to be >= 2^s)."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            import numpy as np
+            from zkevm_circuits_tpu.crypto.field import fr
+            F = fr()
+            row = next(
+                i for i, s in enumerate(self.steps)
+                if s.exec_state == "SHR"
+            )
+            if phase == 0:
+                for arr_cols, val in ((self.c_bytes_c, 0x0E),):
+                    arr = np.array(cols[arr_cols[0]])
+                    arr[row] = F.from_int(val * F.R % F.modulus)
+                    cols[arr_cols[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "corrupted SHR quotient must fail"
+
+
+def test_evm_circuit_jump_jumpi():
+    # 0: PUSH1 4; 2: JUMP; 3: (dead) STOP; 4: JUMPDEST;
+    # 5: PUSH1 1; 7: PUSH1 11; 9: JUMPI (taken); 10: (dead) STOP
+    # 11: JUMPDEST; 12: PUSH1 0; 14: PUSH1 3; 16: JUMPI (not taken); 17: STOP
+    b = _witness(
+        Bytecode()
+        .push(1, 4).op("JUMP")
+        .op("STOP")
+        .op("JUMPDEST")
+        .push(1, 1).push(1, 11).op("JUMPI")
+        .op("STOP")
+        .op("JUMPDEST")
+        .push(1, 0).push(1, 3).op("JUMPI")
+        .op("STOP")
+    )
+    kinds = [s.exec_state for s in b.steps]
+    assert "JUMP" in kinds and kinds.count("JUMPI") == 2
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_jump_target():
+    b = _witness(
+        Bytecode().push(1, 3).op("JUMP").op("JUMPDEST").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        """Claim the pc landed at 5 instead of the popped dest 3."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "JUMP"
+                )
+                arr = np.array(cols[self.c_pc])
+                arr[row + 1] = F.from_int(5 * F.R % F.modulus)
+                cols[self.c_pc] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "corrupted JUMP target must fail"
+
+
+def test_evm_circuit_mstore8():
+    b = _witness(
+        Bytecode()
+        .push(2, 0xBBAA).push(1, 5).op("MSTORE8")  # mem[5] = 0xAA (low byte)
+        .push(1, 0).op("MLOAD").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def _calldata_witness(code: Bytecode, data: bytes):
+    state = StateDB(
+        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    tx = Tx(from_addr=SENDER, to=CONTRACT, data=data)
+    tr = Interpreter(state).run_tx(tx)
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=data), tr
+    )
+    return b
+
+
+def test_evm_circuit_calldataload():
+    data = bytes(range(1, 41))  # 40 bytes
+    b = _calldata_witness(
+        Bytecode()
+        .push(1, 0).op("CALLDATALOAD").op("POP")    # fully inside
+        .push(1, 20).op("CALLDATALOAD").op("POP")   # crosses the end
+        .push(1, 40).op("CALLDATALOAD").op("POP")   # exactly at the end
+        .push(1, 200).op("CALLDATALOAD").op("POP")  # past the end
+        .push(32, 1 << 128).op("CALLDATALOAD").op("POP")  # offset >= 2^32
+        .op("STOP"),
+        data,
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_calldataload_pad():
+    data = bytes([0x11] * 4)
+    b = _calldata_witness(
+        Bytecode().push(1, 2).op("CALLDATALOAD").op("POP").op("STOP"), data
+    )
+
+    class Corrupt(EvmCircuit):
+        """Claim 3 in-range bytes when only 2 exist (sel bit flipped on)."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "CALLDATALOAD"
+                )
+                arr = np.array(cols[self.c_carry[2]])
+                arr[row] = F.from_int(1 * F.R % F.modulus)
+                cols[self.c_carry[2]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "sel bit past the calldata end must fail"

@@ -22,7 +22,12 @@ TX_CREATE = Transaction(nonce=1, gas_price=1, gas=53000, to=None, value=0,
 def test_tx_rows_cover_payload():
     for tx in (TX_SHORT, TX_LONG, TX_CREATE):
         rows, payload = _tx_rows(tx, 1)
-        assert bytes(r[4] for r in rows) == payload
+        body = [r for r in rows if r[1] != int(RlpTag.Pad)]
+        assert bytes(r[4] for r in body) == payload
+        # pad rows complete the keccak 136-byte block with pad10*1
+        pad = bytes(r[4] for r in rows[len(body):])
+        assert len(payload) + len(pad) == 136 * ((len(payload) // 136) + 1)
+        assert pad[0] & 0x01 and pad[-1] & 0x80 and not any(pad[1:-1])
         assert payload == rlp_host.encode([
             tx.nonce, tx.gas_price, tx.gas,
             b"" if tx.to is None else tx.to.to_bytes(20, "big"),

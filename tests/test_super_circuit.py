@@ -23,16 +23,17 @@ SK = 0x3333333333333333333333333333333333333333333333333333333333333333
 
 def _witness():
     code = Bytecode().push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()  # context must match the signer
     state = StateDB(
-        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+        {sender: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
     )
-    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT))
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
     assert not tr.failed
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b""), tr
     )
-    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
     return b, [code], txs
 
 
@@ -78,18 +79,19 @@ def test_super_circuit_full_composition():
         .push(1, 3).push(1, 2).op("EXP").op("POP")            # 2^3
         .push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
     )
-    state = StateDB(
-        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
-    )
     calldata = bytes([0xAA, 0xBB, 0xCC, 0xDD])
-    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT, data=calldata))
+    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT, data=calldata))
     assert not tr.failed
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=calldata), tr
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=calldata), tr
     )
     assert b.copy_events and b.exp_events
-    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
     pd = PublicData(
         chain_id=1337,
         prev_state_root=keccak256(b"prev"),
@@ -109,16 +111,17 @@ def test_super_circuit_full_catches_copy_corruption():
         Bytecode()
         .push(1, 4).push(1, 0).push(1, 0).op("CALLDATACOPY").op("STOP")
     )
-    state = StateDB(
-        {SENDER: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
-    )
     calldata = bytes([0xAA, 0xBB, 0xCC, 0xDD])
-    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT, data=calldata))
+    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18), CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT, data=calldata))
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=calldata), tr
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=calldata), tr
     )
-    txs = [Transaction(nonce=0, to=CONTRACT, data=calldata, chain_id=1337).sign(SK)]
 
     class Corrupt(SuperCircuit):
         def synthesize(self, phase, n, challenges, instances):

@@ -65,8 +65,12 @@ class BytecodeCircuit(Circuit):
         self.c_inv_pdl = cs.advice_column()  # inverse witness of prev pdl
         self.c_push_size = cs.advice_column()
         self.c_rlc = cs.advice_column(phase=1)
+        # code-hash RLC (fold of the keccak digest bytes under r): always
+        # present so the EVM circuit can bind executed opcodes via
+        # `bytecode_table_exprs`; the keccak lookup that PROVES the hash
+        # additionally needs `keccak_table` (pad rows)
+        self.c_hash = cs.advice_column(phase=1)
         if self.has_hash_binding:
-            self.c_hash = cs.advice_column(phase=1)
             self.c_is_pad = cs.advice_column()
         self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
@@ -154,6 +158,33 @@ class BytecodeCircuit(Circuit):
                 [[g_last, g_last * rlc, g_last * Advice(self.c_hash)]],
                 keccak_table,
             )
+        # hash propagates across each bytecode's byte rows (the EVM
+        # circuit's opcode binding reads (hash, index) pairs, so every
+        # byte row must carry its bytecode's hash, not just the last),
+        # and across the pad rows so the keccak lookup at the LAST pad
+        # row pins the whole chain
+        hsh, hsh_p = Advice(self.c_hash), Advice(self.c_hash, -1)
+        cs.create_gate("hash propagates", q * ib * ib_p * (hsh - hsh_p))
+        if self.has_hash_binding:
+            cs.create_gate(
+                "hash propagates pad", q * ipad * (hsh - hsh_p)
+            )
+
+    def bytecode_table_exprs(self):
+        """BytecodeTable for cross-circuit lookups (reference
+        `table.rs:1146` BytecodeTable): (is_enabled, code_hash_rlc, index,
+        value, is_code) — all gated by the byte-row flag so disabled rows
+        form the all-zero tuple logUp gating requires."""
+        q = Fixed(self.q_en)
+        ib = Advice(self.c_is_byte)
+        g = q * ib
+        return [
+            g,
+            g * Advice(self.c_hash),
+            g * Advice(self.c_index),
+            g * Advice(self.c_value),
+            g * Advice(self.c_is_code),
+        ]
 
     # ------------------------------------------------------------------
     def _pad_len(self, code_len: int) -> int:
@@ -236,17 +267,18 @@ class BytecodeCircuit(Circuit):
                 acc = 0
                 rlcs.append(0)
         out = {self.c_rlc: mont(rlcs)}
-        if self.has_hash_binding:
-            from ..crypto.keccak import keccak256
+        from ..crypto.keccak import keccak256
 
-            hashes = []
-            for bc in self.bytecodes:
-                digest = keccak256(bc.to_bytes())
-                hr = sum(
-                    b * pow(r_int, i, R) for i, b in enumerate(digest)
-                ) % R
-                nrows = 1 + len(bc) + self._pad_len(len(bc))
-                hashes += [hr] * nrows
-            hashes += [0] * (len(rows) - len(hashes))
-            out[self.c_hash] = mont(hashes)
+        hashes = []
+        for bc in self.bytecodes:
+            digest = keccak256(bc.to_bytes())
+            hr = sum(
+                b * pow(r_int, i, R) for i, b in enumerate(digest)
+            ) % R
+            nrows = 1 + len(bc) + (
+                self._pad_len(len(bc)) if self.has_hash_binding else 0
+            )
+            hashes += [hr] * nrows
+        hashes += [0] * (len(rows) - len(hashes))
+        out[self.c_hash] = mont(hashes)
         return out

@@ -113,10 +113,11 @@ class CopyCircuit(Circuit):
 
         if self.standalone:
             trw = Fixed(self.q_trw)
+            # (rwc, is_write, tag, id, addr, field_tag, key_rlc, value)
             rw_table = [
                 trw * Advice(self.t_rwc), trw * 1, trw * int(RwTag.Memory),
                 trw * Advice(self.t_id), trw * Advice(self.t_addr),
-                trw * Advice(self.t_byte),
+                trw * 0, trw * 0, trw * Advice(self.t_byte),
             ]
             ttx = Fixed(self.q_ttx)
             tx_table = [
@@ -127,7 +128,8 @@ class CopyCircuit(Circuit):
         g = q * act
         cs.lookup_logup(
             "copy rw bus",
-            [[g * rwc, g, g * int(RwTag.Memory), g * did, g * dad, g * byte]],
+            [[g * rwc, g, g * int(RwTag.Memory), g * did, g * dad,
+              g * 0, g * 0, g * byte]],
             rw_table,
         )
         gs = g * (1 - pad)

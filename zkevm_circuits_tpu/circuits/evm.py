@@ -20,12 +20,15 @@ CellManager):
     mode loads the RwTable; the SuperCircuit ties it to the State circuit
     by sharing the actual columns).
 
-Gadget coverage: PUSHn, POP, ADD, SUB (AddWords ripple-carry), MUL, DIV,
+Gadget coverage: BeginTx/EndTx (internal states; call-context anchored to
+the TxTable), PUSHn, POP, ADD, SUB (AddWords ripple-carry), MUL, DIV,
 MOD (MulAddWords 512-bit limb products + carry banks, zero-divisor
 semantics), LT, GT (LtWord borrow split), EQ, ISZERO (inverse witness),
 NOT (bytewise complement), DUPn, SWAPn, PC, JUMPDEST, MLOAD, MSTORE
-(per-byte memory bus), STOP.  Stack values are byte-RLC words under the
-phase-0 challenge.
+(per-byte memory bus), CALLER, ADDRESS, CALLVALUE, CALLDATASIZE (call-
+context reads), SLOAD, SSTORE (storage bus rows keyed by the stack
+word's RLC), STOP.  Stack values are byte-RLC words under the phase-0
+challenge.
 """
 
 from __future__ import annotations
@@ -40,17 +43,34 @@ from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
 from ..plonk.expression import Advice, Expression, Fixed
 from ..types.evm import OpcodeId
 from ..witness.builder import ExecStep, STACK_BASE
-from ..witness.rw import Rw, RwTag
-from .state import word_rlc
+from ..witness.rw import CallContextField, Rw, RwTag
+from .state import rw_value_encoding, word_rlc
 
 F = fr()
 
-# implemented execution states, in gate order
+# implemented execution states, in gate order.  BEGIN_TX / END_TX are the
+# internal states bracketing each transaction (reference
+# evm_circuit/step.rs:39: BeginTx/EndTx), anchoring call-context values to
+# the TxTable.
 GADGETS = [
-    "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
-    "ISZERO", "NOT", "EXP", "CALLDATACOPY", "DUP", "SWAP", "PC", "JUMPDEST",
-    "MLOAD", "MSTORE", "STOP",
+    "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
+    "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
+    "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
+    "DUP", "SWAP",
+    "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
+    "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
+    "STOP",
 ]
+
+# gadget -> opcode byte, for the bytecode-table opcode binding.  PUSH /
+# DUP / SWAP are families: their byte is the base + the length/depth
+# column (handled in configure).  BEGIN_TX / END_TX / STOP are excluded
+# (internal states; STOP can also be the implicit stop past code end,
+# reference execution/stop.rs checks pc >= code length instead).
+OPCODE_BYTE = {
+    g: int(OpcodeId[g]) for g in GADGETS
+    if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP")
+}
 
 
 @dataclasses.dataclass
@@ -68,23 +88,39 @@ class EvmCircuit(Circuit):
 
     def __init__(self, steps: list[ExecStep], rws: list[Rw],
                  params: EvmParams | None = None):
-        self.steps = [s for s in steps if s.exec_state not in ("BeginTx", "EndTx")]
+        self.steps = list(steps)
         self.rw_by_counter = {r.rw_counter: r for r in rws}
         self.params = params or EvmParams()
 
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
-                  exp_table=None, copy_table=None):
-        """`rw_table`: optional 6 expressions (rw_counter, is_write, tag,
-        id, address, value) — the SuperCircuit passes the State circuit's
-        recomposed columns; standalone mode allocates its own table.
+                  exp_table=None, copy_table=None, tx_table=None,
+                  bytecode_table=None, mulmod_table=None):
+        """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
+        id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
+        passes the State circuit's recomposed columns; standalone mode
+        allocates its own table.
         `challenge`: optional shared word-RLC challenge.
         `exp_table` / `copy_table`: the Exp/Copy circuits' exposed tables;
         the EXP / CALLDATACOPY gadgets are only usable when given (their
-        steps are rejected at synthesis otherwise)."""
+        steps are rejected at synthesis otherwise).
+        `tx_table`: the Tx circuit's (tx_id, tag, index, value) exprs —
+        when given, the BEGIN_TX gadget binds the call context (callee,
+        caller, value, calldata length) to the TxTable (reference
+        execution/begin_tx.rs lookups); standalone mode leaves the
+        context anchored only by state-circuit consistency (dev mode).
+        `bytecode_table`: the Bytecode circuit's (is_enabled,
+        code_hash_rlc, index, value, is_code) exprs — when given, every
+        opcode step is bound to its bytecode byte, PUSH immediates are
+        read from the code, and JUMP/JUMPI destinations must be is_code
+        JUMPDEST bytes (reference execution/push.rs, jump.rs,
+        jumpi.rs)."""
         self.standalone = rw_table is None
         self.exp_table = exp_table
         self.copy_table = copy_table
+        self.tx_table = tx_table
+        self.bytecode_table = bytecode_table
+        self.mulmod_table = mulmod_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -96,6 +132,8 @@ class EvmCircuit(Circuit):
         self.c_rwc = cs.advice_column()  # rw_counter at step start
         self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
         self.c_call_id = cs.advice_column()
+        self.c_tx_id = cs.advice_column()
+        self.c_callee = cs.advice_column()  # executing contract (raw addr)
         self.c_push_len = cs.advice_column()  # for PUSHn: n (1..32)
         self.c_depth_n = cs.advice_column()  # for DUPn/SWAPn: n
         self.c_val_a = cs.advice_column(phase=1)  # operand / result RLCs
@@ -109,7 +147,12 @@ class EvmCircuit(Circuit):
         self.c_bytes_b = [cs.advice_column() for _ in range(32)]
         self.c_bytes_c = [cs.advice_column() for _ in range(32)]
         self.c_bytes_d = [cs.advice_column() for _ in range(32)]
+        self.c_bytes_e = [cs.advice_column() for _ in range(32)]  # SHR diff
         self.c_carry = [cs.advice_column() for _ in range(32)]
+        # code-hash RLC of the executing bytecode (fold of digest bytes
+        # under r, matching BytecodeCircuit's hash encoding); carried
+        # across a call frame like callee
+        self.c_code_hash = cs.advice_column(phase=1)
         self.c_inv = cs.advice_column(phase=1)  # IsZero inverse witness
         self.c_inv2 = cs.advice_column(phase=1)  # second inverse (EXP/CDC)
         self.c_ez = cs.advice_column()  # EXP: exponent==0; CDC: length==0
@@ -119,6 +162,20 @@ class EvmCircuit(Circuit):
         self.c_mem = [cs.advice_column() for _ in range(32)]
         self.c_addr = [cs.advice_column() for _ in range(4)]
         self.tbl_byte = cs.fixed_column()
+        # nibble-pair bitwise tables: row i < 256 encodes the pair
+        # (x, y) = (i >> 4, i & 15); tbl_byte doubles as the pair key
+        # (reference FixedTableTag::BitwiseAnd/Or/Xor, scaled to nibbles so
+        # the table fits any domain >= 256 instead of 2^16 rows)
+        self.tbl_and = cs.fixed_column()
+        self.tbl_or = cs.fixed_column()
+        self.tbl_xor = cs.fixed_column()
+        # pow2 table: row s < 256 holds the 128-bit halves of 2^s; the
+        # 0/1 selector makes the gated-off (all-zero) input tuple a valid
+        # row — unlike the byte/bitwise tables, pow2 has no natural zero
+        # row (2^0 = 1)
+        self.tbl_sel256 = cs.fixed_column()
+        self.tbl_pow2_lo = cs.fixed_column()
+        self.tbl_pow2_hi = cs.fixed_column()
 
         if self.standalone:
             # in-circuit RW table columns (the SuperCircuit points these
@@ -128,6 +185,8 @@ class EvmCircuit(Circuit):
             self.t_tag = cs.advice_column()
             self.t_id = cs.advice_column()
             self.t_addr = cs.advice_column()
+            self.t_field = cs.advice_column()
+            self.t_key = cs.advice_column(phase=1)
             self.t_val = cs.advice_column(phase=1)
 
         self.r_word = (
@@ -168,7 +227,8 @@ class EvmCircuit(Circuit):
         # POP: reads one value; sp += 1, rwc += 1, pc += 1
         transition(ind["POP"], 1, 1, 1)
         # binary word ops: read two, write one; sp += 1, rwc += 3, pc += 1
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP"):
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP",
+                  "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             transition(ind[g], 1, 3, 1)
         # unary word ops: read one, write one; sp 0, rwc += 2, pc += 1
         transition(ind["ISZERO"], 1, 2, 0)
@@ -194,10 +254,85 @@ class EvmCircuit(Circuit):
         )
         # JUMPDEST: no-op; pc += 1
         transition(ind["JUMPDEST"], 1, 0, 0)
+        # JUMP: pop dest; pc_next = dest (4-byte c_addr decomposition);
+        # dest must be an is_code JUMPDEST byte (lookup below)
+        jdest4 = [Advice(c) for c in self.c_addr]
+        jdest_int = (jdest4[0] + jdest4[1] * 256 + jdest4[2] * 65536
+                     + jdest4[3] * 16777216)
+        jdest_rlc = (jdest4[0] + jdest4[1] * self.r_word
+                     + jdest4[2] * self.r_word * self.r_word
+                     + jdest4[3] * self.r_word * self.r_word * self.r_word)
+        gj = q * ind["JUMP"]
+        gjn = q * q_n * ind["JUMP"]
+        cs.create_gate("JUMP dest rlc", gj * (jdest_rlc - va))
+        cs.create_gate("JUMP pc", gjn * (pc_n - jdest_int))
+        cs.create_gate("JUMP rwc", gjn * (rwc_n - rwc - 1))
+        cs.create_gate("JUMP sp", gjn * (sp_n - sp - 1))
+        # JUMPI: pop dest + cond; branch flag b = (cond != 0) via the
+        # inv2 inverse witness; pc_next = b ? dest : pc + 1
+        gji = q * ind["JUMPI"]
+        gjin = q * q_n * ind["JUMPI"]
+        jb = Advice(self.c_eo)
+        jinv = Advice(self.c_inv2)
+        cs.create_gate("JUMPI b bool", gji * jb * (jb - 1))
+        cs.create_gate("JUMPI b def", gji * (vb * jinv - jb))
+        cs.create_gate("JUMPI b kill", gji * vb * (1 - jb))
+        cs.create_gate("JUMPI dest rlc", gji * (jdest_rlc - va))
+        cs.create_gate(
+            "JUMPI pc",
+            gjin * (pc_n - jb * jdest_int - (1 - jb) * (pc + 1)),
+        )
+        cs.create_gate("JUMPI rwc", gjin * (rwc_n - rwc - 2))
+        cs.create_gate("JUMPI sp", gjin * (sp_n - sp - 2))
         # MLOAD: read addr, read 32 mem bytes, write word; sp 0, rwc += 34
         transition(ind["MLOAD"], 1, 34, 0)
         # MSTORE: read addr, read value, write 32 mem bytes; sp += 2
         transition(ind["MSTORE"], 1, 34, 2)
+        # MSTORE8: read addr, read value, write 1 mem byte; sp += 2
+        transition(ind["MSTORE8"], 1, 3, 2)
+        # MULMOD/ADDMOD: 3 pops + 1 push; sp += 2, rwc += 4
+        transition(ind["MULMOD"], 1, 4, 2)
+        transition(ind["ADDMOD"], 1, 4, 2)
+        # CALLDATALOAD: offset pop + ctx length read + word push; sp 0
+        transition(ind["CALLDATALOAD"], 1, 3, 0)
+        # context reads: 1 ctx read + 1 stack push; sp -= 1, rwc += 2
+        for g in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
+            transition(ind[g], 1, 2, -1)
+        # SLOAD: key pop + storage read + value push; sp 0, rwc += 3
+        transition(ind["SLOAD"], 1, 3, 0)
+        # SSTORE: key + value pops + storage write; sp += 2, rwc += 3
+        transition(ind["SSTORE"], 1, 3, 2)
+        # BEGIN_TX: 6 ctx reads; next row starts at pc 0, empty stack
+        txid, txid_n = Advice(self.c_tx_id), Advice(self.c_tx_id, 1)
+        callee, callee_n = Advice(self.c_callee), Advice(self.c_callee, 1)
+        cid_n = Advice(self.c_call_id, 1)
+        bt, bt_n = ind["BEGIN_TX"], Advice(self.c_ind["BEGIN_TX"], 1)
+        et = ind["END_TX"]
+        gbt = q * bt
+        cs.create_gate("BEGIN_TX pc0", gbt * pc)
+        cs.create_gate("BEGIN_TX sp empty", gbt * (sp - STACK_BASE))
+        # root frames: call_id == tx_id (nested calls land with CALL*)
+        cs.create_gate("BEGIN_TX cid", gbt * (Advice(self.c_call_id) - txid))
+        transition(bt, 0, 6, 0)
+        # END_TX: 1 ctx read (IsSuccess)
+        transition(et, 0, 1, 0)
+        # context continuity: tx_id / callee / call_id carry over unless
+        # the NEXT row begins a new transaction
+        g_cont = q * q_n * (1 - bt_n)
+        cs.create_gate("tx id continuity", g_cont * (txid_n - txid))
+        cs.create_gate("callee continuity", g_cont * (callee_n - callee))
+        cs.create_gate(
+            "call id continuity", g_cont * (cid_n - Advice(self.c_call_id))
+        )
+        chash = Advice(self.c_code_hash)
+        cs.create_gate(
+            "code hash continuity",
+            g_cont * (Advice(self.c_code_hash, 1) - chash),
+        )
+        # consecutive transactions: END_TX -> BEGIN_TX increments tx_id
+        cs.create_gate(
+            "next tx id", q * q_n * et * bt_n * (txid_n - txid - 1)
+        )
         # STOP: terminal — no transition constraints
 
         # ---- word-sum gadget (AddWords): x + y = z mod 2^256 over byte
@@ -377,6 +512,146 @@ class EvmCircuit(Circuit):
         cs.create_gate("NOT a rlc", gnot * (rlc_expr(ba) - va))
         cs.create_gate("NOT c rlc", gnot * (rlc_expr(bc) - vc))
 
+        # ---- AND / OR / XOR: per-byte nibble-pair lookups (reference
+        # execution/bitwise.rs + FixedTableTag Bitwise*).  Low nibbles are
+        # witness cells (carries = a_lo, mem = b_lo, bytes_d = c_lo); high
+        # nibbles are the derived expressions (byte - lo)/16 — the table
+        # membership simultaneously range-checks both halves. ------------
+        INV16 = pow(16, -1, R)
+        mem_c = [Advice(c) for c in self.c_mem]
+        for opname, tblcol in (
+            ("AND", self.tbl_and), ("OR", self.tbl_or), ("XOR", self.tbl_xor)
+        ):
+            g_op = q * ind[opname]
+            cs.create_gate(f"{opname} a rlc", g_op * (rlc_expr(ba) - va))
+            cs.create_gate(f"{opname} b rlc", g_op * (rlc_expr(bb) - vb))
+            cs.create_gate(f"{opname} c rlc", g_op * (rlc_expr(bc) - vc))
+            pairs = []
+            for i in range(32):
+                alo, blo, clo = cr[i], mem_c[i], bd[i]
+                ahi = (ba[i] - alo) * INV16
+                bhi = (bb[i] - blo) * INV16
+                chi = (bc[i] - clo) * INV16
+                pairs.append((alo * 16 + blo, clo))
+                pairs.append((ahi * 16 + bhi, chi))
+            cs.lookup_logup(
+                f"{opname} nibbles",
+                [[g_op * k, g_op * r_] for k, r_ in pairs],
+                [Fixed(self.tbl_byte), Fixed(tblcol)],
+            )
+
+        # ---- BYTE: result = big-endian byte i of x, 0 when i >= 32
+        # (reference execution/byte.rs).  One-hot selector in the carry
+        # bank picks le byte 31-i; out-of-range is proven by ba[0] >= 32
+        # (ez flag + byte-table shift) or a nonzero high byte. -----------
+        gby = q * ind["BYTE"]
+        s_sum = None
+        sel_idx = None
+        for j in range(32):
+            cs.create_gate(f"BYTE sel {j} bool", gby * cr[j] * (cr[j] - 1))
+            s_sum = cr[j] if s_sum is None else s_sum + cr[j]
+            t_ = cr[j] * j
+            sel_idx = t_ if sel_idx is None else sel_idx + t_
+        s_hi_a = None
+        for k in range(1, 32):
+            s_hi_a = ba[k] if s_hi_a is None else s_hi_a + ba[k]
+        cs.create_gate("BYTE sel sum bool", gby * s_sum * (s_sum - 1))
+        cs.create_gate("BYTE sel index", gby * (sel_idx - s_sum * ba[0]))
+        cs.create_gate("BYTE in-range high zero", gby * s_sum * s_hi_a)
+        picked_b = None
+        for j in range(32):
+            t_ = cr[j] * bb[31 - j]
+            picked_b = t_ if picked_b is None else picked_b + t_
+        cs.create_gate("BYTE result", gby * (Advice(self.c_bytes_c[0]) - picked_b))
+        s_hi_c = None
+        for k in range(1, 32):
+            s_hi_c = bc[k] if s_hi_c is None else s_hi_c + bc[k]
+        cs.create_gate("BYTE result high zero", gby * s_hi_c)
+        cs.create_gate("BYTE vc", gby * (vc - Advice(self.c_bytes_c[0])))
+        cs.create_gate("BYTE a rlc", gby * (rlc_expr(ba) - va))
+        cs.create_gate("BYTE b rlc", gby * (rlc_expr(bb) - vb))
+        inv_e = Advice(self.c_inv)
+        ez_e = Advice(self.c_ez)
+        # out of range: ez => ba[0] >= 32 (lookup of ba[0]-32 below);
+        # !ez => some high byte nonzero (s_hi_a * inv == 1)
+        cs.create_gate(
+            "BYTE out of range",
+            gby * (1 - s_sum) * (1 - ez_e) * (s_hi_a * inv_e - 1),
+        )
+
+        # ---- SHL: result = value * 2^shift mod 2^256 (reference
+        # execution/shl_shr.rs, multiplication side).  bytes_d holds the
+        # 2^shift word via the pow2 table; shift >= 256 (nonzero high
+        # bytes) forces result 0. ----------------------------------------
+        gshl = q * ind["SHL"]
+        z_ge = s_hi_a * inv_e  # 1 iff shift >= 256 (given kill gate)
+        cs.create_gate("SHL ge kill", gshl * s_hi_a * (1 - z_ge))
+        glt = gshl * (1 - z_ge)
+        ts = mul_t(bb, bd)
+        cs.create_gate(
+            "SHL lo", glt * (ts[0] + ts[1] * L64 - half128(bc, True) - cl * L128)
+        )
+        cs.create_gate(
+            "SHL hi",
+            glt * (ts[2] + ts[3] * L64 + cl - half128(bc, False) - ch * L128),
+        )
+        cs.create_gate("SHL a rlc", gshl * (rlc_expr(ba) - va))
+        cs.create_gate("SHL b rlc", gshl * (rlc_expr(bb) - vb))
+        cs.create_gate("SHL c rlc", glt * (rlc_expr(bc) - vc))
+        cs.create_gate("SHL ge result", gshl * z_ge * vc)
+
+        # ---- SHR: value >> shift (reference execution/shl_shr.rs,
+        # division side).  quotient * 2^shift + remainder = value exactly
+        # (no 2^256 overflow), remainder < 2^shift.  Banks: a = shift
+        # word, b = value, c = quotient (= result), d = 2^shift (pow2
+        # table), mem = remainder, e = remainder-compare diff.  Shares
+        # the SHL machinery: z_ge (shift >= 256 => result 0), carry
+        # banks, borrow bit cr[18]. --------------------------------------
+        gshr = q * ind["SHR"]
+        be_ = [Advice(c) for c in self.c_bytes_e]
+        cs.create_gate("SHR ge kill", gshr * s_hi_a * (1 - z_ge))
+        glr = gshr * (1 - z_ge)
+        tshr = mul_t(bc, bd)
+        cs.create_gate(
+            "SHR lo",
+            glr * (tshr[0] + tshr[1] * L64 + half128(mem_c, True)
+                   - half128(bb, True) - cl * L128),
+        )
+        cs.create_gate(
+            "SHR hi",
+            glr * (tshr[2] + tshr[3] * L64 + half128(mem_c, False) + cl
+                   - half128(bb, False) - ch * L128),
+        )
+        cs.create_gate(
+            "SHR no overflow", glr * (ch + tshr[4] + tshr[5] + tshr[6])
+        )
+        # remainder < 2^shift: diff = r - p + 2^256 in bank e with the
+        # borrow bit forced to 1 (r < p <=> the 2^256 add is needed)
+        bor3 = cr[18]
+        cs.create_gate("SHR borrow bool", gshr * bor3 * (bor3 - 1))
+        cs.create_gate(
+            "SHR r<p lo",
+            glr * (half128(mem_c, True) - half128(bd, True) + bor3 * L128
+                   - half128(be_, True)),
+        )
+        cs.create_gate(
+            "SHR r<p hi",
+            glr * (half128(mem_c, False) - half128(bd, False) - bor3
+                   + L128 - half128(be_, False)),
+        )
+        cs.create_gate("SHR a rlc", gshr * (rlc_expr(ba) - va))
+        cs.create_gate("SHR b rlc", gshr * (rlc_expr(bb) - vb))
+        cs.create_gate("SHR c rlc", glr * (rlc_expr(bc) - vc))
+        cs.create_gate("SHR ge result", gshr * z_ge * vc)
+        g_pow2 = glt + glr
+        cs.lookup_logup(
+            "pow2 shifts",
+            [[g_pow2, g_pow2 * ba[0], g_pow2 * half128(bd, True),
+              g_pow2 * half128(bd, False)]],
+            [Fixed(self.tbl_sel256), Fixed(self.tbl_byte),
+             Fixed(self.tbl_pow2_lo), Fixed(self.tbl_pow2_hi)],
+        )
+
         # ---- EXP: lookup into the Exp circuit's table (reference
         # evm_circuit/execution/exp.rs); exponent 0/1 handled arithmetically
         # (the Exp circuit only proves exponent >= 2 events) ---------------
@@ -384,7 +659,9 @@ class EvmCircuit(Circuit):
         ez, eo = Advice(self.c_ez), Advice(self.c_eo)
         ge = q * ind["EXP"]
         gc = q * ind["CALLDATACOPY"]
-        cs.create_gate("flag ez bool", (ge + gc) * ez * (ez - 1))
+        cs.create_gate(
+            "flag ez bool", (ge + gc + q * ind["BYTE"]) * ez * (ez - 1)
+        )
         cs.create_gate("flag eo bool", ge * eo * (eo - 1))
         cs.create_gate("EXP ez kill", ge * ez * vb)
         cs.create_gate("EXP eo kill", ge * eo * (vb - 1))
@@ -451,13 +728,154 @@ class EvmCircuit(Circuit):
                 self.copy_table,
             )
 
+        # ---- MULMOD / ADDMOD (reference execution/mulmod.rs, addmod.rs):
+        # the modular identity is proven by the MulMod circuit; here the
+        # four stack words (a, b, n, r in banks a, b, c, d) just ride a
+        # lookup into its table.  Stack bus values bind via byte-fold
+        # expressions, so no val columns are consumed. --------------------
+        gmm = q * ind["MULMOD"]
+        gam = q * ind["ADDMOD"]
+        if self.mulmod_table is not None:
+            gmod = gmm + gam
+            cs.lookup_logup(
+                "mulmod table",
+                [[
+                    gmod, gam,
+                    gmod * half128(ba, True), gmod * half128(ba, False),
+                    gmod * half128(bb, True), gmod * half128(bb, False),
+                    gmod * half128(bc, True), gmod * half128(bc, False),
+                    gmod * half128(bd, True), gmod * half128(bd, False),
+                ]],
+                self.mulmod_table,
+            )
+
+        # ---- CALLDATALOAD (reference execution/calldataload.rs, root-call
+        # path): pop offset (word in bank a), push the 32 calldata bytes
+        # at [offset, offset+32) big-endian (bank b), zero-padded past the
+        # calldata end.  sel_j (carry bank) = 1 iff offset+j < cdlen; the
+        # boundary is pinned by two 4-byte range decompositions in bank e:
+        #   sel_0 = 1  =>  cdlen - offset - m in [0, 2^32)   (m = sum sel)
+        #   sel_31 = 0 =>  offset + m - cdlen in [0, 2^32)
+        # offset >= 2^32 (nonzero bytes a[4:]) forces an all-zero word via
+        # the inverse witness z4. ------------------------------------------
+        gcdl = q * ind["CALLDATALOAD"]
+        off_int = (ba[0] + ba[1] * 256 + ba[2] * 65536 + ba[3] * 16777216)
+        s_hi4 = None
+        for k in range(4, 32):
+            s_hi4 = ba[k] if s_hi4 is None else s_hi4 + ba[k]
+        z4 = s_hi4 * Advice(self.c_inv)
+        cs.create_gate("CDL offset rlc", gcdl * (rlc_expr(ba) - va))
+        cs.create_gate("CDL ge kill", gcdl * s_hi4 * (1 - z4))
+        sel_sum_l = None
+        for j in range(32):
+            cs.create_gate(f"CDL sel {j} bool", gcdl * cr[j] * (cr[j] - 1))
+            if j:
+                cs.create_gate(
+                    f"CDL sel {j} monotone", gcdl * cr[j] * (1 - cr[j - 1])
+                )
+            cs.create_gate(f"CDL pad {j} zero", gcdl * (1 - cr[j]) * bb[j])
+            sel_sum_l = cr[j] if sel_sum_l is None else sel_sum_l + cr[j]
+        cs.create_gate("CDL ge empty", gcdl * z4 * cr[0])
+        # loaded word RLC: LE byte i of the pushed word is bb[31-i]
+        def word_rlc_from(bank):
+            expr = None
+            rpow = None
+            for i in range(32):
+                b_ = bank[31 - i]
+                term = b_ if i == 0 else b_ * rpow
+                expr = term if expr is None else expr + term
+                rpow = self.r_word if rpow is None else rpow * self.r_word
+            return expr
+
+        cs.create_gate("CDL word rlc", gcdl * (word_rlc_from(bb) - vb))
+        cdlen_e = (bd[0] + bd[1] * 256 + bd[2] * 65536 + bd[3] * 16777216)
+        diff_a = (be_[0] + be_[1] * 256 + be_[2] * 65536
+                  + be_[3] * 16777216)
+        diff_b = (be_[8] + be_[9] * 256 + be_[10] * 65536
+                  + be_[11] * 16777216)
+        cs.create_gate(
+            "CDL in-range boundary",
+            gcdl * cr[0] * (cdlen_e - off_int - sel_sum_l - diff_a),
+        )
+        cs.create_gate(
+            "CDL out-range boundary",
+            gcdl * (1 - z4) * (1 - cr[31])
+            * (off_int + sel_sum_l - cdlen_e - diff_b),
+        )
+        if self.tx_table is not None:
+            from .tx import TxFieldTag as _TT
+
+            cdl_inputs = []
+            for j in range(32):
+                gl = gcdl * cr[j]
+                cdl_inputs.append([
+                    gl * txid, gl * int(_TT.CallData), gl * (off_int + j),
+                    gl * bb[j],
+                ])
+            cs.lookup_logup("CDL calldata", cdl_inputs, self.tx_table)
+
+        # ---- PUSH immediate decomposition (reference execution/push.rs):
+        # bytes_a holds the pushed word LE; the carry bank holds is_pushed
+        # selector bits (sel_i = 1 iff LE byte i is inside the n-byte
+        # immediate: bool, monotone non-increasing, summing to push_len);
+        # bytes beyond the immediate are zero.  With the bytecode table,
+        # each selected byte is read from the code at pc + n - i (BE
+        # immediate layout), marking it push DATA (is_code = 0). ----------
+        gpu = q * ind["PUSH"]
+        sel_sum_p = None
+        for i in range(32):
+            cs.create_gate(f"PUSH sel {i} bool", gpu * cr[i] * (cr[i] - 1))
+            if i:
+                cs.create_gate(
+                    f"PUSH sel {i} monotone", gpu * cr[i] * (1 - cr[i - 1])
+                )
+            cs.create_gate(f"PUSH pad {i} zero", gpu * (1 - cr[i]) * ba[i])
+            sel_sum_p = cr[i] if sel_sum_p is None else sel_sum_p + cr[i]
+        cs.create_gate("PUSH sel sum", gpu * (sel_sum_p - plen))
+        cs.create_gate("PUSH value rlc", gpu * (rlc_expr(ba) - va))
+
+        if self.bytecode_table is not None:
+            # opcode binding: the step's opcode byte — reconstructed from
+            # the one-hot indicators (+ length/depth for the PUSH/DUP/SWAP
+            # families) — is the is_code byte at (code_hash, pc)
+            nd_e = Advice(self.c_depth_n)
+            op_expr = ind["PUSH"] * (plen + 0x5F) \
+                + ind["DUP"] * (nd_e + 0x7F) \
+                + ind["SWAP"] * (nd_e + 0x8F)
+            g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"]
+            for g, byte in OPCODE_BYTE.items():
+                op_expr = op_expr + ind[g] * byte
+                g_code = g_code + ind[g]
+            g_code = q * g_code
+            inputs_bc = [[
+                g_code, g_code * chash, g_code * pc, q * op_expr, g_code,
+            ]]
+            # PUSH immediate bytes
+            for i in range(32):
+                gl = gpu * cr[i]
+                inputs_bc.append([
+                    gl, gl * chash, gl * (pc + plen - i), gl * ba[i], gl * 0,
+                ])
+            # JUMP / taken-JUMPI destinations must be is_code JUMPDEST
+            gjd = gj + gji * jb
+            inputs_bc.append([
+                gjd, gjd * chash, gjd * jdest_int, gjd * 0x5B, gjd,
+            ])
+            cs.lookup_logup("bytecode binding", inputs_bc,
+                            self.bytecode_table)
+
         # byte range checks: every word-gadget byte cell rides one logUp
         # argument, gated by q alone (padding/unused cells are 0 = valid)
         all_byte_cols = (
             self.c_bytes_a + self.c_bytes_b + self.c_bytes_c
-            + self.c_bytes_d + self.c_carry + self.c_mem + self.c_addr
+            + self.c_bytes_d + self.c_bytes_e + self.c_carry + self.c_mem
+            + self.c_addr
         )
         byte_inputs = [[q * Advice(c)] for c in all_byte_cols]
+        # BYTE out-of-range path: ez proves index byte >= 32 (byte-range
+        # membership of ba[0]-32 given ba[0] < 256)
+        byte_inputs.append([q * ind["BYTE"] * Advice(self.c_ez)
+                            * (Advice(self.c_bytes_a[0]) - 32)])
         cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -469,27 +887,34 @@ class EvmCircuit(Circuit):
                 tq * Advice(self.t_tag),
                 tq * Advice(self.t_id),
                 tq * Advice(self.t_addr),
+                tq * Advice(self.t_field),
+                tq * Advice(self.t_key),
                 tq * Advice(self.t_val),
             ]
         else:
             table = rw_table
         cid = Advice(self.c_call_id)
         stack = int(RwTag.Stack)
+        ctxtag = int(RwTag.CallContext)
+        CCF = CallContextField
         gbin = None
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP"):
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP",
+                  "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             gbin = ind[g] if gbin is None else gbin + ind[g]
         gbin = q * gbin
         gun = q * (ind["ISZERO"] + ind["NOT"])
         gcdc = q * ind["CALLDATACOPY"]
 
         def access(gate, d_rwc, is_write, addr_expr, val_expr,
-                   tag: int = stack):
+                   tag: int = stack, id_expr=None, field: int = 0, key=0):
             return [
                 gate * (rwc + d_rwc),
                 gate * is_write,
                 gate * tag,
-                gate * cid,
+                gate * (cid if id_expr is None else id_expr),
                 gate * addr_expr,
+                gate * field,
+                gate * key,
                 gate * val_expr,
             ]
 
@@ -520,6 +945,10 @@ class EvmCircuit(Circuit):
             access(q * ind["SWAP"], 3, 1, sp, vb),
             # PC: write va at sp-1
             access(q * ind["PC"], 0, 1, sp - 1, va),
+            # JUMP: read dest@sp; JUMPI: read dest@sp + cond@sp+1
+            access(gj, 0, 0, sp, va),
+            access(gji, 0, 0, sp, va),
+            access(gji, 1, 0, sp + 1, vb),
         ]
 
         # ---- memory word gadgets ------------------------------------------
@@ -560,6 +989,109 @@ class EvmCircuit(Circuit):
             inputs.append(
                 access(gms, 2 + j, 1, addr_expr + j, mem[j], tag=memtag)
             )
+        # MSTORE8 (reference execution/memory.rs MSTORE8 path): value word
+        # in bank a; the single written byte is its lowest byte a[0]
+        gm8 = q * ind["MSTORE8"]
+        cs.create_gate("M8 addr rlc", gm8 * (addr_rlc - va))
+        cs.create_gate("M8 value rlc", gm8 * (rlc_expr(ba) - vb))
+        inputs.append(access(gm8, 0, 0, sp, va))
+        inputs.append(access(gm8, 1, 0, sp + 1, vb))
+        inputs.append(access(gm8, 2, 1, addr_expr, ba[0], tag=memtag))
+        # MULMOD/ADDMOD accesses: 3 pops + result push at sp+2
+        gmod_b = q * (ind["MULMOD"] + ind["ADDMOD"])
+        inputs.append(access(gmod_b, 0, 0, sp, rlc_expr(ba)))
+        inputs.append(access(gmod_b, 1, 0, sp + 1, rlc_expr(bb)))
+        inputs.append(access(gmod_b, 2, 0, sp + 2, rlc_expr(bc)))
+        inputs.append(access(gmod_b, 3, 1, sp + 2, rlc_expr(bd)))
+        # CALLDATALOAD accesses: offset pop, ctx length read, word push
+        gcdl_b = q * ind["CALLDATALOAD"]
+        cdlen_b = (bd[0] + bd[1] * 256 + bd[2] * 65536 + bd[3] * 16777216)
+        inputs.append(access(gcdl_b, 0, 0, sp, va))
+        inputs.append(access(gcdl_b, 1, 0, 0, cdlen_b, tag=ctxtag,
+                             field=int(CCF.CallDataLength)))
+        inputs.append(access(gcdl_b, 2, 1, sp, vb))
+
+        # ---- BEGIN_TX: the 6 call-context reads (builder _begin_tx order:
+        # TxId, CalleeAddress, CallerAddress, Value, IsRoot,
+        # CallDataLength); va = raw caller, vb = value RLC, vc = raw
+        # calldata length (reference execution/begin_tx.rs) --------------
+        inputs.append(access(gbt, 0, 0, 0, txid, tag=ctxtag,
+                             field=int(CCF.TxId)))
+        inputs.append(access(gbt, 1, 0, 0, callee, tag=ctxtag,
+                             field=int(CCF.CalleeAddress)))
+        inputs.append(access(gbt, 2, 0, 0, va, tag=ctxtag,
+                             field=int(CCF.CallerAddress)))
+        inputs.append(access(gbt, 3, 0, 0, vb, tag=ctxtag,
+                             field=int(CCF.Value)))
+        inputs.append(access(gbt, 4, 0, 0, 1, tag=ctxtag,
+                             field=int(CCF.IsRoot)))
+        inputs.append(access(gbt, 5, 0, 0, vc, tag=ctxtag,
+                             field=int(CCF.CallDataLength)))
+        if self.tx_table is not None:
+            # anchor the context to the TxTable (tx_id, tag, index, value)
+            from .tx import TxFieldTag as TT
+
+            cs.lookup_logup(
+                "begin tx table",
+                [
+                    [gbt * txid, gbt * int(TT.CalleeAddress), gbt * 0,
+                     gbt * callee],
+                    [gbt * txid, gbt * int(TT.CallerAddress), gbt * 0,
+                     gbt * va],
+                    [gbt * txid, gbt * int(TT.Value), gbt * 0, gbt * vb],
+                    [gbt * txid, gbt * int(TT.CallDataLength), gbt * 0,
+                     gbt * vc],
+                ],
+                self.tx_table,
+            )
+
+        # ---- context opcodes: ctx read + stack push ----------------------
+        # CALLER / ADDRESS: ctx value is the RAW address; the pushed stack
+        # word is its RLC — bytes_a cells carry the 20-byte decomposition
+        gcaller = q * ind["CALLER"]
+        gaddr = q * ind["ADDRESS"]
+        gctx_addr = gcaller + gaddr
+        addr_raw = None
+        for i in range(20):
+            term = ba[i] * (1 << (8 * i))
+            addr_raw = term if addr_raw is None else addr_raw + term
+        for i in range(20, 32):
+            cs.create_gate(f"ctx addr byte {i} zero", gctx_addr * ba[i])
+        cs.create_gate("ctx addr rlc", gctx_addr * (rlc_expr(ba) - va))
+        cs.create_gate("ADDRESS is callee", gaddr * (addr_raw - callee))
+        inputs.append(access(gcaller, 0, 0, 0, addr_raw, tag=ctxtag,
+                             field=int(CCF.CallerAddress)))
+        inputs.append(access(gcaller, 1, 1, sp - 1, va))
+        inputs.append(access(gaddr, 0, 0, 0, addr_raw, tag=ctxtag,
+                             field=int(CCF.CalleeAddress)))
+        inputs.append(access(gaddr, 1, 1, sp - 1, va))
+        # CALLVALUE: ctx Value is stored as word RLC — both sides are va
+        gcv = q * ind["CALLVALUE"]
+        inputs.append(access(gcv, 0, 0, 0, va, tag=ctxtag,
+                             field=int(CCF.Value)))
+        inputs.append(access(gcv, 1, 1, sp - 1, va))
+        # CALLDATASIZE: raw length (< 2^32) in c_addr bytes
+        gcds = q * ind["CALLDATASIZE"]
+        cs.create_gate("CDS rlc", gcds * (fold4_rlc(ab4) - va))
+        inputs.append(access(gcds, 0, 0, 0, fold4_int(ab4), tag=ctxtag,
+                             field=int(CCF.CallDataLength)))
+        inputs.append(access(gcds, 1, 1, sp - 1, va))
+
+        # ---- storage: SLOAD / SSTORE (reference execution/sload.rs,
+        # sstore.rs).  The stack key word-RLC IS the rw-table storage-key
+        # convention, so va feeds the lookup directly. -------------------
+        storetag = int(RwTag.Storage)
+        gsl = q * ind["SLOAD"]
+        inputs.append(access(gsl, 0, 0, sp, va))
+        inputs.append(access(gsl, 1, 0, callee, vb, tag=storetag,
+                             id_expr=txid, key=va))
+        inputs.append(access(gsl, 2, 1, sp, vb))
+        gss = q * ind["SSTORE"]
+        inputs.append(access(gss, 0, 0, sp, va))
+        inputs.append(access(gss, 1, 0, sp + 1, vb))
+        inputs.append(access(gss, 2, 1, callee, vb, tag=storetag,
+                             id_expr=txid, key=va))
+
         cs.lookup_logup("rw bus", inputs, table)
 
     # ------------------------------------------------------------------
@@ -576,9 +1108,24 @@ class EvmCircuit(Circuit):
         t = self._target(n)
         assert n >= 256, "domain must fit the byte range table"
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        nib = lambda i, op: op(i >> 4, i & 15) if i < 256 else 0
         out = {
             self.q_step: mont([1 if i < t else 0 for i in range(n)]),
             self.tbl_byte: mont([i if i < 256 else 0 for i in range(n)]),
+            self.tbl_and: mont(
+                [nib(i, lambda x, y: x & y) for i in range(n)]
+            ),
+            self.tbl_or: mont([nib(i, lambda x, y: x | y) for i in range(n)]),
+            self.tbl_xor: mont(
+                [nib(i, lambda x, y: x ^ y) for i in range(n)]
+            ),
+            self.tbl_sel256: mont([1 if i < 256 else 0 for i in range(n)]),
+            self.tbl_pow2_lo: mont(
+                [(1 << i) if i < 128 else 0 for i in range(n)]
+            ),
+            self.tbl_pow2_hi: mont(
+                [(1 << (i - 128)) if 128 <= i < 256 else 0 for i in range(n)]
+            ),
         }
         if self.standalone:
             rt = self._rw_target(n)
@@ -586,6 +1133,10 @@ class EvmCircuit(Circuit):
         return out
 
     def _classify(self, s: ExecStep) -> str:
+        if s.exec_state == "BeginTx":
+            return "BEGIN_TX"
+        if s.exec_state == "EndTx":
+            return "END_TX"
         if s.op is not None and s.op.is_push:
             return "PUSH"
         if s.op is not None and s.op.is_dup:
@@ -604,16 +1155,39 @@ class EvmCircuit(Circuit):
         if phase == 0:
             cols = {}
             kinds = [self._classify(s) for s in steps]
+            pad_n = t - len(steps)
             for g in GADGETS:
                 base = [int(k == g) for k in kinds]
                 # padding rows are STOP steps (terminal, no transitions)
-                pad = [1 if g == "STOP" else 0] * (t - len(steps))
+                pad = [1 if g == "STOP" else 0] * pad_n
                 cols[self.c_ind[g]] = mont(base + pad)
-            cols[self.c_pc] = mont([s.pc for s in steps])
+            # padding rows must satisfy the END_TX transition out of the
+            # last real row and the tx/callee/call continuity gates, so
+            # they inherit the last step's context
+            last = steps[-1] if steps else None
+            pad_rwc = (
+                last.rw_counter_start + len(last.rw_indices) if last else 0
+            )
+            pads = {
+                "pc": 0, "sp": STACK_BASE if last else 0, "rwc": pad_rwc,
+                "cid": last.call_id if last else 0,
+                "txid": last.tx_id if last else 0,
+                "callee": last.callee if last else 0,
+            }
+            padded = lambda vals, key: mont(vals + [pads[key]] * pad_n)
+            cols[self.c_pc] = padded([s.pc for s in steps], "pc")
             cols[self.c_gas_cost] = mont([s.gas_cost for s in steps])
-            cols[self.c_rwc] = mont([s.rw_counter_start for s in steps])
-            cols[self.c_sp] = mont([s.stack_pointer for s in steps])
-            cols[self.c_call_id] = mont([s.call_id for s in steps])
+            cols[self.c_rwc] = padded(
+                [s.rw_counter_start for s in steps], "rwc"
+            )
+            cols[self.c_sp] = padded([s.stack_pointer for s in steps], "sp")
+            cols[self.c_call_id] = padded(
+                [s.call_id for s in steps], "cid"
+            )
+            cols[self.c_tx_id] = padded([s.tx_id for s in steps], "txid")
+            cols[self.c_callee] = padded(
+                [s.callee for s in steps], "callee"
+            )
             plens = [
                 s.op.push_len if (s.op is not None and s.op.is_push) else 0
                 for s in steps
@@ -629,7 +1203,7 @@ class EvmCircuit(Circuit):
             # AddWords byte cells + carries (ADD: a+b=c; SUB: c+b=a; PC
             # borrows bytes_a for the pc decomposition)
             n_steps = len(steps)
-            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abcd"}
+            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abcde"}
             carries = [[0] * n_steps for _ in range(32)]
             membytes = [[0] * n_steps for _ in range(32)]
             addrbytes = [[0] * n_steps for _ in range(4)]
@@ -668,7 +1242,39 @@ class EvmCircuit(Circuit):
             for si, s in enumerate(steps):
                 kind = self._classify(s)
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
-                if kind == "PC":
+                if kind == "PUSH":
+                    set_word("a", si, ops[0].value)
+                    for i in range(s.op.push_len):
+                        carries[i][si] = 1
+                elif kind in ("JUMP", "JUMPI"):
+                    dest = ops[0].value
+                    assert dest < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (dest >> (8 * i)) & 0xFF
+                    if kind == "JUMPI":
+                        eo_col[si] = int(ops[1].value != 0)
+                elif kind == "SHR":
+                    s_, v_ = ops[0].value, ops[1].value
+                    res = ops[2].value
+                    set_word("a", si, s_)
+                    set_word("b", si, v_)
+                    set_word("c", si, res)
+                    if s_ < 256:
+                        p2 = 1 << s_
+                        rem = v_ - (res << s_)
+                        set_word("d", si, p2)
+                        db = rem.to_bytes(32, "little")
+                        for j in range(32):
+                            membytes[j][si] = db[j]
+                        set_carry_bytes(
+                            si, *mul_carries(res, p2, rem, v_),
+                            bor=int((rem & M128) < (p2 & M128)),
+                        )
+                        diff = rem - p2 + M256
+                        eb = diff.to_bytes(32, "little")
+                        for j in range(32):
+                            byts["e"][j][si] = eb[j]
+                elif kind == "PC":
                     byts["a"][0][si] = s.pc & 0xFF
                     byts["a"][1][si] = (s.pc >> 8) & 0xFF
                 elif kind in ("MLOAD", "MSTORE"):
@@ -727,6 +1333,36 @@ class EvmCircuit(Circuit):
                 elif kind == "NOT":
                     set_word("a", si, ops[0].value)
                     set_word("c", si, ops[1].value)
+                elif kind in ("AND", "OR", "XOR"):
+                    x, y, w = (o.value for o in ops[:3])
+                    set_word("a", si, x)
+                    set_word("b", si, y)
+                    set_word("c", si, w)
+                    xb = x.to_bytes(32, "little")
+                    yb = y.to_bytes(32, "little")
+                    wb = w.to_bytes(32, "little")
+                    for i in range(32):
+                        carries[i][si] = xb[i] & 15
+                        membytes[i][si] = yb[i] & 15
+                        byts["d"][i][si] = wb[i] & 15
+                elif kind == "BYTE":
+                    iw, xw, res = (o.value for o in ops[:3])
+                    set_word("a", si, iw)
+                    set_word("b", si, xw)
+                    set_word("c", si, res)
+                    if iw < 32:
+                        carries[iw][si] = 1  # one-hot selector
+                    else:
+                        ez_col[si] = int((iw & 0xFF) >= 32)
+                elif kind == "SHL":
+                    s_, v_, res = (o.value for o in ops[:3])
+                    set_word("a", si, s_)
+                    set_word("b", si, v_)
+                    set_word("c", si, res)
+                    if s_ < 256:
+                        p2 = 1 << s_
+                        set_word("d", si, p2)
+                        set_carry_bytes(si, *mul_carries(v_, p2, 0, res))
                 elif kind == "EXP":
                     assert self.exp_table is not None or ops[1].value < 2, (
                         "EXP step needs the Exp circuit's table (composed mode)"
@@ -747,9 +1383,53 @@ class EvmCircuit(Circuit):
                         byts["a"][i][si] = (src >> (8 * i)) & 0xFF
                         byts["b"][i][si] = (ln >> (8 * i)) & 0xFF
                     ez_col[si] = int(ln == 0)
+                elif kind in ("MULMOD", "ADDMOD"):
+                    assert self.mulmod_table is not None, (
+                        f"{kind} step needs the MulMod circuit's table"
+                    )
+                    set_word("a", si, ops[0].value)
+                    set_word("b", si, ops[1].value)
+                    set_word("c", si, ops[2].value)
+                    set_word("d", si, ops[3].value)
+                elif kind == "MSTORE8":
+                    addr, val = ops[0].value, ops[1].value
+                    for i in range(4):
+                        addrbytes[i][si] = (addr >> (8 * i)) & 0xFF
+                    set_word("a", si, val)
+                elif kind == "CALLDATALOAD":
+                    off, cdlen, word = (o.value for o in ops[:3])
+                    set_word("a", si, off)
+                    wb_ = word.to_bytes(32, "big")
+                    for j in range(32):
+                        byts["b"][j][si] = wb_[j]
+                    for i in range(4):
+                        byts["d"][i][si] = (cdlen >> (8 * i)) & 0xFF
+                    if off < (1 << 32):
+                        m = min(32, max(0, cdlen - off))
+                        for j in range(m):
+                            carries[j][si] = 1
+                        if m > 0:
+                            dA = cdlen - off - m
+                            for i in range(4):
+                                byts["e"][i][si] = (dA >> (8 * i)) & 0xFF
+                        if m < 32:
+                            dB = off + m - cdlen
+                            for i in range(4):
+                                byts["e"][8 + i][si] = (dB >> (8 * i)) & 0xFF
+                elif kind in ("CALLER", "ADDRESS"):
+                    addr = ops[0].value  # raw 160-bit address
+                    le = addr.to_bytes(20, "little")
+                    for i in range(20):
+                        byts["a"][i][si] = le[i]
+                elif kind == "CALLDATASIZE":
+                    ln = ops[0].value
+                    assert ln < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),
+                ("e", self.c_bytes_e),
             ):
                 for i, ci in enumerate(colset):
                     cols[ci] = mont(byts[key][i])
@@ -766,7 +1446,11 @@ class EvmCircuit(Circuit):
                 rws = sorted(
                     self.rw_by_counter.values(), key=lambda r: r.rw_counter
                 )
-                rws = [r for r in rws if r.tag in (RwTag.Stack, RwTag.Memory)]
+                rws = [
+                    r for r in rws
+                    if r.tag in (RwTag.Stack, RwTag.Memory, RwTag.Storage,
+                                 RwTag.CallContext)
+                ]
                 assert len(rws) <= self._rw_target(n), (
                     f"rw table overflow: {len(rws)} rows > rw_target "
                     f"{self._rw_target(n)} — raise EvmParams.rw_target"
@@ -776,6 +1460,7 @@ class EvmCircuit(Circuit):
                 cols[self.t_tag] = mont([int(r.tag) for r in rws])
                 cols[self.t_id] = mont([r.id for r in rws])
                 cols[self.t_addr] = mont([r.address for r in rws])
+                cols[self.t_field] = mont([int(r.field_tag) for r in rws])
                 self._rw_rows = rws
             return cols
         # phase 1: word RLCs
@@ -783,7 +1468,8 @@ class EvmCircuit(Circuit):
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
         va, vb, vc, invs, inv2s = [], [], [], [], []
         binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
-                  "EXP", "CALLDATACOPY")
+                  "EXP", "CALLDATACOPY", "AND", "OR", "XOR", "BYTE", "SHL",
+                  "SHR")
         for s in steps:
             ops = [self.rw_by_counter[i] for i in s.rw_indices]
             kind = self._classify(s)
@@ -808,10 +1494,36 @@ class EvmCircuit(Circuit):
                     inv2_of = vb[-1] * (vb[-1] - 1) % R
                 elif kind == "CALLDATACOPY":
                     inv2_of = vc[-1]
+                elif kind in ("BYTE", "SHL", "SHR"):
+                    # inverse of the index/shift word's high-byte sum
+                    inv_of = sum(
+                        ops[0].value.to_bytes(32, "little")[1:]
+                    ) % R
             elif kind in ("ISZERO", "NOT"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(rlc(ops[1]))
                 if kind == "ISZERO":
                     inv_of = va[-1]
+            elif kind == "MSTORE8":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
+            elif kind == "CALLDATALOAD":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
+                inv_of = sum(ops[0].value.to_bytes(32, "little")[4:]) % R
+            elif kind == "JUMP":
+                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "JUMPI":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
+                inv2_of = vb[-1]
+            elif kind == "BEGIN_TX":
+                # builder order: TxId, Callee, Caller, Value, IsRoot, CDLen
+                va.append(ops[2].value % R)       # raw caller address
+                vb.append(rlc(ops[3]))            # value word RLC
+                vc.append(ops[5].value % R)       # raw calldata length
+            elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
+                va.append(rlc(ops[1])); vb.append(0); vc.append(0)
+            elif kind == "SLOAD":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
+            elif kind == "SSTORE":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             elif kind == "DUP":
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SWAP":
@@ -829,6 +1541,9 @@ class EvmCircuit(Circuit):
         }
         if self.standalone:
             out[self.t_val] = mont(
-                [word_rlc(r.value, r_int) for r in self._rw_rows]
+                [rw_value_encoding(r, r_int) for r in self._rw_rows]
+            )
+            out[self.t_key] = mont(
+                [word_rlc(r.storage_key, r_int) for r in self._rw_rows]
             )
         return out

@@ -8,17 +8,27 @@ circuit consumes.
 
 TPU-first layout: ONE row per RLP byte with columnar state — one-hot tag
 indicators, a remaining-bytes countdown, a prefix flag, a list-payload
-countdown, and a value accumulator.  The accumulator's Horner fold
-acc = acc*r + byte over big-endian payload bytes equals the TxTable's
-little-endian word-RLC convention (sum le_byte[i] * r^i), so RlpTable
-values plug straight into the Tx circuit's value cells.
+countdown, and a value accumulator.  Like the reference's per-tag
+`TagValueAcc` multiplier (rlp_circuit_fsm.rs byte_value accumulation),
+the Horner fold multiplier is PER-TAG:
+  * integer tags (Nonce, Gas, To, ChainId) fold with 256 — acc equals
+    the raw integer, matching the TxTable's raw-value convention;
+  * word/byte-string tags (GasPrice, Value, Data) fold with the word
+    challenge r — acc = sum le_byte[i] * r^i, matching the TxTable /
+    EVM word-RLC convention (state.py word_rlc).
+
+Sign-hash binding: every tx's payload is followed by keccak pad10*1 rows
+(constrained pattern, as in bytecode.py's code-hash binding) and a
+running payload byte-RLC; the last pad row looks up
+(payload_rlc, sign_hash_rlc) in the KeccakTable — so the circuit binds
+keccak(rlp(signing payload)), the message the Sig circuit verifies.
 
 Round-1 scope (documented): legacy EIP-155 signing payloads
 rlp([nonce, gas_price, gas, to, value, data, chain_id, 0, 0]) with
 data <= 55 bytes (short-form strings); both short lists (0xc0+len) and
-56..255-byte long lists (0xf8 + one length byte).  Canonical-minimality of integer fields is
-witness-side: a non-canonical encoding changes the keccak digest and is
-caught by the signature binding.
+56..255-byte long lists (0xf8 + one length byte).  Canonical-minimality
+of integer fields is witness-side: a non-canonical encoding changes the
+keccak digest and is caught by the signature binding.
 """
 
 from __future__ import annotations
@@ -50,6 +60,7 @@ class RlpTag(enum.IntEnum):
     ChainId = 8
     Zero1 = 9
     Zero2 = 10
+    Pad = 11  # keccak pad10*1 rows after the payload
 
 
 TAGS = list(RlpTag)
@@ -57,16 +68,23 @@ FIELD_TAGS = [
     RlpTag.Nonce, RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
     RlpTag.Data, RlpTag.ChainId, RlpTag.Zero1, RlpTag.Zero2,
 ]
+# per-tag Horner multiplier: integers fold with 256 (acc == raw value),
+# words/byte-strings with the challenge r (acc == word RLC)
+INT_TAGS = {RlpTag.Nonce, RlpTag.Gas, RlpTag.To, RlpTag.ChainId}
+WORD_TAGS = {RlpTag.GasPrice, RlpTag.Value, RlpTag.Data}
 
 # tag-order ROM: (tag, next_tag) pairs (reference's ROM table,
-# rlp_circuit_fsm.rs).  Zero2 -> List chains the next tx.
+# rlp_circuit_fsm.rs).  Zero2 -> Pad -> List chains the next tx.
 ROM = (
     [(int(RlpTag.List), int(RlpTag.ListLen)),  # long form
      (int(RlpTag.List), int(RlpTag.Nonce)),  # short form (gated by c_long)
      (int(RlpTag.ListLen), int(RlpTag.Nonce))]
     + [(int(a), int(b)) for a, b in zip(FIELD_TAGS, FIELD_TAGS[1:])]
-    + [(int(RlpTag.Zero2), int(RlpTag.List))]
+    + [(int(RlpTag.Zero2), int(RlpTag.Pad)),
+       (int(RlpTag.Pad), int(RlpTag.List))]
 )
+
+KECCAK_RATE = 136
 
 
 @dataclasses.dataclass
@@ -75,7 +93,8 @@ class RlpParams:
 
 
 def _tx_rows(tx: Transaction, tx_id: int):
-    """(tx_id, tag, rem, is_pfx, byte) rows for one signing payload."""
+    """(tx_id, tag, rem, is_pfx, byte) rows for one signing payload,
+    including the keccak pad10*1 rows."""
     fields = [
         tx.nonce, tx.gas_price, tx.gas,
         b"" if tx.to is None else tx.to.to_bytes(20, "big"),
@@ -101,6 +120,11 @@ def _tx_rows(tx: Transaction, tx_id: int):
                 rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j]))
         pos += len(enc)
     assert pos == len(payload)
+    # keccak pad10*1 rows: first byte 0x01, last 0x80 (0x81 if single)
+    pad_len = KECCAK_RATE - len(payload) % KECCAK_RATE
+    for j in range(pad_len):
+        b = (1 if j == 0 else 0) + (128 if j == pad_len - 1 else 0)
+        rows.append((tx_id, int(RlpTag.Pad), pad_len - j, 0, b))
     return rows, payload
 
 
@@ -116,7 +140,12 @@ class RlpCircuit(Circuit):
             self.payloads.append(payload)
 
     # ------------------------------------------------------------------
-    def configure(self, cs: ConstraintSystem, challenge=None):
+    def configure(self, cs: ConstraintSystem, challenge=None,
+                  keccak_table=None):
+        """`keccak_table`: optional (is_enabled, input_rlc, output_rlc)
+        exprs from KeccakCircuit.keccak_table_exprs(); when given, each
+        tx's padded payload RLC + sign-hash RLC is looked up there."""
+        self.has_hash_binding = keccak_table is not None
         self.q_rlp = cs.fixed_column()
         self.q_row0 = cs.fixed_column()
         self.tbl_byte = cs.fixed_column()  # 0..255
@@ -135,7 +164,9 @@ class RlpCircuit(Circuit):
         self.c_inv = cs.advice_column()  # iszero witness for rem_prev - 1
         self.c_tot = cs.advice_column()  # list-payload countdown
         self.c_long = cs.advice_column()  # List rows: 0xf8 long form flag
-        self.c_acc = cs.advice_column(phase=1)  # le word-RLC accumulator
+        self.c_acc = cs.advice_column(phase=1)  # per-tag value accumulator
+        self.c_prlc = cs.advice_column(phase=1)  # payload byte-RLC fold
+        self.c_hash = cs.advice_column(phase=1)  # sign-hash RLC (last pad)
         self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
         q = Fixed(self.q_rlp)
@@ -150,6 +181,7 @@ class RlpCircuit(Circuit):
         inv = Advice(self.c_inv)
         tot, tot_p = Advice(self.c_tot), Advice(self.c_tot, -1)
         acc, acc_p = Advice(self.c_acc), Advice(self.c_acc, -1)
+        prlc, prlc_p = Advice(self.c_prlc), Advice(self.c_prlc, -1)
 
         # one-hot tags
         ind_sum = None
@@ -236,15 +268,50 @@ class RlpCircuit(Circuit):
         g_single = q * ent * (1 - pfx) * fld
         cs.create_gate("rlp single rem", g_single * (rem - 1))
         cs.create_gate("rlp single acc", g_single * (acc - byte))
-        # payload continuation: Horner fold
+        # payload continuation: Horner fold with the PER-TAG multiplier
+        mult = None
+        for t in TAGS:
+            if t in INT_TAGS:
+                m = 256
+            elif t in WORD_TAGS:
+                m = self.r
+            else:
+                continue  # single-row segments / pad rows: no fold
+            term = ind[t] * m
+            mult = term if mult is None else mult + term
         cs.create_gate(
             "rlp acc fold",
-            q * (1 - ent) * (acc - acc_p * self.r - byte),
+            q * (1 - ent) * (acc - acc_p * mult - byte),
         )
         # zero fields of the EIP-155 suffix must hold value 0
         cs.create_gate(
             "rlp zeros", q * (ind[RlpTag.Zero1] + ind[RlpTag.Zero2]) * acc
         )
+
+        # ---- keccak pad10*1 rows + payload byte-RLC --------------------
+        # is_last(row) = successor is an entry row, or the region ends
+        is_last = q_n * ent_n + (1 - q_n)
+        g_pad = q * ind[RlpTag.Pad]
+        cs.create_gate("rlp pad not pfx", g_pad * pfx)
+        cs.create_gate(
+            "rlp pad pattern", g_pad * (byte - ent - 128 * is_last)
+        )
+        # payload RLC: restarts at the List row, folds every byte after
+        # (including pad rows) with the challenge r
+        cs.create_gate("rlp prlc start", g_list * (prlc - byte))
+        cs.create_gate(
+            "rlp prlc fold",
+            q * (1 - ind[RlpTag.List]) * (prlc - prlc_p * self.r - byte),
+        )
+        g_lastpad = g_pad * is_last
+        if self.has_hash_binding:
+            # (1, padded-payload RLC, sign-hash RLC) is a KeccakTable row
+            cs.lookup_logup(
+                "rlp sign hash keccak",
+                [[g_lastpad, g_lastpad * prlc,
+                  g_lastpad * Advice(self.c_hash)]],
+                keccak_table,
+            )
 
         # byte range splits
         cs.lookup_logup("rlp bytes", [[q * byte]], [Fixed(self.tbl_byte)])
@@ -263,8 +330,18 @@ class RlpCircuit(Circuit):
         # exposed RlpTable (reference table.rs:2288): each field segment's
         # last row (the next row is an entry, or the region ends); prefix
         # rows of empty fields carry acc = 0, the correct value
-        g_out = q * fld * (q_n * ent_n + (1 - q_n))
+        g_out = q * fld * is_last
         self.rlp_table = [g_out, g_out * txid, g_out * tag_val, g_out * acc]
+        # data-length table: the Data segment's ENTRY row; value is the
+        # payload length (prefix rows: rem-1; single-byte data: 1)
+        g_dl = q * ind[RlpTag.Data] * ent
+        self.data_len_table = [
+            g_dl, g_dl * txid, g_dl * (pfx * (rem - 1) + (1 - pfx)),
+        ]
+        # sign-hash table for the Sig circuit binding: (tx_id, hash RLC)
+        self.sign_hash_table = [
+            g_lastpad, g_lastpad * txid, g_lastpad * Advice(self.c_hash),
+        ]
 
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
@@ -317,6 +394,8 @@ class RlpCircuit(Circuit):
                     tot = r_[4]
                 elif r_[1] == int(RlpTag.List):
                     tot = r_[4] - 0xC0 if r_[4] != 0xF8 else 0
+                elif r_[1] == int(RlpTag.Pad):
+                    pass  # unconstrained on pad rows
                 else:
                     tot -= 1
                 tots.append(tot)
@@ -326,17 +405,36 @@ class RlpCircuit(Circuit):
                 [int(r[1] == int(RlpTag.List) and r[4] == 0xF8) for r in rows]
             )
             return cols
-        # phase 1: value accumulators
+        # phase 1: value accumulators + payload RLC + sign hashes
         r_chal = challenges[self.r.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
-        accs = []
-        acc = 0
+        accs, prlcs, hashes = [], [], []
+        acc = prlc = 0
         for i, r_ in enumerate(rows):
+            tag = RlpTag(r_[1])
+            m = 256 if tag in INT_TAGS else r_int if tag in WORD_TAGS else 0
             if r_[3]:
                 acc = 0
             elif ents[i]:
                 acc = r_[4] % R
             else:
-                acc = (acc * r_int + r_[4]) % R
+                acc = (acc * m + r_[4]) % R
             accs.append(acc)
-        return {self.c_acc: mont(accs)}
+            prlc = (
+                r_[4] % R if tag == RlpTag.List
+                else (prlc * r_int + r_[4]) % R
+            )
+            prlcs.append(prlc)
+            is_last = (i + 1 == len(rows)) or rows[i][2] == 1
+            if tag == RlpTag.Pad and is_last:
+                digest = self.txs[r_[0] - 1].sign_hash()
+                hashes.append(
+                    sum(b * pow(r_int, j, R) for j, b in enumerate(digest)) % R
+                )
+            else:
+                hashes.append(0)
+        return {
+            self.c_acc: mont(accs),
+            self.c_prlc: mont(prlcs),
+            self.c_hash: mont(hashes),
+        }

@@ -36,7 +36,7 @@ from ..crypto.field import fr
 from ..crypto.params import FR_MODULUS as R
 from ..plonk.circuit import Circuit, ConstraintSystem
 from ..plonk.expression import Advice, Expression, Fixed
-from ..witness.rw import Rw, RwMap, RwTag
+from ..witness.rw import CallContextField, Rw, RwMap, RwTag
 
 F = fr()
 
@@ -88,6 +88,17 @@ def word_rlc(value: int, r_chal: int) -> int:
     return acc
 
 
+def rw_value_encoding(r: Rw, r_chal: int) -> int:
+    """Per-(tag, field) value convention (reference RwTable, table.rs:577):
+    word RLC for 256-bit-word fields (stack/memory/storage values and
+    CallContext.Value), RAW field element for small fields (addresses,
+    lengths, ids, flags) — so TxTable/BytecodeTable lookups compare raw
+    integers while word lookups compare RLCs."""
+    if r.tag == RwTag.CallContext and r.field_tag != CallContextField.Value:
+        return r.value % R
+    return word_rlc(r.value, r_chal)
+
+
 class StateCircuit(Circuit):
     def __init__(self, rws: RwMap | list[Rw], params: StateParams | None = None):
         self.params = params or StateParams()
@@ -105,6 +116,7 @@ class StateCircuit(Circuit):
         self.col_is_write = cs.advice_column()
         self.col_value = cs.advice_column(phase=1)
         self.col_value_prev = cs.advice_column(phase=1)
+        self.col_key_rlc = cs.advice_column(phase=1)  # storage key word-RLC
         self.limb_cols = [cs.advice_column() for _ in range(p.total_limbs)]
         self.e_cols = [cs.advice_column() for _ in range(p.total_limbs)]
         self.col_diff = cs.advice_column()
@@ -185,16 +197,49 @@ class StateCircuit(Circuit):
             q_ord * first_access * Advice(self.col_is_mem) * (1 - iw) * val,
         )
 
+        # storage-key word-RLC binding: key_rlc = sum le_bytes(key) * r^i,
+        # a LINEAR form over the key limbs when limb_bits divides 8 (limb j
+        # covers a within-byte bit range) — the convention that lets the
+        # EVM circuit pass its stack-word key RLC straight into the rw
+        # lookup with no extra byte cells.  limb_bits > 8 (standalone test
+        # geometries) leaves the column unbound; composed/production
+        # configs use limb_bits <= 8.
+        if 8 % p.limb_bits == 0:
+            counts = p.limb_counts()
+            key_cnt = dict(counts)["storage_key"]
+            key_off = sum(
+                c for nme, c in counts[: [n for n, _ in counts].index("storage_key")]
+            )
+            expr = None
+            rpow: Expression | int = 1
+            cur_byte = -1
+            for j in range(key_cnt - 1, -1, -1):  # least-significant first
+                bitpos = (key_cnt - 1 - j) * p.limb_bits
+                byte_i, shift = bitpos // 8, bitpos % 8
+                if byte_i != cur_byte:
+                    if cur_byte >= 0:
+                        rpow = (
+                            self.r_word if rpow == 1 else rpow * self.r_word
+                        )
+                    cur_byte = byte_i
+                term = limbs[key_off + j] * (1 << shift)
+                term = term if rpow == 1 else term * rpow
+                expr = term if expr is None else expr + term
+            cs.create_gate(
+                "key rlc binding", q_row * (Advice(self.col_key_rlc) - expr)
+            )
+
         # single logUp argument: every limb + diff-1 into the range table
         inputs = [[q_row * l] for l in limbs]
         inputs.append([q_ord * (diff - 1)])
         cs.lookup_logup("limb ranges", inputs, [Fixed(self.tbl)])
 
     def rw_table_exprs(self) -> list:
-        """The RW table as (rw_counter, is_write, tag, id, address, value)
-        expressions recomposed from the limb columns — the SuperCircuit
-        points the EVM circuit's bus lookups at these (reference RwTable,
-        zkevm-circuits/src/table.rs:577), zero-gated outside table rows."""
+        """The RW table as (rw_counter, is_write, tag, id, address,
+        field_tag, storage_key_rlc, value) expressions recomposed from the
+        limb columns — the SuperCircuit points the EVM circuit's bus
+        lookups at these (reference RwTable, zkevm-circuits/src/
+        table.rs:577), zero-gated outside table rows."""
         p = self.params
         q = Fixed(self.q_row)
         limbs = [Advice(c) for c in self.limb_cols]
@@ -214,6 +259,8 @@ class StateCircuit(Circuit):
             q * out_by_name["tag"],
             q * out_by_name["id"],
             q * out_by_name["address"],
+            q * out_by_name["field_tag"],
+            q * Advice(self.col_key_rlc),
             q * Advice(self.col_value),
         ]
 
@@ -321,12 +368,19 @@ class StateCircuit(Circuit):
             cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
             cols[self.col_inv_mem] = mont(invs(int(RwTag.Memory)))
             return cols
-        # phase 1: word RLC columns under the phase-0 challenge
+        # phase 1: value/key RLC columns under the phase-0 challenge
         r_chal = challenges[self.r_word.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
-        vals = [word_rlc(r.value, r_int) for r in rows]
-        prevs = [word_rlc(r.value_prev, r_int) for r in rows]
+        vals = [rw_value_encoding(r, r_int) for r in rows]
+        prevs = [
+            rw_value_encoding(
+                dataclasses.replace(r, value=r.value_prev), r_int
+            )
+            for r in rows
+        ]
+        keys = [word_rlc(r.storage_key, r_int) for r in rows]
         return {
             self.col_value: mont(vals),
             self.col_value_prev: mont(prevs),
+            self.col_key_rlc: mont(keys),
         }

@@ -41,6 +41,7 @@ from .exp import ExpCircuit, ExpParams
 from .keccak import KeccakCircuit
 from .pi import PiCircuit, PublicData
 from .poseidon import PoseidonCircuit, PoseidonEvent
+from .rlp import RlpCircuit
 from .state import StateCircuit, StateParams
 from .tx import TxCircuit, TxParams
 
@@ -89,6 +90,10 @@ class SuperCircuit(Circuit):
         self.bytecode = BytecodeCircuit(bytecodes, p.bytecode)
         self.tx = TxCircuit(txs, p.tx)
         self.subs: list[Circuit] = [self.state, self.evm, self.bytecode, self.tx]
+        self.rlp = None
+        if txs:
+            self.rlp = RlpCircuit(txs)
+            self.subs.append(self.rlp)
 
         self.copy = None
         if builder.copy_events:
@@ -107,6 +112,7 @@ class SuperCircuit(Circuit):
         self.keccak = None
         if with_keccak or public_data is not None:
             messages = [bc.to_bytes() for bc in bytecodes]
+            messages += [tx.sign_payload() for tx in txs]
             if public_data is not None:
                 messages.append(public_data.pi_bytes())
             self.keccak = KeccakCircuit(messages)
@@ -124,11 +130,19 @@ class SuperCircuit(Circuit):
         r_word = cs.challenge(phase=0)
         self.state.configure(cs, challenge=r_word)
         rw_table = self.state.rw_table_exprs()
-        self.tx.configure(cs, challenge=r_word)
         keccak_table = None
         if self.keccak is not None:
             self.keccak.configure(cs, challenge=r_word)
             keccak_table = self.keccak.keccak_table_exprs()
+        rlp_table = data_len_table = None
+        if self.rlp is not None:
+            self.rlp.configure(cs, challenge=r_word, keccak_table=keccak_table)
+            rlp_table = self.rlp.rlp_table
+            data_len_table = self.rlp.data_len_table
+        self.tx.configure(
+            cs, challenge=r_word, rlp_table=rlp_table,
+            data_len_table=data_len_table,
+        )
         if self.copy is not None:
             self.copy.configure(
                 cs, rw_table=rw_table, tx_table=self.tx.tx_table_exprs(),
@@ -140,6 +154,7 @@ class SuperCircuit(Circuit):
             cs, rw_table=rw_table, challenge=r_word,
             exp_table=self.exp.exp_table if self.exp is not None else None,
             copy_table=self.copy.copy_table if self.copy is not None else None,
+            tx_table=self.tx.tx_table_exprs(),
         )
         self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
         if self.pi is not None:

@@ -1,4 +1,4 @@
-"""Tx circuit — proves the TxTable layout.
+"""Tx circuit — proves the TxTable layout, bound to the RLP circuit.
 
 Equivalent of the reference's `zkevm-circuits/src/tx_circuit.rs`
 (SURVEY.md §2.2 "Tx"): one fixed-layout block of rows per transaction
@@ -6,12 +6,26 @@ carrying (tag, value) pairs for the context fields the EVM circuit reads
 (nonce, gas, gas_price, callee, caller, value, calldata length/RLC),
 followed by per-byte calldata rows with index continuity.
 
-Round-1 scope (documented): sender recovery is witnessed (caller address
-column) and checked HOST-side against the signature during witness
-construction; the in-circuit ECDSA binding is the Sig circuit (SURVEY.md
-§2.2 "Sig") and the tx-hash binding is the Keccak circuit — both land
-with those circuits, mirroring how the reference splits the work between
-tx_circuit and sig_circuit.
+Value conventions (matching the RlpTable's per-tag accumulators):
+  * raw integers: Nonce, Gas, CalleeAddress, CallDataLength,
+    CallDataGasCost, IsCreate, SigV, CallerAddress;
+  * word RLCs (state.py word_rlc under the shared challenge):
+    GasPrice, Value, SigR, SigS.
+
+RLP bindings (when `rlp_table`/`data_len_table` given — the reference
+ties tx_circuit to the RlpTable the same way, tx_circuit.rs lookups):
+  * Nonce/GasPrice/Gas/CalleeAddress/Value rows look up
+    (tx_id, rlp_tag, value) in the RlpTable — the values the sender
+    SIGNED are the values the EVM executes with;
+  * the CallDataLength row looks up (tx_id, len) in the DataLen table,
+    and the last calldata row binds both its running byte-RLC to the
+    RLP Data value and its index+1 to the RLP data length;
+  * the SigV row proves v = 35 + 2*chain_id + rec (EIP-155) with
+    chain_id looked up from the RlpTable.
+
+Remaining with the Sig circuit (SURVEY.md §2.2 "Sig"): in-circuit ECDSA
+over (sign_hash, r, s, v) and sender recovery; until then sender
+recovery is checked host-side at witness construction.
 """
 
 from __future__ import annotations
@@ -26,6 +40,8 @@ from ..crypto.params import FR_MODULUS as R
 from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
 from ..plonk.expression import Advice, Fixed
 from ..types.transaction import Transaction
+from .rlp import RlpTag
+from .state import word_rlc
 
 F = fr()
 
@@ -54,6 +70,20 @@ FIXED_TAGS = [
     TxFieldTag.SigV, TxFieldTag.SigR, TxFieldTag.SigS,
 ]
 
+# word-RLC-valued tags (the rest are raw integers)
+WORD_TAGS = {
+    TxFieldTag.GasPrice, TxFieldTag.Value, TxFieldTag.SigR, TxFieldTag.SigS,
+}
+
+# TxFieldTag -> RlpTag for the signed-field bindings
+RLP_BOUND = {
+    TxFieldTag.Nonce: RlpTag.Nonce,
+    TxFieldTag.GasPrice: RlpTag.GasPrice,
+    TxFieldTag.Gas: RlpTag.Gas,
+    TxFieldTag.CalleeAddress: RlpTag.To,
+    TxFieldTag.Value: RlpTag.Value,
+}
+
 
 @dataclasses.dataclass
 class TxParams:
@@ -70,11 +100,21 @@ class TxCircuit(Circuit):
             assert sender is not None, "unsigned tx in witness"
             tx._sender = sender
 
-    def configure(self, cs: ConstraintSystem, challenge=None):
+    def configure(self, cs: ConstraintSystem, challenge=None,
+                  rlp_table=None, data_len_table=None):
+        """`rlp_table`: RlpCircuit.rlp_table exprs (g, tx_id, tag, value);
+        `data_len_table`: RlpCircuit.data_len_table exprs (g, tx_id, len).
+        When given, the signed-field / calldata / chain-id bindings above
+        are wired; standalone mode proves the layout only."""
         p = self.params
+        self.has_rlp = rlp_table is not None
         self.q_fixed = cs.fixed_column()  # fixed-field region rows
         self.q_data = cs.fixed_column()  # calldata region rows
         self.f_tag = cs.fixed_column()  # expected tag sequence (fixed layout)
+        self.f_rlptag = cs.fixed_column()  # RlpTag on RLP-bound rows
+        self.f_isbound = cs.fixed_column()  # 1 on RLP-bound field rows
+        self.f_isdlen = cs.fixed_column()  # 1 on the CallDataLength row
+        self.f_issigv = cs.fixed_column()  # 1 on the SigV row
         self.tbl_byte = cs.fixed_column()
 
         self.c_tx_id = cs.advice_column()
@@ -82,14 +122,25 @@ class TxCircuit(Circuit):
         self.c_index = cs.advice_column()  # calldata byte index
         self.c_value = cs.advice_column(phase=1)  # field value or byte
         self.c_is_final = cs.advice_column()  # last byte of a tx's calldata
+        self.c_is_real = cs.advice_column()  # tx_id != 0
+        self.c_inv_tid = cs.advice_column()  # inverse witness for tx_id
+        self.c_rec = cs.advice_column()  # SigV row: recovery bit
+        self.c_chain = cs.advice_column()  # SigV row: chain id
+        self.c_cd_rlc = cs.advice_column(phase=1)  # calldata running RLC
         self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
         qf, qd = Fixed(self.q_fixed), Fixed(self.q_data)
+        qd_p = Fixed(self.q_data, -1)
         tag, ftag = Advice(self.c_tag), Fixed(self.f_tag)
         txid, txid_n = Advice(self.c_tx_id), Advice(self.c_tx_id, 1)
         idx, idx_n = Advice(self.c_index), Advice(self.c_index, 1)
-        fin = Advice(self.c_is_final)
+        fin, fin_p = Advice(self.c_is_final), Advice(self.c_is_final, -1)
         val = Advice(self.c_value)
+        ir = Advice(self.c_is_real)
+        itid = Advice(self.c_inv_tid)
+        rec = Advice(self.c_rec)
+        chain = Advice(self.c_chain)
+        cdr, cdr_p = Advice(self.c_cd_rlc), Advice(self.c_cd_rlc, -1)
 
         # fixed region: tag follows the static layout
         cs.create_gate("fixed tag layout", qf * (tag - ftag))
@@ -108,6 +159,55 @@ class TxCircuit(Circuit):
         )
         # calldata bytes range-checked
         cs.lookup_logup("calldata bytes", [[qd * val]], [Fixed(self.tbl_byte)])
+
+        # is_real = (tx_id != 0), via inverse witness
+        g_any = qf + qd
+        cs.create_gate("is_real def", g_any * (ir - txid * itid))
+        cs.create_gate("is_real kill", g_any * txid * (1 - ir))
+
+        # calldata running byte-RLC: restarts where a tx's bytes begin
+        # (previous row is outside the region or final), Horner-folds along
+        # the segment; first byte has index 0
+        start = 1 - qd_p * (1 - fin_p)
+        cs.create_gate("calldata rlc start", qd * start * (cdr - val))
+        cs.create_gate("calldata idx start", qd * start * idx)
+        cs.create_gate(
+            "calldata rlc fold",
+            qd * qd_p * (1 - fin_p) * (cdr - cdr_p * self.r - val),
+        )
+
+        # SigV row: v = 35 + 2*chain_id + rec (EIP-155)
+        g_sv = qf * Fixed(self.f_issigv) * ir
+        cs.create_gate("sigv rec bool", g_sv * rec * (rec - 1))
+        cs.create_gate("sigv eip155", g_sv * (val - 35 - rec - 2 * chain))
+
+        if self.has_rlp:
+            g_b = qf * Fixed(self.f_isbound) * ir
+            g_fin = qd * fin * ir
+            cs.lookup_logup(
+                "tx rlp binding",
+                [
+                    # signed fields: (tx_id, rlp_tag, value)
+                    [g_b, g_b * txid, g_b * Fixed(self.f_rlptag), g_b * val],
+                    # chain id from the SigV decomposition
+                    [g_sv, g_sv * txid, g_sv * int(RlpTag.ChainId),
+                     g_sv * chain],
+                    # last calldata row: running RLC == RLP Data value
+                    [g_fin, g_fin * txid, g_fin * int(RlpTag.Data),
+                     g_fin * cdr],
+                ],
+                rlp_table,
+            )
+            g_dl = qf * Fixed(self.f_isdlen) * ir
+            cs.lookup_logup(
+                "tx data len binding",
+                [
+                    [g_dl, g_dl * txid, g_dl * val],
+                    # last calldata row: index+1 == RLP data length
+                    [g_fin, g_fin * txid, g_fin * (idx + 1)],
+                ],
+                data_len_table,
+            )
 
     def tx_table_exprs(self) -> list:
         """(tx_id, tag, index, value) TxTable exprs for other circuits'
@@ -132,16 +232,27 @@ class TxCircuit(Circuit):
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
         q_fixed = [1 if i < n_fixed else 0 for i in range(n)]
         q_data = [1 if n_fixed <= i < total else 0 for i in range(n)]
+        nt = len(FIXED_TAGS)
         ftag = [
-            int(FIXED_TAGS[i % len(FIXED_TAGS)]) if i < n_fixed else 0
-            for i in range(n)
+            int(FIXED_TAGS[i % nt]) if i < n_fixed else 0 for i in range(n)
         ]
+        rlptag, isbound, isdlen, issigv = [], [], [], []
+        for i in range(n):
+            t = FIXED_TAGS[i % nt] if i < n_fixed else None
+            rlptag.append(int(RLP_BOUND.get(t, RlpTag.List)) if t else 0)
+            isbound.append(int(t in RLP_BOUND) if t else 0)
+            isdlen.append(int(t == TxFieldTag.CallDataLength) if t else 0)
+            issigv.append(int(t == TxFieldTag.SigV) if t else 0)
         tbl = [i if i < 256 else 0 for i in range(n)]
         assert n >= 256
         return {
             self.q_fixed: mont(q_fixed),
             self.q_data: mont(q_data),
             self.f_tag: mont(ftag),
+            self.f_rlptag: mont(rlptag),
+            self.f_isbound: mont(isbound),
+            self.f_isdlen: mont(isdlen),
+            self.f_issigv: mont(issigv),
             self.tbl_byte: mont(tbl),
         }
 
@@ -153,7 +264,7 @@ class TxCircuit(Circuit):
         )
         # build rows
         tx_ids, tags, idxs, fins = [], [], [], []
-        vals: list[int] = []
+        raw_vals: list = []  # (tag, int) pairs; word tags RLC'd in phase 1
         for ti in range(p.max_txs):
             tx = self.txs[ti] if ti < len(self.txs) else Transaction(v=0)
             tid = ti + 1 if ti < len(self.txs) else 0
@@ -164,21 +275,21 @@ class TxCircuit(Circuit):
                 TxFieldTag.CalleeAddress: tx.to or 0,
                 TxFieldTag.CallerAddress: getattr(tx, "_sender", 0),
                 TxFieldTag.IsCreate: int(tx.to is None),
-                TxFieldTag.Value: tx.value % R,
+                TxFieldTag.Value: tx.value,
                 TxFieldTag.CallDataLength: len(tx.data),
                 TxFieldTag.CallDataGasCost: sum(
                     4 if b == 0 else 16 for b in tx.data
                 ),
                 TxFieldTag.SigV: tx.v,
-                TxFieldTag.SigR: tx.r % R,
-                TxFieldTag.SigS: tx.s % R,
+                TxFieldTag.SigR: tx.r,
+                TxFieldTag.SigS: tx.s,
             }
             for tg in FIXED_TAGS:
                 tx_ids.append(tid)
                 tags.append(int(tg))
                 idxs.append(0)
                 fins.append(0)
-                vals.append(fields[tg] if tid else 0)
+                raw_vals.append((tg, fields[tg] if tid else 0))
         # calldata rows
         for ti, tx in enumerate(self.txs):
             for bi, byte in enumerate(tx.data):
@@ -186,19 +297,50 @@ class TxCircuit(Circuit):
                 tags.append(int(TxFieldTag.CallData))
                 idxs.append(bi)
                 fins.append(int(bi == len(tx.data) - 1))
-                vals.append(byte)
+                raw_vals.append((TxFieldTag.CallData, byte))
         # pad calldata region: zero rows marked final (no continuity)
         while len(tx_ids) < total:
             tx_ids.append(0)
             tags.append(int(TxFieldTag.CallData))
             idxs.append(0)
             fins.append(1)
-            vals.append(0)
+            raw_vals.append((TxFieldTag.CallData, 0))
         if phase == 0:
+            recs, chains = [], []
+            for i, tid in enumerate(tx_ids):
+                tg = FIXED_TAGS[i % len(FIXED_TAGS)] if i < n_fixed else None
+                if tg == TxFieldTag.SigV and tid:
+                    tx = self.txs[tid - 1]
+                    recs.append((tx.v - 35 - 2 * tx.chain_id) & 1)
+                    chains.append(tx.chain_id)
+                else:
+                    recs.append(0)
+                    chains.append(0)
             return {
                 self.c_tx_id: mont(tx_ids),
                 self.c_tag: mont(tags),
                 self.c_index: mont(idxs),
                 self.c_is_final: mont(fins),
+                self.c_is_real: mont([int(t != 0) for t in tx_ids]),
+                self.c_inv_tid: mont(
+                    [pow(t, -1, R) if t else 0 for t in tx_ids]
+                ),
+                self.c_rec: mont(recs),
+                self.c_chain: mont(chains),
             }
-        return {self.c_value: mont(vals)}
+        # phase 1: values (word tags RLC'd) + calldata running RLC
+        r_chal = challenges[self.r.index]
+        r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+        vals = [
+            word_rlc(v, r_int) if tg in WORD_TAGS else v % R
+            for tg, v in raw_vals
+        ]
+        cdrs, acc = [], 0
+        for i in range(len(tx_ids)):
+            if i < n_fixed:
+                cdrs.append(0)
+                continue
+            v = raw_vals[i][1]
+            acc = v % R if idxs[i] == 0 else (acc * r_int + v) % R
+            cdrs.append(acc)
+        return {self.c_value: mont(vals), self.c_cd_rlc: mont(cdrs)}

@@ -40,6 +40,9 @@ class ExecStep:
     rw_counter_start: int
     rw_indices: list[int] = dataclasses.field(default_factory=list)
     error: str | None = None
+    tx_id: int = 0
+    callee: int = 0  # executing contract address
+    code_hash: int = 0  # keccak of the executing bytecode (big-endian int)
 
 
 @dataclasses.dataclass
@@ -100,6 +103,19 @@ class TxContext:
     to_addr: int
     value: int
     calldata: bytes
+    code_hash: int = 0  # keccak(executing bytecode); 0 in dev witnesses
+
+
+# context opcodes handled by one generic path: opcode -> (CallContext
+# field read at the step's own rw counter, value from the tx context)
+CONTEXT_OPS = {
+    OpcodeId.CALLER: (CallContextField.CallerAddress, lambda c: c.from_addr),
+    OpcodeId.ADDRESS: (CallContextField.CalleeAddress, lambda c: c.to_addr),
+    OpcodeId.CALLVALUE: (CallContextField.Value, lambda c: c.value),
+    OpcodeId.CALLDATASIZE: (
+        CallContextField.CallDataLength, lambda c: len(c.calldata)
+    ),
+}
 
 
 class CircuitInputBuilder:
@@ -111,6 +127,7 @@ class CircuitInputBuilder:
         self.txs: list[TxContext] = []
         self.copy_events: list[CopyEvent] = []
         self.exp_events: list[ExpEvent] = []
+        self.mulmod_events: list = []  # circuits.mulmod.MulModEvent
         self._next_call_id = 1
 
     # ------------------------------------------------------------------
@@ -142,7 +159,8 @@ class CircuitInputBuilder:
         es = ExecStep(
             exec_state="BeginTx", pc=0, op=None, gas=0, gas_cost=0,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
-            rw_counter_start=start,
+            rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
+            code_hash=ctx.code_hash,
         )
         rws = [
             self.rws.call_context_read(ctx.call_id, CallContextField.TxId, ctx.tx_id),
@@ -156,6 +174,9 @@ class CircuitInputBuilder:
                 ctx.call_id, CallContextField.Value, ctx.value
             ),
             self.rws.call_context_read(ctx.call_id, CallContextField.IsRoot, 1),
+            self.rws.call_context_read(
+                ctx.call_id, CallContextField.CallDataLength, len(ctx.calldata)
+            ),
         ]
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
@@ -165,7 +186,8 @@ class CircuitInputBuilder:
         es = ExecStep(
             exec_state="EndTx", pc=0, op=None, gas=0, gas_cost=0,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
-            rw_counter_start=start,
+            rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
+            code_hash=ctx.code_hash,
         )
         r = self.rws.call_context_read(
             ctx.call_id, CallContextField.IsSuccess, int(not trace.failed)
@@ -183,6 +205,7 @@ class CircuitInputBuilder:
             exec_state=op.name, pc=step.pc, op=op, gas=step.gas,
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=ctx.tx_id, callee=ctx.to_addr, code_hash=ctx.code_hash,
         )
         rws: list[Rw] = []
 
@@ -239,6 +262,19 @@ class CircuitInputBuilder:
                 self.rws.storage_write(ctx.tx_id, ctx.to_addr, key, val, prev)
             )
             storage[(ctx.to_addr, key)] = val
+        elif op == OpcodeId.CALLDATALOAD:
+            # root call: stack offset pop, a CallDataLength ctx read (the
+            # circuit's boundary gadget needs the length), stack word push
+            # (reference bus-mapping src/evm/opcodes/calldataload.rs)
+            offset = stack_val(0)
+            rws.append(self.rws.stack_read(call_id, sp, offset))
+            rws.append(
+                self.rws.call_context_read(
+                    call_id, CallContextField.CallDataLength, len(ctx.calldata)
+                )
+            )
+            word = nxt.stack[-1] if nxt and not step.error else 0
+            rws.append(self.rws.stack_write(call_id, sp, word))
         elif op == OpcodeId.CALLDATACOPY:
             dst, src, ln = stack_val(0), stack_val(1), stack_val(2)
             rws.append(self.rws.stack_read(call_id, sp, dst))
@@ -273,6 +309,34 @@ class CircuitInputBuilder:
                         exponent=exponent, exponentiation=result, steps=steps,
                     )
                 )
+        elif op in (OpcodeId.MULMOD, OpcodeId.ADDMOD):
+            # pops a, b, n; pushes (a op b) mod n (0 when n == 0); the
+            # modular identity is proven by the MulMod circuit, recorded
+            # here as an event (reference execution/{mulmod,addmod}.rs)
+            from ..circuits.mulmod import MulModEvent
+
+            a, bb_, nn = stack_val(0), stack_val(1), stack_val(2)
+            rws.append(self.rws.stack_read(call_id, sp, a))
+            rws.append(self.rws.stack_read(call_id, sp + 1, bb_))
+            rws.append(self.rws.stack_read(call_id, sp + 2, nn))
+            result = nxt.stack[-1] if nxt and not step.error else 0
+            rws.append(self.rws.stack_write(call_id, sp + 2, result))
+            self.mulmod_events.append(
+                MulModEvent(a=a, b=bb_, n=nn, r=result,
+                            is_add=op == OpcodeId.ADDMOD)
+            )
+        elif op in CONTEXT_OPS:
+            # context opcodes: a fresh CallContext read at this step's own
+            # rw counter (reference bus-mapping src/evm/opcodes/caller.rs
+            # etc.) + the stack push; the state circuit ties all reads of
+            # a (call_id, field) group together, and the EVM circuit's
+            # BeginTx gadget anchors the group to the TxTable.
+            field, getter = CONTEXT_OPS[op]
+            v = getter(ctx)
+            rws.append(self.rws.call_context_read(call_id, field, v))
+            if nxt is not None and not step.error:
+                new_sp = STACK_BASE - len(nxt.stack)
+                rws.append(self.rws.stack_write(call_id, new_sp, nxt.stack[-1]))
         elif op.is_call or op.is_create:
             raise NotImplementedError("nested calls land with the call opcodes")
         else:
