@@ -152,6 +152,92 @@ class Product(Expression):
         self.b.queries(out)
 
 
+class IntEvaluator:
+    """Columnwise DAG evaluator over PYTHON BIGINTS (numpy object arrays).
+
+    The MockProver's fast path: evaluating gates through the device field
+    kernels op-by-op pays ~100us of eager-dispatch overhead per primitive
+    (hundreds of gates x dozens of nodes x dozens of primitives dominated
+    test wall-clock).  Row-wise constraint checking needs no device math
+    at all — plain 254-bit Python ints vectorized through numpy object
+    arrays evaluate the same DAG ~50x faster on the host.
+
+    `tables` maps kind -> (num_cols, n, 32) uint8 MONTGOMERY arrays (or
+    col->array dicts); values are converted to canonical standard-form
+    ints lazily per queried column.  `challenges` maps index ->
+    Montgomery (32,) arrays or ints.  Results of `eval` are canonical
+    ints in [0, p) — scalars or (n,) object arrays.
+    """
+
+    def __init__(self, tables: dict, challenges: dict | None = None):
+        self.tables = tables
+        self.challenges = challenges or {}
+        self.p = F.modulus
+        self.rinv = pow(F.R, -1, F.modulus)
+        self._cache: dict[Any, Any] = {}
+        self._cols: dict[tuple, Any] = {}
+
+    def _column(self, kind, col):
+        key = (kind, col)
+        hit = self._cols.get(key)
+        if hit is not None:
+            return hit
+        t = self.tables[kind]
+        import numpy as np
+
+        arr = np.asarray(t[col])
+        n = arr.shape[0]
+        raw = arr.tobytes()
+        p, rinv = self.p, self.rinv
+        out = np.fromiter(
+            (
+                int.from_bytes(raw[32 * i : 32 * i + 32], "little") * rinv % p
+                for i in range(n)
+            ),
+            dtype=object,
+            count=n,
+        )
+        self._cols[key] = out
+        return out
+
+    def _challenge(self, index):
+        v = self.challenges[index]
+        if isinstance(v, int):
+            return v % self.p
+        import numpy as np
+
+        b = np.asarray(v).tobytes()
+        return int.from_bytes(b, "little") * self.rinv % self.p
+
+    def eval(self, e: Expression):
+        key = e
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        import numpy as np
+
+        p = self.p
+        if isinstance(e, Constant):
+            out = e.value % p
+        elif isinstance(e, Query):
+            colv = self._column(e.kind, e.col)
+            r = e.rot % colv.shape[0]
+            out = np.roll(colv, -r) if r else colv
+        elif isinstance(e, Challenge):
+            out = self._challenge(e.index)
+        elif isinstance(e, Neg):
+            v = self.eval(e.a)
+            out = (p - v) % p if isinstance(v, int) else (-v) % p
+        elif isinstance(e, Sum):
+            out = (self.eval(e.a) + self.eval(e.b)) % p
+        elif isinstance(e, Product):
+            out = (self.eval(e.a) * self.eval(e.b)) % p
+        else:
+            raise TypeError(type(e))
+        self._cache[key] = out
+        return out
+
+
 class Evaluator:
     """Columnwise DAG evaluator with node memoization.
 

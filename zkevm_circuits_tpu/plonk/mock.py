@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..crypto.field import fr
 from .circuit import BLINDING_FACTORS, Circuit, ConstraintSystem, usable_rows
-from .expression import Evaluator
+from .expression import IntEvaluator
 
 F = fr()
 
@@ -72,7 +72,7 @@ class MockProver:
         self.advice = jnp.asarray(adv)
 
     def _evaluator(self):
-        return Evaluator(
+        return IntEvaluator(
             {"fixed": self.fixed, "advice": self.advice, "instance": self.instance},
             self.challenges,
         )
@@ -83,14 +83,31 @@ class MockProver:
         n, u = self.n, usable_rows(self.n)
         ev = self._evaluator()
 
+        def rows_of(exprs):
+            """Evaluate a tuple of expressions -> set of per-row int tuples
+            over the usable region (scalars broadcast)."""
+            cols = []
+            for e in exprs:
+                v = ev.eval(e)
+                if isinstance(v, int):
+                    cols.append([v] * u)
+                else:
+                    cols.append(v[:u].tolist())
+            return set(zip(*cols))
+
         # gates must vanish on every row (selectors gate them off elsewhere;
         # blinding tail rows are exempt as in halo2)
         for gate in self.cs.gates:
             for pi, poly in enumerate(gate.polys):
                 vals = ev.eval(poly)
-                if vals.ndim == 1:
-                    vals = jnp.broadcast_to(vals, (n, 32))
-                nz = np.asarray(~F.is_zero(vals[:u]))
+                if isinstance(vals, int):
+                    if vals != 0:
+                        failures.append(
+                            f"gate '{gate.name}' poly {pi} is the nonzero "
+                            f"constant {vals}"
+                        )
+                    continue
+                nz = vals[:u] != 0
                 if nz.any():
                     rows = np.nonzero(nz)[0][:5].tolist()
                     failures.append(
@@ -99,13 +116,7 @@ class MockProver:
 
         # lookups: every input row tuple must appear among table row tuples
         for lk in self.cs.lookups:
-            inp = [np.asarray(F.from_mont(ev.eval(e))) for e in lk.inputs]
-            tab = [np.asarray(F.from_mont(ev.eval(e))) for e in lk.tables]
-            inp = [np.broadcast_to(a, (n, 32)) for a in inp]
-            tab = [np.broadcast_to(a, (n, 32)) for a in tab]
-            in_rows = {tuple(bytes(a[i]) for a in inp) for i in range(u)}
-            tab_rows = {tuple(bytes(a[i]) for a in tab) for i in range(u)}
-            missing = in_rows - tab_rows
+            missing = rows_of(lk.inputs) - rows_of(lk.tables)
             if missing:
                 failures.append(
                     f"lookup '{lk.name}': {len(missing)} input row value(s) not in table"
@@ -113,14 +124,9 @@ class MockProver:
 
         # logup lookups: every input tuple must appear in the table multiset
         for lg in self.cs.logups:
-            tab = [np.asarray(F.from_mont(ev.eval(e))) for e in lg.table]
-            tab = [np.broadcast_to(a, (n, 32)) for a in tab]
-            tab_rows = {tuple(bytes(a[i]) for a in tab) for i in range(u)}
+            tab_rows = rows_of(lg.table)
             for ti, tup in enumerate(lg.inputs):
-                inp = [np.asarray(F.from_mont(ev.eval(e))) for e in tup]
-                inp = [np.broadcast_to(a, (n, 32)) for a in inp]
-                in_rows = {tuple(bytes(a[i]) for a in inp) for i in range(u)}
-                missing = in_rows - tab_rows
+                missing = rows_of(tup) - tab_rows
                 if missing:
                     failures.append(
                         f"logup '{lg.name}' input {ti}: "
