@@ -235,3 +235,123 @@ def host_g1_mul(p, k, modulus=FQ_MODULUS):
         p = host_g1_add(p, p, modulus)
         k >>= 1
     return acc
+
+
+# host-side Jacobian bigint MSM --------------------------------------------
+# Small MSMs (test-sized domains, transcript-adjacent single commits) are
+# dominated by fixed bucket-machinery runtime on the device path; a plain
+# Python Pippenger over Jacobian int triples beats it by orders of
+# magnitude below ~2^14 points on the CPU backend.  (X, Y, Z) with Z == 0
+# is infinity.
+
+def _hj_double(p, m):
+    X, Y, Z = p
+    if Z == 0:
+        return p
+    A = X * X % m
+    B = Y * Y % m
+    C = B * B % m
+    D = 2 * ((X + B) * (X + B) - A - C) % m
+    E = 3 * A % m
+    F_ = E * E % m
+    X3 = (F_ - 2 * D) % m
+    Y3 = (E * (D - X3) - 8 * C) % m
+    Z3 = 2 * Y * Z % m
+    return (X3, Y3, Z3)
+
+
+def _hj_add_mixed(p, q_aff, m):
+    """Jacobian + affine (x2, y2)."""
+    X1, Y1, Z1 = p
+    x2, y2 = q_aff
+    if Z1 == 0:
+        return (x2, y2, 1)
+    Z1Z1 = Z1 * Z1 % m
+    U2 = x2 * Z1Z1 % m
+    S2 = y2 * Z1 * Z1Z1 % m
+    H = (U2 - X1) % m
+    r = (S2 - Y1) % m
+    if H == 0:
+        if r == 0:
+            return _hj_double(p, m)
+        return (1, 1, 0)
+    HH = H * H % m
+    HHH = H * HH % m
+    V = X1 * HH % m
+    X3 = (r * r - HHH - 2 * V) % m
+    Y3 = (r * (V - X3) - Y1 * HHH) % m
+    Z3 = Z1 * H % m
+    return (X3, Y3, Z3)
+
+
+def _hj_add(p, q, m):
+    """Jacobian + Jacobian."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % m
+    Z2Z2 = Z2 * Z2 % m
+    U1 = X1 * Z2Z2 % m
+    U2 = X2 * Z1Z1 % m
+    S1 = Y1 * Z2 * Z2Z2 % m
+    S2 = Y2 * Z1 * Z1Z1 % m
+    H = (U2 - U1) % m
+    r = (S2 - S1) % m
+    if H == 0:
+        if r == 0:
+            return _hj_double(p, m)
+        return (1, 1, 0)
+    HH = H * H % m
+    HHH = H * HH % m
+    V = U1 * HH % m
+    X3 = (r * r - HHH - 2 * V) % m
+    Y3 = (r * (V - X3) - S1 * HHH) % m
+    Z3 = Z1 * Z2 * H % m
+    return (X3, Y3, Z3)
+
+
+def _hj_to_affine(p, m):
+    X, Y, Z = p
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, m)
+    zi2 = zi * zi % m
+    return (X * zi2 % m, Y * zi2 * zi % m)
+
+
+def host_msm(points_affine: list, scalars: list[int],
+             modulus: int = FQ_MODULUS):
+    """Pippenger over host ints: points as (x, y) pairs (None = infinity),
+    byte windows MSB-first.  Returns (x, y) or None."""
+    m = modulus
+    pairs = [
+        (p, s) for p, s in zip(points_affine, scalars) if p is not None and s
+    ]
+    acc = (1, 1, 0)
+    for w in range(31, -1, -1):
+        if acc[2] != 0:
+            for _ in range(8):
+                acc = _hj_double(acc, m)
+        buckets: dict[int, tuple] = {}
+        for p, s in pairs:
+            d = (s >> (8 * w)) & 255
+            if d:
+                cur = buckets.get(d)
+                buckets[d] = (
+                    _hj_add_mixed(cur, p, m) if cur is not None
+                    else (p[0], p[1], 1)
+                )
+        if not buckets:
+            continue
+        run = (1, 1, 0)
+        wsum = (1, 1, 0)
+        for d in range(max(buckets), 0, -1):
+            b = buckets.get(d)
+            if b is not None:
+                run = _hj_add(run, b, m)
+            wsum = _hj_add(wsum, run, m)
+        acc = _hj_add(acc, wsum, m)
+    return _hj_to_affine(acc, m)

@@ -175,7 +175,7 @@ def prove(
         for ci in phase_cols:
             advice_evals[ci] = np.asarray(blind(cols[ci]))
             coeffs = intt(jnp.asarray(advice_evals[ci]), k)
-            comm = g1_to_affine_ints(srs.commit(coeffs))[0]
+            comm = srs.commit_affine(coeffs)
             t.write_point(comm)
         for idx, ph in enumerate(cs.challenge_phases):
             if ph == phase:
@@ -205,8 +205,8 @@ def prove(
         sp = blind(F.from_ints([v * F.R % R for v in sp_host]))
         ap_coeffs = intt(ap, k)
         sp_coeffs = intt(sp, k)
-        t.write_point(g1_to_affine_ints(srs.commit(ap_coeffs))[0])
-        t.write_point(g1_to_affine_ints(srs.commit(sp_coeffs))[0])
+        t.write_point(srs.commit_affine(ap_coeffs))
+        t.write_point(srs.commit_affine(sp_coeffs))
         lookup_data.append(
             dict(
                 a=a_evals, s=s_evals, ap=ap, sp=sp,
@@ -234,7 +234,7 @@ def prove(
                 mult[idx] += 1
         m_col = blind(F.from_ints([v * F.R % R for v in mult]))
         m_coeffs = intt(m_col, k)
-        t.write_point(g1_to_affine_ints(srs.commit(m_coeffs))[0])
+        t.write_point(srs.commit_affine(m_coeffs))
         logup_data.append(
             dict(a=a_list, t=t_evals, m=m_col, m_coeffs=m_coeffs)
         )
@@ -265,7 +265,7 @@ def prove(
         ratio = F.mul(num, F.batch_inv(den, axis=0))
         z_perm = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
         z_perm_coeffs = intt(z_perm, k)
-        t.write_point(g1_to_affine_ints(srs.commit(z_perm_coeffs))[0])
+        t.write_point(srs.commit_affine(z_perm_coeffs))
 
     # ---- lookup grand products ---------------------------------------------------
     for ld in lookup_data:
@@ -275,7 +275,7 @@ def prove(
         z = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
         ld["z"] = z
         ld["z_coeffs"] = intt(z, k)
-        t.write_point(g1_to_affine_ints(srs.commit(ld["z_coeffs"]))[0])
+        t.write_point(srs.commit_affine(ld["z_coeffs"]))
 
     # ---- logup helper columns + running sums -------------------------------
     row_lt_u = jnp.arange(n) < u
@@ -304,9 +304,9 @@ def prove(
         ld["h_t_coeffs"] = intt(h_t, k)
         ld["phi_coeffs"] = intt(phi, k)
         for c in ld["h_coeffs"]:
-            t.write_point(g1_to_affine_ints(srs.commit(c))[0])
-        t.write_point(g1_to_affine_ints(srs.commit(ld["h_t_coeffs"]))[0])
-        t.write_point(g1_to_affine_ints(srs.commit(ld["phi_coeffs"]))[0])
+            t.write_point(srs.commit_affine(c))
+        t.write_point(srs.commit_affine(ld["h_t_coeffs"]))
+        t.write_point(srs.commit_affine(ld["phi_coeffs"]))
 
     y = t.squeeze_challenge()
     y_m = _mont_scalar(y)
@@ -420,7 +420,7 @@ def prove(
     n_pieces = n_ext // n
     h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(n_pieces)]
     for piece in h_pieces:
-        t.write_point(g1_to_affine_ints(srs.commit(piece))[0])
+        t.write_point(srs.commit_affine(piece))
 
     x = t.squeeze_challenge()
 

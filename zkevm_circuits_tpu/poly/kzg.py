@@ -100,13 +100,46 @@ class Srs:
         pts = G1(self.g1_powers.x[:m], self.g1_powers.y[:m], self.g1_powers.z[:m])
         return msm(pts, plain)
 
+    def _host_powers(self) -> list:
+        """Affine int pairs of the G1 powers (cached; one device sync)."""
+        cached = getattr(self, "_host_powers_cache", None)
+        if cached is None:
+            cached = g1_to_affine_ints(self.g1_powers)
+            self._host_powers_cache = cached
+        return cached
+
+    def commit_affine(self, coeffs):
+        """coeffs -> affine (x, y) int pair (None = infinity).
+
+        On the CPU backend the device MSM's fixed bucket machinery costs
+        tens of seconds regardless of size; test-scale commits route to a
+        host bigint Pippenger instead.  The TPU backend always uses the
+        device path."""
+        import jax as _jax
+
+        m = coeffs.shape[0]
+        if _jax.default_backend() == "cpu" and m <= (1 << 14):
+            from ..crypto.curve import host_msm
+            from ..crypto.field import fr as _fr
+
+            Fr = _fr()
+            raw = np.asarray(coeffs).tobytes()
+            rinv = pow(Fr.R, -1, Fr.modulus)
+            scalars = [
+                int.from_bytes(raw[32 * i : 32 * i + 32], "little")
+                * rinv % Fr.modulus
+                for i in range(m)
+            ]
+            return host_msm(self._host_powers()[:m], scalars)
+        return g1_to_affine_ints(self.commit(coeffs))[0]
+
     def commit_many(self, coeff_cols) -> list:
         """(c, m, 32) stacked coefficient columns -> list of c affine points
         (host ints).  MSM'd one by one; the MSM itself is the batched op."""
-        out = []
-        for i in range(coeff_cols.shape[0]):
-            out.append(g1_to_affine_ints(self.commit(coeff_cols[i]))[0])
-        return out
+        return [
+            self.commit_affine(coeff_cols[i])
+            for i in range(coeff_cols.shape[0])
+        ]
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +330,7 @@ def shplonk_open(srs: Srs, queries: list[Query], transcript) -> None:
         h = F.add(h, hk)
         group_data.append((pts_l, members, merged, r_vals))
 
-    w1 = g1_to_affine_ints(srs.commit(h))[0]
+    w1 = srs.commit_affine(h)
     transcript.write_point(w1)
     u = transcript.squeeze_challenge()
 
@@ -320,7 +353,7 @@ def shplonk_open(srs: Srs, queries: list[Query], transcript) -> None:
 
     # W2 = [ L(X) / (X - u) ]
     w2_poly = divide_by_vanishing_coset(L, [u], k)
-    w2 = g1_to_affine_ints(srs.commit(w2_poly))[0]
+    w2 = srs.commit_affine(w2_poly)
     transcript.write_point(w2)
 
 
