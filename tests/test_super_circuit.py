@@ -21,8 +21,14 @@ SENDER, CONTRACT = 0xCAFE, 0xC0DE
 SK = 0x3333333333333333333333333333333333333333333333333333333333333333
 
 
-def _witness():
-    code = Bytecode().push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
+def _witness(code=None):
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    if code is None:
+        code = (
+            Bytecode().push(1, 5).push(2, 0x1234).op("ADD").op("POP")
+            .op("STOP")
+        )
     txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
     sender = txs[0].recover_sender()  # context must match the signer
     state = StateDB(
@@ -32,14 +38,60 @@ def _witness():
     assert not tr.failed
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b""), tr
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr,
     )
     return b, [code], txs
 
 
 def test_super_circuit_satisfied():
     b, codes, txs = _witness()
-    MockProver(K, SuperCircuit(b, codes, txs)).assert_satisfied()
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.bind_bytecode  # opcode binding live (code hashes carried)
+    MockProver(K, circ).assert_satisfied()
+
+
+def test_super_circuit_mulmod_composed():
+    """MULMOD/ADDMOD steps ride the MulMod sub-circuit's table."""
+    code = (
+        Bytecode()
+        .push(1, 100).push(1, 23).push(1, 17).op("MULMOD").op("POP")
+        .push(1, 99).push(2, 0x1234).push(1, 250).op("ADDMOD").op("POP")
+        .op("STOP")
+    )
+    b, codes, txs = _witness(code)
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.mulmod is not None and len(circ.mulmod.events) == 2
+    MockProver(K, circ).assert_satisfied()
+
+
+def test_super_circuit_catches_wrong_opcode_binding():
+    """A step claiming a pc whose code byte is a different opcode must
+    miss the bytecode-table binding lookup."""
+    b, codes, txs = _witness()
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.evm.steps)
+                    if s.exec_state == "ADD"
+                )
+                # shift the ADD step's pc onto the POP byte
+                arr = np.array(cols[self.evm.c_pc])
+                good = F.to_int(np.asarray(F.from_mont(arr[row])))
+                arr[row] = F.from_int((good + 1) * F.R % F.modulus)
+                cols[self.evm.c_pc] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b, codes, txs)).verify()
+    assert any("bytecode binding" in f or "pc step" in f for f in failures), (
+        failures
+    )
 
 
 def test_super_circuit_cross_corruption():

@@ -1532,12 +1532,28 @@ class EvmCircuit(Circuit):
                 va.append(0); vb.append(0); vc.append(0)
             invs.append(pow(inv_of, -1, R) if inv_of else 0)
             inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
+        # code-hash RLC: fold of the keccak DIGEST bytes under r with
+        # digest[0] (most-significant) taking r^0 — the BytecodeCircuit's
+        # c_hash encoding (circuits/bytecode.py synthesize).  Padding STOP
+        # rows inherit the last step's hash (continuity gate).
+        rpows = [1] * 32
+        for i in range(1, 32):
+            rpows[i] = rpows[i - 1] * r_int % R
+        def hash_rlc(h: int) -> int:
+            if not h:
+                return 0
+            return sum(
+                b * rpows[i] for i, b in enumerate(h.to_bytes(32, "big"))
+            ) % R
+        chash_vals = [hash_rlc(s.code_hash) for s in steps]
+        chash_pad = [chash_vals[-1] if chash_vals else 0] * (t - len(steps))
         out = {
             self.c_val_a: mont(va),
             self.c_val_b: mont(vb),
             self.c_val_c: mont(vc),
             self.c_inv: mont(invs),
             self.c_inv2: mont(inv2s),
+            self.c_code_hash: mont(chash_vals + chash_pad),
         }
         if self.standalone:
             out[self.t_val] = mont(

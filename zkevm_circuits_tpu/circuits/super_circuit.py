@@ -107,6 +107,17 @@ class SuperCircuit(Circuit):
         if builder.exp_events:
             self.exp = ExpCircuit(builder.exp_events, p.exp)
             self.subs.append(self.exp)
+        self.mulmod = None
+        if builder.mulmod_events:
+            from .mulmod import MulModCircuit
+
+            self.mulmod = MulModCircuit(builder.mulmod_events)
+            self.subs.append(self.mulmod)
+        # bytecode-table opcode binding: on when the builder carried real
+        # code hashes (dev witnesses leave code_hash = 0, reference-style)
+        self.bind_bytecode = bool(builder.steps) and all(
+            s.code_hash for s in builder.steps
+        )
 
         self.pd = public_data
         self.keccak = None
@@ -150,13 +161,22 @@ class SuperCircuit(Circuit):
             )
         if self.exp is not None:
             self.exp.configure(cs)
+        if self.mulmod is not None:
+            self.mulmod.configure(cs)
+        self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
         self.evm.configure(
             cs, rw_table=rw_table, challenge=r_word,
             exp_table=self.exp.exp_table if self.exp is not None else None,
             copy_table=self.copy.copy_table if self.copy is not None else None,
             tx_table=self.tx.tx_table_exprs(),
+            bytecode_table=(
+                self.bytecode.bytecode_table_exprs()
+                if self.bind_bytecode else None
+            ),
+            mulmod_table=(
+                self.mulmod.mulmod_table if self.mulmod is not None else None
+            ),
         )
-        self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)
         if self.poseidon is not None:
