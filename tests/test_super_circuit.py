@@ -128,6 +128,7 @@ def test_super_circuit_full_composition():
     code = (
         Bytecode()
         .push(1, 4).push(1, 0).push(1, 0).op("CALLDATACOPY")  # copy 4 bytes
+        .push(1, 4).push(1, 0).op("SHA3").op("POP")   # keccak(mem[0:4])
         .push(1, 3).push(1, 2).op("EXP").op("POP")            # 2^3
         .push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
     )
@@ -154,6 +155,39 @@ def test_super_circuit_full_composition():
     pos = [PoseidonEvent(domain=0, in0=1, in1=2)]
     circ = SuperCircuit(b, [code], txs, public_data=pd, poseidon_events=pos)
     MockProver(13, circ, [pd.instance()]).assert_satisfied()
+
+
+def test_super_circuit_catches_wrong_sha3_digest():
+    """A SHA3 step claiming a wrong digest byte must miss the KeccakTable
+    lookup (the padded-RLC bridge pins the message)."""
+    code = (
+        Bytecode()
+        .push(1, 0xAB).push(1, 0).op("MSTORE8")
+        .push(1, 1).push(1, 0).op("SHA3").op("POP").op("STOP")
+    )
+    b, codes, txs = _witness(code)
+    assert b.sha3_inputs == [bytes([0xAB])]
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.evm.steps)
+                    if s.exec_state == "SHA3"
+                )
+                # flip digest byte 0 (and va/vc stay the honest values,
+                # so the digest-word gate or keccak lookup must break)
+                arr = np.array(cols[self.evm.c_bytes_c[0]])
+                good = F.to_int(np.asarray(F.from_mont(arr[row])))
+                arr[row] = F.from_int((good ^ 1) * F.R % F.modulus)
+                cols[self.evm.c_bytes_c[0]] = arr
+            return cols
+
+    failures = MockProver(13, Corrupt(b, codes, txs)).verify()
+    assert failures
 
 
 def test_super_circuit_full_catches_copy_corruption():

@@ -10,10 +10,19 @@ TPU-first: flat one-row-per-byte layout, both bindings on logUp
 arguments; in the SuperCircuit both table sides are the other circuits'
 actual columns.
 
-Round-1 scope: calldata->memory copies; `is_pad` (out-of-range source
-bytes, zero-filled) is witness-driven with byte=0 enforced — the LT
-gadget binding is_pad to src_addr >= calldata_length lands with the word
-gadget family (documented gap, mirrors the reference's copy pad logic).
+Copy kinds:
+  * calldata -> memory (CALLDATACOPY): source byte in the TxTable
+    calldata rows, destination write in the RW table.
+  * memory -> RLC (SHA3): source byte READ from the RW table, bytes
+    accumulated msb-first (acc = acc*r + byte) into a running RLC whose
+    final value is exposed through the CopyTable — the EVM SHA3 gadget
+    extends it over the keccak pad10*1 suffix and looks the padded RLC
+    up in the KeccakTable (reference copy_circuit's RlcAcc destination).
+
+`is_pad` (out-of-range source bytes, zero-filled) is witness-driven with
+byte=0 enforced — the LT gadget binding is_pad to src_addr >=
+calldata_length lands with the word gadget family (documented gap,
+mirrors the reference's copy pad logic).
 """
 
 from __future__ import annotations
@@ -63,9 +72,12 @@ class CopyCircuit(Circuit):
         self.c_byte = cs.advice_column()
         self.c_rwc = cs.advice_column()
         self.c_left = cs.advice_column()  # bytes left incl. this row
+        self.c_is_rlc = cs.advice_column()  # memory -> RLC event kind
+        self.c_acc = cs.advice_column(phase=1)  # running byte RLC
 
         if self.standalone:
             self.t_rwc = cs.advice_column()
+            self.t_isw = cs.advice_column()
             self.t_id = cs.advice_column()
             self.t_addr = cs.advice_column()
             self.t_byte = cs.advice_column()
@@ -74,6 +86,9 @@ class CopyCircuit(Circuit):
             self.x_byte = cs.advice_column()
             self.q_trw = cs.fixed_column()
             self.q_ttx = cs.fixed_column()
+        self.r_word = (
+            challenge if challenge is not None else cs.challenge(phase=0)
+        )
 
         q = Fixed(self.q_copy)
         act = Advice(self.c_active)
@@ -104,18 +119,43 @@ class CopyCircuit(Circuit):
         cs.create_gate("copy left countdown", q * cont * (left_n - left + 1))
         cs.create_gate("copy left last", q * act * (1 - cont) * (left - 1))
 
-        # exposed CopyTable, gated on each event's first row (the previous
-        # row's cont is 0 there; advice is zero-padded so row -1 wraps to 0)
+        # memory -> RLC kind: flag constant within the event, running
+        # accumulator acc = acc_prev * r + byte (msb-first, the KeccakTable
+        # input convention), first row seeds acc = byte
+        irlc, irlc_n = Advice(self.c_is_rlc), Advice(self.c_is_rlc, 1)
+        acc, acc_n = Advice(self.c_acc), Advice(self.c_acc, 1)
+        cs.create_gate("is_rlc bool", q * irlc * (irlc - 1))
+        cs.create_gate("is_rlc implies active", q * irlc * (1 - act))
+        cs.create_gate("copy cont is_rlc", q * cont * (irlc_n - irlc))
         gf = q * act * (1 - Advice(self.c_cont, -1))
+        cs.create_gate("acc seed", gf * irlc * (acc - byte))
+        cs.create_gate(
+            "acc chain",
+            q * cont * irlc * (acc_n - acc * self.r_word - Advice(self.c_byte, 1)),
+        )
+
+        # exposed CopyTable, gated on each event's first row (the previous
+        # row's cont is 0 there; advice is zero-padded so row -1 wraps to
+        # 0).  The acc element carries the event's FINAL running RLC for
+        # memory->RLC events (claimed on the first row by c_acc_last, which
+        # propagates forward and must equal acc on the last row).
+        self.c_acc_last = cs.advice_column(phase=1)
+        accl, accl_n = Advice(self.c_acc_last), Advice(self.c_acc_last, 1)
+        cs.create_gate("acc_last cont", q * cont * (accl_n - accl))
+        cs.create_gate(
+            "acc_last pins acc", q * act * (1 - cont) * irlc * (accl - acc)
+        )
         self.copy_table = [
-            gf, gf * sid, gf * sad, gf * did, gf * dad, gf * left, gf * rwc,
+            gf, gf * irlc, gf * sid, gf * sad, gf * did, gf * dad,
+            gf * left, gf * rwc, gf * accl,
         ]
 
         if self.standalone:
             trw = Fixed(self.q_trw)
             # (rwc, is_write, tag, id, addr, field_tag, key_rlc, value)
             rw_table = [
-                trw * Advice(self.t_rwc), trw * 1, trw * int(RwTag.Memory),
+                trw * Advice(self.t_rwc), trw * Advice(self.t_isw),
+                trw * int(RwTag.Memory),
                 trw * Advice(self.t_id), trw * Advice(self.t_addr),
                 trw * 0, trw * 0, trw * Advice(self.t_byte),
             ]
@@ -126,13 +166,21 @@ class CopyCircuit(Circuit):
             ]
 
         g = q * act
+        gw = g * (1 - irlc)
+        gr = g * irlc
         cs.lookup_logup(
             "copy rw bus",
-            [[g * rwc, g, g * int(RwTag.Memory), g * did, g * dad,
-              g * 0, g * 0, g * byte]],
+            [
+                # calldata -> memory: destination WRITE
+                [gw * rwc, gw, gw * int(RwTag.Memory), gw * did, gw * dad,
+                 gw * 0, gw * 0, gw * byte],
+                # memory -> RLC: source READ
+                [gr * rwc, gr * 0, gr * int(RwTag.Memory), gr * sid,
+                 gr * sad, gr * 0, gr * 0, gr * byte],
+            ],
             rw_table,
         )
-        gs = g * (1 - pad)
+        gs = g * (1 - pad) * (1 - irlc)
         cs.lookup_logup(
             "copy tx source",
             [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
@@ -146,36 +194,32 @@ class CopyCircuit(Circuit):
         assert need <= t <= usable_rows(n)
         return t
 
-    def _mem_writes(self):
-        return [
-            r for r in (self.rw_rows or [])
-            if r.tag == RwTag.Memory and r.is_write
-        ]
+    def _mem_rws(self):
+        return [r for r in (self.rw_rows or []) if r.tag == RwTag.Memory]
 
     def fixed_columns(self, n: int):
         t = self._target(n)
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
         out = {self.q_copy: mont([1 if i < t else 0 for i in range(n)])}
         if self.standalone:
-            nrw = len(self._mem_writes())
+            nrw = len(self._mem_rws())
             ntx = len(self.tx_rows or [])
             out[self.q_trw] = mont([1 if i < nrw else 0 for i in range(n)])
             out[self.q_ttx] = mont([1 if i < ntx else 0 for i in range(n)])
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
-        if phase != 0:
-            return {}
         mont = lambda vals: F.from_ints(
             [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
         )
-        rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc)
+        rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc, left, rlc)
         for ev in self.events:
+            is_rlc = int(ev.dst_type == "rlc")
             # source calldata length determines padding
             for j in range(ev.length):
                 src = ev.src_addr + j
                 is_pad = 0
-                if self.tx_rows is not None:
+                if not is_rlc and self.tx_rows is not None:
                     in_range = any(
                         t[0] == ev.src_id and t[1] == src for t in self.tx_rows
                     )
@@ -184,18 +228,45 @@ class CopyCircuit(Circuit):
                     1, int(j + 1 < ev.length), is_pad,
                     ev.src_id, src, ev.dst_id, ev.dst_addr + j,
                     ev.bytes_[j], ev.rw_counter_start + j, ev.length - j,
+                    is_rlc,
                 ))
+        if phase != 0:
+            # running byte RLC + per-event final-acc claim, walking
+            # explicit event boundaries
+            r_chal = challenges[self.r_word.index]
+            r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+            accs, lasts = [], []
+            i = 0
+            while i < len(rows):
+                j = i
+                acc = 0
+                ev_accs = []
+                while True:
+                    acc = (acc * r_int + rows[j][7]) % R if rows[j][10] else 0
+                    ev_accs.append(acc)
+                    if not rows[j][1]:
+                        break
+                    j += 1
+                final = ev_accs[-1] if rows[i][10] else 0
+                accs.extend(ev_accs)
+                lasts.extend([final] * len(ev_accs))
+                i = j + 1
+            return {
+                self.c_acc: mont(accs),
+                self.c_acc_last: mont(lasts),
+            }
         cols = {}
         for ci, k in (
             (self.c_active, 0), (self.c_cont, 1), (self.c_pad, 2),
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
-            (self.c_left, 9),
+            (self.c_left, 9), (self.c_is_rlc, 10),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.standalone:
-            rws = self._mem_writes()
+            rws = self._mem_rws()
             cols[self.t_rwc] = mont([r.rw_counter for r in rws])
+            cols[self.t_isw] = mont([int(r.is_write) for r in rws])
             cols[self.t_id] = mont([r.id for r in rws])
             cols[self.t_addr] = mont([r.address for r in rws])
             cols[self.t_byte] = mont([r.value for r in rws])

@@ -56,7 +56,7 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "DUP", "SWAP",
+    "SHA3", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "STOP",
@@ -95,7 +95,7 @@ class EvmCircuit(Circuit):
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
                   exp_table=None, copy_table=None, tx_table=None,
-                  bytecode_table=None, mulmod_table=None):
+                  bytecode_table=None, mulmod_table=None, keccak_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -121,6 +121,7 @@ class EvmCircuit(Circuit):
         self.tx_table = tx_table
         self.bytecode_table = bytecode_table
         self.mulmod_table = mulmod_table
+        self.keccak_table = keccak_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -176,6 +177,20 @@ class EvmCircuit(Circuit):
         self.tbl_sel256 = cs.fixed_column()
         self.tbl_pow2_lo = cs.fixed_column()
         self.tbl_pow2_hi = cs.fixed_column()
+        # keccak pad-power table: row p-1 (p in 1..136) carries
+        # (p, r^p, r^(p-1) + 128) — r^p bridges a message RLC to the
+        # padded-message RLC the KeccakTable commits to:
+        #   acc_padded = acc_msg * r^p + pad_rlc(p),
+        #   pad_rlc(p) = 1*r^(p-1) + 0x80  (0x81 when p == 1: same byte).
+        # The columns are phase-1 advice chained off the challenge.
+        self.q_padt = cs.fixed_column()
+        self.q_padt0 = cs.fixed_column()
+        self.c_rp = cs.advice_column(phase=1)
+        self.c_prlc = cs.advice_column(phase=1)
+        # SHA3 gadget phase-1 cells: message RLC + its pad-table reads
+        self.c_acc_m = cs.advice_column(phase=1)
+        self.c_rpl = cs.advice_column(phase=1)
+        self.c_prl = cs.advice_column(phase=1)
 
         if self.standalone:
             # in-circuit RW table columns (the SuperCircuit points these
@@ -717,13 +732,15 @@ class EvmCircuit(Circuit):
         )
         if self.copy_table is not None:
             gl = gc * (1 - ez)
+            # (enable, is_rlc, src_id, src_addr, dst_id, dst_addr, len,
+            #  rwc, acc) — calldata->memory events carry is_rlc = acc = 0
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * Advice(self.c_call_id),
+                    gl, gl * 0, gl * Advice(self.c_call_id),
                     gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
-                    gl * (rwc + 3),
+                    gl * (rwc + 3), gl * 0,
                 ]],
                 self.copy_table,
             )
@@ -813,6 +830,86 @@ class EvmCircuit(Circuit):
                     gl * bb[j],
                 ])
             cs.lookup_logup("CDL calldata", cdl_inputs, self.tx_table)
+
+        # ---- keccak pad-power table rows -----------------------------------
+        qp = Fixed(self.q_padt)
+        qp0 = Fixed(self.q_padt0)
+        rp, rp_p = Advice(self.c_rp), Advice(self.c_rp, -1)
+        prlc = Advice(self.c_prlc)
+        cs.create_gate("padt seed rp", qp0 * (rp - self.r_word))
+        cs.create_gate("padt seed prlc", qp0 * (prlc - 129))
+        qpc = qp * (1 - qp0)
+        cs.create_gate("padt chain rp", qpc * (rp - rp_p * self.r_word))
+        cs.create_gate("padt chain prlc", qpc * (prlc - rp_p - 128))
+        pad_table = [qp, qp * (Fixed(self.tbl_byte) + 1), qp * rp, qp * prlc]
+
+        # ---- SHA3 (reference execution/sha3.rs): pop (offset, size), read
+        # the memory range through a memory->RLC copy event, extend the
+        # message RLC over the pad10*1 suffix via the pad-power table, and
+        # look the padded RLC + digest up in the KeccakTable.  Cells:
+        # offset in c_addr, size in bytes_a[0:4], q136 in bytes_b[0:4],
+        # digest bytes (output order) in bytes_c, pad length in c_push_len.
+        gsha = q * ind["SHA3"]
+        size4 = ba[0] + ba[1] * 256 + ba[2] * 65536 + ba[3] * 16777216
+        size4_rlc = (ba[0] + ba[1] * self.r_word
+                     + ba[2] * self.r_word * self.r_word
+                     + ba[3] * self.r_word * self.r_word * self.r_word)
+        for k in range(4, 32):
+            cs.create_gate(f"SHA3 size byte {k} zero", gsha * ba[k])
+        cs.create_gate("SHA3 offset rlc", gsha * (jdest_rlc - va))
+        cs.create_gate("SHA3 size rlc", gsha * (size4_rlc - vb))
+        cs.create_gate("SHA3 ez kill", gsha * ez * size4)
+        cs.create_gate(
+            "SHA3 ez complete", gsha * (1 - ez) * (size4 * inv - 1)
+        )
+        acc_m = Advice(self.c_acc_m)
+        rpl, prl = Advice(self.c_rpl), Advice(self.c_prl)
+        pl = Advice(self.c_push_len)
+        q136 = bb[0] + bb[1] * 256 + bb[2] * 65536 + bb[3] * 16777216
+        cs.create_gate("SHA3 pad mod", gsha * (size4 + pl - 136 * q136))
+        cs.create_gate("SHA3 empty acc", gsha * ez * acc_m)
+        cs.lookup_logup(
+            "SHA3 pad powers",
+            [[gsha, gsha * pl, gsha * rpl, gsha * prl]],
+            pad_table,
+        )
+        # digest bytes: bytes_c[i] is DIGEST byte i (output order); the
+        # pushed stack word's LE byte j is digest byte 31-j, so the word
+        # RLC is the plain rlc_expr fold read in reverse — i.e. the
+        # digest-order fold sum bc[i]*r^(31-i)... the stack convention
+        # folds LE bytes with r^j, giving sum_j bc[31-j]*r^j.
+        stack_hash_rlc = None
+        rpow = None
+        for j in range(32):
+            term = bc[31 - j] if j == 0 else bc[31 - j] * rpow
+            stack_hash_rlc = term if stack_hash_rlc is None \
+                else stack_hash_rlc + term
+            rpow = self.r_word if rpow is None else rpow * self.r_word
+        cs.create_gate("SHA3 digest word", gsha * (stack_hash_rlc - vc))
+        if self.keccak_table is not None:
+            # KeccakTable output_rlc folds digest bytes msb-first:
+            # sum bc[i] * r^i with digest byte 0 taking r^0
+            out_rlc = rlc_expr(bc)
+            acc_pad = acc_m * rpl + prl
+            cs.lookup_logup(
+                "SHA3 keccak",
+                [[gsha, gsha * acc_pad, gsha * out_rlc]],
+                self.keccak_table,
+            )
+        if self.copy_table is not None:
+            glm = gsha * (1 - ez)
+            cs.lookup_logup(
+                "SHA3 copy event",
+                [[
+                    glm, glm, glm * Advice(self.c_call_id),
+                    glm * jdest_int, glm * 0, glm * 0,
+                    glm * size4, glm * (rwc + 2), glm * acc_m,
+                ]],
+                self.copy_table,
+            )
+        cs.create_gate("SHA3 ez bool", gsha * ez * (ez - 1))
+        transition(ind["SHA3"], 1, 3 + size4, 1)
+        self._sha3_size4 = size4  # rw-bus accesses added below
 
         # ---- PUSH immediate decomposition (reference execution/push.rs):
         # bytes_a holds the pushed word LE; the carry bank holds is_pushed
@@ -949,6 +1046,11 @@ class EvmCircuit(Circuit):
             access(gj, 0, 0, sp, va),
             access(gji, 0, 0, sp, va),
             access(gji, 1, 0, sp + 1, vb),
+            # SHA3: read offset@sp, size@sp+1; write hash@sp+1 after the
+            # size memory reads (dynamic rw offset)
+            access(q * ind["SHA3"], 0, 0, sp, va),
+            access(q * ind["SHA3"], 1, 0, sp + 1, vb),
+            access(q * ind["SHA3"], 2 + self._sha3_size4, 1, sp + 1, vc),
         ]
 
         # ---- memory word gadgets ------------------------------------------
@@ -1126,6 +1228,8 @@ class EvmCircuit(Circuit):
             self.tbl_pow2_hi: mont(
                 [(1 << (i - 128)) if 128 <= i < 256 else 0 for i in range(n)]
             ),
+            self.q_padt: mont([1 if i < 136 else 0 for i in range(n)]),
+            self.q_padt0: mont([1 if i == 0 else 0 for i in range(n)]),
         }
         if self.standalone:
             rt = self._rw_target(n)
@@ -1191,8 +1295,8 @@ class EvmCircuit(Circuit):
             plens = [
                 s.op.push_len if (s.op is not None and s.op.is_push) else 0
                 for s in steps
-            ]
-            cols[self.c_push_len] = mont(plens)
+            ]  # SHA3 rows overwrite theirs with the pad length below;
+            # c_push_len is assigned after the per-step loop
             depth = [
                 (s.op - 0x7F) if (s.op is not None and s.op.is_dup)
                 else (s.op - 0x8F) if (s.op is not None and s.op.is_swap)
@@ -1426,6 +1530,29 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "SHA3":
+                    assert self.keccak_table is not None, (
+                        "SHA3 needs the Keccak circuit's table (composed)"
+                    )
+                    off, size = ops[0].value, ops[1].value
+                    assert self.copy_table is not None or size == 0, (
+                        "SHA3 with size > 0 needs the Copy circuit's table"
+                    )
+                    assert max(off, size) < (1 << 32)
+                    digest = ops[2 + size].value  # stack write (big-endian)
+                    for i in range(4):
+                        addrbytes[i][si] = (off >> (8 * i)) & 0xFF
+                        byts["a"][i][si] = (size >> (8 * i)) & 0xFF
+                    pl = 136 - (size % 136)
+                    plens[si] = pl
+                    q136v = (size + pl) // 136
+                    for i in range(4):
+                        byts["b"][i][si] = (q136v >> (8 * i)) & 0xFF
+                    db = digest.to_bytes(32, "big")  # digest output order
+                    for i in range(32):
+                        byts["c"][i][si] = db[i]
+                    ez_col[si] = int(size == 0)
+            cols[self.c_push_len] = mont(plens)
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),
@@ -1467,6 +1594,7 @@ class EvmCircuit(Circuit):
         r_chal = challenges[self.r_word.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
         va, vb, vc, invs, inv2s = [], [], [], [], []
+        accms, rpls, prls = [], [], []
         binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
                   "EXP", "CALLDATACOPY", "AND", "OR", "XOR", "BYTE", "SHL",
                   "SHR")
@@ -1477,7 +1605,19 @@ class EvmCircuit(Circuit):
                 return word_rlc(rw.value, r_int)
             inv_of = 0
             inv2_of = 0
-            if kind in ("PUSH", "POP", "PC"):
+            acc_m = rpl_v = prl_v = 0
+            if kind == "SHA3":
+                size = ops[1].value
+                va.append(rlc(ops[0]))
+                vb.append(rlc(ops[1]))
+                vc.append(rlc(ops[2 + size]))
+                inv_of = size % R
+                pl = 136 - (size % 136)
+                for j in range(size):
+                    acc_m = (acc_m * r_int + ops[2 + j].value) % R
+                rpl_v = pow(r_int, pl, R)
+                prl_v = (pow(r_int, pl - 1, R) + 128) % R
+            elif kind in ("PUSH", "POP", "PC"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "MLOAD":
                 # va = addr, vb = loaded word (the final stack write)
@@ -1532,6 +1672,9 @@ class EvmCircuit(Circuit):
                 va.append(0); vb.append(0); vc.append(0)
             invs.append(pow(inv_of, -1, R) if inv_of else 0)
             inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
+            accms.append(acc_m)
+            rpls.append(rpl_v)
+            prls.append(prl_v)
         # code-hash RLC: fold of the keccak DIGEST bytes under r with
         # digest[0] (most-significant) taking r^0 — the BytecodeCircuit's
         # c_hash encoding (circuits/bytecode.py synthesize).  Padding STOP
@@ -1547,6 +1690,9 @@ class EvmCircuit(Circuit):
             ) % R
         chash_vals = [hash_rlc(s.code_hash) for s in steps]
         chash_pad = [chash_vals[-1] if chash_vals else 0] * (t - len(steps))
+        # pad-power table rows: row p-1 carries (r^p, r^(p-1) + 128)
+        rp_vals = [pow(r_int, p, R) for p in range(1, 137)]
+        prlc_vals = [(pow(r_int, p - 1, R) + 128) % R for p in range(1, 137)]
         out = {
             self.c_val_a: mont(va),
             self.c_val_b: mont(vb),
@@ -1554,6 +1700,11 @@ class EvmCircuit(Circuit):
             self.c_inv: mont(invs),
             self.c_inv2: mont(inv2s),
             self.c_code_hash: mont(chash_vals + chash_pad),
+            self.c_acc_m: mont(accms),
+            self.c_rpl: mont(rpls),
+            self.c_prl: mont(prls),
+            self.c_rp: mont(rp_vals),
+            self.c_prlc: mont(prlc_vals),
         }
         if self.standalone:
             out[self.t_val] = mont(

@@ -121,9 +121,10 @@ class SuperCircuit(Circuit):
 
         self.pd = public_data
         self.keccak = None
-        if with_keccak or public_data is not None:
+        if with_keccak or public_data is not None or builder.sha3_inputs:
             messages = [bc.to_bytes() for bc in bytecodes]
             messages += [tx.sign_payload() for tx in txs]
+            messages += list(builder.sha3_inputs)
             if public_data is not None:
                 messages.append(public_data.pi_bytes())
             self.keccak = KeccakCircuit(messages)
@@ -176,6 +177,7 @@ class SuperCircuit(Circuit):
             mulmod_table=(
                 self.mulmod.mulmod_table if self.mulmod is not None else None
             ),
+            keccak_table=keccak_table,
         )
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)

@@ -128,6 +128,7 @@ class CircuitInputBuilder:
         self.copy_events: list[CopyEvent] = []
         self.exp_events: list[ExpEvent] = []
         self.mulmod_events: list = []  # circuits.mulmod.MulModEvent
+        self.sha3_inputs: list[bytes] = []  # keccak preimages (SHA3 opcode)
         self._next_call_id = 1
 
     # ------------------------------------------------------------------
@@ -292,6 +293,26 @@ class CircuitInputBuilder:
                 rws.append(self.rws.memory_write(call_id, dst + j, byte))
             if ln:  # zero-length copies produce no event rows
                 self.copy_events.append(ev)
+        elif op == OpcodeId.SHA3:
+            # pops (offset, size); reads size memory bytes into a
+            # memory->RLC copy event; pushes keccak(mem[off:off+size])
+            # (reference bus-mapping src/evm/opcodes/sha3.rs)
+            off, size = stack_val(0), stack_val(1)
+            rws.append(self.rws.stack_read(call_id, sp, off))
+            rws.append(self.rws.stack_read(call_id, sp + 1, size))
+            data = bytes(step.memory[off : off + size]).ljust(size, b"\x00")
+            ev = CopyEvent(
+                src_type="memory", src_id=call_id, src_addr=off,
+                dst_type="rlc", dst_id=0, dst_addr=0, length=size,
+                rw_counter_start=self.rws.counter + 1, bytes_=data,
+            )
+            for j, byte in enumerate(data):
+                rws.append(self.rws.memory_read(call_id, off + j, byte))
+            if size:
+                self.copy_events.append(ev)
+            self.sha3_inputs.append(data)
+            digest = nxt.stack[-1] if nxt and not step.error else 0
+            rws.append(self.rws.stack_write(call_id, sp + 1, digest))
         elif op == OpcodeId.EXP:
             base, exponent = stack_val(0), stack_val(1)
             rws.append(self.rws.stack_read(call_id, sp, base))
