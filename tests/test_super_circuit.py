@@ -157,6 +157,88 @@ def test_super_circuit_full_composition():
     MockProver(13, circ, [pd.instance()]).assert_satisfied()
 
 
+CALLEE = 0xBEEF
+
+
+def _nested_call_witness(callee_code=None, call_op="CALL"):
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    if callee_code is None:
+        # callee returns 32 bytes = 0x2A
+        callee_code = (
+            Bytecode().push(1, 42).push(1, 0).op("MSTORE")
+            .push(1, 32).push(1, 0).op("RETURN")
+        )
+    caller = Bytecode().push(1, 32).push(1, 0)   # retLen, retOff
+    caller.push(1, 0).push(1, 0)                 # argsLen, argsOff
+    if call_op == "CALL":
+        caller.push(1, 0)                        # value
+    caller.push(2, CALLEE).push(2, 0xFFFF).op(call_op)
+    caller.op("POP").push(1, 0).op("MLOAD").op("POP").op("STOP")
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB({
+        sender: Account(balance=10**18),
+        CONTRACT: Account(code=caller.to_bytes()),
+        CALLEE: Account(code=callee_code.to_bytes()),
+    })
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    hashes = {
+        CONTRACT: int.from_bytes(keccak256(caller.to_bytes()), "big"),
+        CALLEE: int.from_bytes(keccak256(callee_code.to_bytes()), "big"),
+    }
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=hashes[CONTRACT]),
+        tr, code_hashes=hashes,
+    )
+    return b, [caller, callee_code], txs
+
+
+def test_super_circuit_nested_call():
+    """CALL into a contract that returns data; the caller MLOADs the
+    returned word — exercises frame switch, restoration, the memory->
+    memory return-data copy, and cross-frame code-hash binding."""
+    b, codes, txs = _nested_call_witness()
+    kinds = [s.exec_state for s in b.steps]
+    assert "CALL" in kinds and "RET" in kinds
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.bind_bytecode and circ.copy is not None
+    MockProver(K, circ).assert_satisfied()
+
+
+def test_super_circuit_staticcall_stop():
+    """STATICCALL into a callee that just STOPs (no return data)."""
+    callee = Bytecode().op("STOP")
+    b, codes, txs = _nested_call_witness(callee, call_op="STATICCALL")
+    kinds = [s.exec_state for s in b.steps]
+    assert "CALL" in kinds and "RET" in kinds
+    MockProver(K, SuperCircuit(b, codes, txs)).assert_satisfied()
+
+
+def test_super_circuit_catches_wrong_return_data():
+    """A tampered byte in the caller's received return data must break
+    the copy<->rw-bus binding."""
+    b, codes, txs = _nested_call_witness()
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                arr = np.array(cols[self.copy.c_byte])
+                good = F.to_int(np.asarray(F.from_mont(arr[31])))
+                arr[31] = F.from_int((good ^ 0xFF) * F.R % F.modulus)
+                cols[self.copy.c_byte] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b, codes, txs)).verify()
+    assert failures
+
+
 def test_super_circuit_catches_wrong_sha3_digest():
     """A SHA3 step claiming a wrong digest byte must miss the KeccakTable
     lookup (the padded-RLC bridge pins the message)."""

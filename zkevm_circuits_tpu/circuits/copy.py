@@ -73,6 +73,7 @@ class CopyCircuit(Circuit):
         self.c_rwc = cs.advice_column()
         self.c_left = cs.advice_column()  # bytes left incl. this row
         self.c_is_rlc = cs.advice_column()  # memory -> RLC event kind
+        self.c_is_mm = cs.advice_column()  # memory -> memory event kind
         self.c_acc = cs.advice_column(phase=1)  # running byte RLC
 
         if self.standalone:
@@ -105,11 +106,13 @@ class CopyCircuit(Circuit):
             cs.create_gate(f"{name} bool", q * e * (e - 1))
         cs.create_gate("cont implies active", q * cont * (1 - act))
         cs.create_gate("pad byte zero", q * pad * byte)
+        imm, imm_n = Advice(self.c_is_mm), Advice(self.c_is_mm, 1)
         for name, cur, nxt, d in (
             ("src_addr", sad, sad_n, 1), ("dst_addr", dad, dad_n, 1),
-            ("rwc", rwc, rwc_n, 1),
         ):
             cs.create_gate(f"copy cont {name}", q * cont * (nxt - cur - d))
+        # memory->memory rows consume TWO rw counters (read + write)
+        cs.create_gate("copy cont rwc", q * cont * (rwc_n - rwc - 1 - imm))
         cs.create_gate("copy cont src_id", q * cont * (sid_n - sid))
         cs.create_gate("copy cont dst_id", q * cont * (did_n - did))
         # length countdown: first row holds the event length, decrements to
@@ -127,6 +130,10 @@ class CopyCircuit(Circuit):
         cs.create_gate("is_rlc bool", q * irlc * (irlc - 1))
         cs.create_gate("is_rlc implies active", q * irlc * (1 - act))
         cs.create_gate("copy cont is_rlc", q * cont * (irlc_n - irlc))
+        cs.create_gate("is_mm bool", q * imm * (imm - 1))
+        cs.create_gate("is_mm implies active", q * imm * (1 - act))
+        cs.create_gate("is_mm xor is_rlc", q * imm * irlc)
+        cs.create_gate("copy cont is_mm", q * cont * (imm_n - imm))
         gf = q * act * (1 - Advice(self.c_cont, -1))
         cs.create_gate("acc seed", gf * irlc * (acc - byte))
         cs.create_gate(
@@ -146,8 +153,8 @@ class CopyCircuit(Circuit):
             "acc_last pins acc", q * act * (1 - cont) * irlc * (accl - acc)
         )
         self.copy_table = [
-            gf, gf * irlc, gf * sid, gf * sad, gf * did, gf * dad,
-            gf * left, gf * rwc, gf * accl,
+            gf, gf * irlc, gf * imm, gf * sid, gf * sad, gf * did,
+            gf * dad, gf * left, gf * rwc, gf * accl,
         ]
 
         if self.standalone:
@@ -167,20 +174,21 @@ class CopyCircuit(Circuit):
 
         g = q * act
         gw = g * (1 - irlc)
-        gr = g * irlc
+        gr = g * (irlc + imm)
         cs.lookup_logup(
             "copy rw bus",
             [
-                # calldata -> memory: destination WRITE
-                [gw * rwc, gw, gw * int(RwTag.Memory), gw * did, gw * dad,
-                 gw * 0, gw * 0, gw * byte],
-                # memory -> RLC: source READ
+                # destination WRITE (calldata->memory at rwc, memory->
+                # memory at rwc+1 after its paired read)
+                [gw * (rwc + imm), gw, gw * int(RwTag.Memory), gw * did,
+                 gw * dad, gw * 0, gw * 0, gw * byte],
+                # source READ (memory->RLC and memory->memory)
                 [gr * rwc, gr * 0, gr * int(RwTag.Memory), gr * sid,
                  gr * sad, gr * 0, gr * 0, gr * byte],
             ],
             rw_table,
         )
-        gs = g * (1 - pad) * (1 - irlc)
+        gs = g * (1 - pad) * (1 - irlc - imm)
         cs.lookup_logup(
             "copy tx source",
             [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
@@ -212,14 +220,16 @@ class CopyCircuit(Circuit):
         mont = lambda vals: F.from_ints(
             [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
         )
-        rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc, left, rlc)
+        rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc, left,
+        # rlc, mm)
         for ev in self.events:
             is_rlc = int(ev.dst_type == "rlc")
+            is_mm = int(ev.src_type == "memory" and ev.dst_type == "memory")
             # source calldata length determines padding
             for j in range(ev.length):
                 src = ev.src_addr + j
                 is_pad = 0
-                if not is_rlc and self.tx_rows is not None:
+                if not is_rlc and not is_mm and self.tx_rows is not None:
                     in_range = any(
                         t[0] == ev.src_id and t[1] == src for t in self.tx_rows
                     )
@@ -227,8 +237,8 @@ class CopyCircuit(Circuit):
                 rows.append((
                     1, int(j + 1 < ev.length), is_pad,
                     ev.src_id, src, ev.dst_id, ev.dst_addr + j,
-                    ev.bytes_[j], ev.rw_counter_start + j, ev.length - j,
-                    is_rlc,
+                    ev.bytes_[j], ev.rw_counter_start + j * (1 + is_mm),
+                    ev.length - j, is_rlc, is_mm,
                 ))
         if phase != 0:
             # running byte RLC + per-event final-acc claim, walking
@@ -260,7 +270,7 @@ class CopyCircuit(Circuit):
             (self.c_active, 0), (self.c_cont, 1), (self.c_pad, 2),
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
-            (self.c_left, 9), (self.c_is_rlc, 10),
+            (self.c_left, 9), (self.c_is_rlc, 10), (self.c_is_mm, 11),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.standalone:

@@ -56,7 +56,7 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "SHA3", "DUP", "SWAP",
+    "SHA3", "CALL", "RET", "RETURN", "REVERT", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "STOP",
@@ -69,7 +69,8 @@ GADGETS = [
 # reference execution/stop.rs checks pc >= code length instead).
 OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
-    if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP")
+    if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
+                 "CALL", "RET")
 }
 
 
@@ -332,17 +333,19 @@ class EvmCircuit(Circuit):
         # END_TX: 1 ctx read (IsSuccess)
         transition(et, 0, 1, 0)
         # context continuity: tx_id / callee / call_id carry over unless
-        # the NEXT row begins a new transaction
+        # the NEXT row begins a new transaction or THIS row switches call
+        # frames (CALL descends, RET returns)
         g_cont = q * q_n * (1 - bt_n)
+        g_frame = g_cont * (1 - ind["CALL"] - ind["RET"])
         cs.create_gate("tx id continuity", g_cont * (txid_n - txid))
-        cs.create_gate("callee continuity", g_cont * (callee_n - callee))
+        cs.create_gate("callee continuity", g_frame * (callee_n - callee))
         cs.create_gate(
-            "call id continuity", g_cont * (cid_n - Advice(self.c_call_id))
+            "call id continuity", g_frame * (cid_n - Advice(self.c_call_id))
         )
         chash = Advice(self.c_code_hash)
+        chash_n = Advice(self.c_code_hash, 1)
         cs.create_gate(
-            "code hash continuity",
-            g_cont * (Advice(self.c_code_hash, 1) - chash),
+            "code hash continuity", g_frame * (chash_n - chash)
         )
         # consecutive transactions: END_TX -> BEGIN_TX increments tx_id
         cs.create_gate(
@@ -737,7 +740,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * 0, gl * Advice(self.c_call_id),
+                    gl, gl * 0, gl * 0, gl * Advice(self.c_call_id),
                     gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
                     gl * (rwc + 3), gl * 0,
@@ -901,7 +904,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "SHA3 copy event",
                 [[
-                    glm, glm, glm * Advice(self.c_call_id),
+                    glm, glm, glm * 0, glm * Advice(self.c_call_id),
                     glm * jdest_int, glm * 0, glm * 0,
                     glm * size4, glm * (rwc + 2), glm * acc_m,
                 ]],
@@ -910,6 +913,138 @@ class EvmCircuit(Circuit):
         cs.create_gate("SHA3 ez bool", gsha * ez * (ez - 1))
         transition(ind["SHA3"], 1, 3 + size4, 1)
         self._sha3_size4 = size4  # rw-bus accesses added below
+
+        # ---- CALL / CALLCODE / DELEGATECALL / STATICCALL (reference
+        # execution/callop.rs, heavily restructured): pops the call words,
+        # writes the NEW frame's CallContext restoration + identity rows,
+        # and hands control to the callee (next row: pc 0, empty stack,
+        # call_id = first context write's rw counter).  Variant one-hot
+        # flags live in carry cells 20..23.  v1 gaps (documented): the
+        # callee code hash, DELEGATECALL's caller/value, and the static
+        # flag are witness-carried (binding them needs the Account circuit
+        # / parent-context reads, reference begin_tx.rs account lookups).
+        gcall = q * ind["CALL"]
+        gcalln = q * q_n * ind["CALL"]
+        f1, f2, fdg, fsa = cr[20], cr[21], cr[22], cr[23]
+        cs.create_gate(
+            "CALL variant one-hot", gcall * (f1 + f2 + fdg + fsa - 1)
+        )
+        hv = f1 + f2  # variant carries a value word
+        npops = 6 + hv
+        addr_raw = None
+        for i in range(20):
+            term = ba[i] * (1 << (8 * i))
+            addr_raw = term if addr_raw is None else addr_raw + term
+        cs.create_gate("CALL to rlc", gcall * (rlc_expr(ba) - vb))
+        args_off4, args_len4 = fold4_int(ab4), fold4_int(bb)
+        ret_off4, ret_len4 = fold4_int(bd), fold4_int(be_)
+        # next row enters the callee frame
+        new_id = rwc + npops
+        cs.create_gate("CALL callee pc0", gcalln * pc_n)
+        cs.create_gate("CALL callee sp", gcalln * (sp_n - STACK_BASE))
+        cs.create_gate("CALL callee id", gcalln * (cid_n - new_id))
+        cs.create_gate("CALL rwc", gcalln * (rwc_n - rwc - npops - 15))
+        cs.create_gate(
+            "CALL callee addr",
+            gcalln * (callee_n - (f1 + fsa) * addr_raw
+                      - (f2 + fdg) * callee),
+        )
+        # caller address: own executing address, except DELEGATECALL which
+        # inherits the parent's caller (witness cells in c_mem[0:20])
+        caller20 = None
+        for i in range(20):
+            term = mem_c[i] * (1 << (8 * i))
+            caller20 = term if caller20 is None else caller20 + term
+        caller_val = (1 - fdg) * callee + fdg * caller20
+        static_cell = Advice(self.c_ez)
+        value_val = hv * vc + fdg * Advice(self.c_acc_m)
+        self._call_ctx_writes = [
+            (int(CallContextField.CallerId), Advice(self.c_call_id)),
+            (int(CallContextField.ReturnPc), pc + 1),
+            (int(CallContextField.ReturnSp), sp + npops - 1),
+            (int(CallContextField.RetOffset), ret_off4),
+            (int(CallContextField.RetLength), ret_len4),
+            (int(CallContextField.ParentCalleeAddress), callee),
+            (int(CallContextField.ParentCodeHash), chash),
+            (int(CallContextField.TxId), txid),
+            (int(CallContextField.CalleeAddress),
+             (f1 + fsa) * addr_raw + (f2 + fdg) * callee),
+            (int(CallContextField.CallerAddress), caller_val),
+            (int(CallContextField.Value), value_val),
+            (int(CallContextField.CallDataLength), args_len4),
+            (int(CallContextField.CodeHash), chash_n),
+            (int(CallContextField.IsStatic), static_cell),
+            (int(CallContextField.IsRoot), 0),
+        ]
+        self._call_npops = npops
+        self._call_new_id = new_id
+
+        # ---- RET: nested STOP / RETURN / REVERT (reference
+        # execution/return_revert.rs): copy return data into the caller's
+        # memory (min(len, declared)), restore the caller frame from the
+        # CallContext rows the CALL wrote, push the success flag.  Variant
+        # flags rtn/stp/rvt + the min-selector live in carry cells 20..23.
+        gret = q * ind["RET"]
+        gretn = q * q_n * ind["RET"]
+        rtn, stp, rvt, fmin = cr[20], cr[21], cr[22], cr[23]
+        cs.create_gate("RET variant one-hot", gret * (rtn + stp + rvt - 1))
+        has_data = rtn + rvt
+        npp = 2 * has_data
+        off4 = fold4_int(ab4)
+        len4 = fold4_int(bb)
+        retoff4 = fold4_int(ba)
+        retlen4 = fold4_int(be_)
+        la4 = fold4_int(bd)
+        diff4 = mem_c[0] + mem_c[1] * 256 + mem_c[2] * 65536 \
+            + mem_c[3] * 16777216
+        gd = gret * has_data
+        cs.create_gate("RET off rlc", gd * (fold4_rlc(ab4) - va))
+        cs.create_gate(
+            "RET len rlc",
+            gd * (bb[0] + bb[1] * self.r_word
+                  + bb[2] * self.r_word * self.r_word
+                  + bb[3] * self.r_word * self.r_word * self.r_word - vb),
+        )
+        # la = min(len, declared retlen) via the min-selector + range diff
+        cs.create_gate(
+            "RET min pick", gd * (la4 - fmin * len4 - (1 - fmin) * retlen4)
+        )
+        cs.create_gate(
+            "RET min lo", gd * fmin * (retlen4 - len4 - diff4)
+        )
+        cs.create_gate(
+            "RET min hi", gd * (1 - fmin) * (len4 - retlen4 - diff4)
+        )
+        cs.create_gate("RET stop no data", gret * stp * la4)
+        cs.create_gate("RET min bool", gd * fmin * (fmin - 1))
+        cs.create_gate("CALL static bool", gcall * static_cell
+                       * (static_cell - 1))
+        # la == 0 flag (skips the copy lookup; ez/inv are free on RET rows)
+        laz = Advice(self.c_ez)
+        cs.create_gate("RET laz bool", gret * laz * (laz - 1))
+        cs.create_gate("RET laz kill", gret * laz * la4)
+        cs.create_gate(
+            "RET laz complete", gret * (1 - laz) * (la4 * inv - 1)
+        )
+        if self.copy_table is not None:
+            glc = gret * (1 - laz)
+            cs.lookup_logup(
+                "RET copy event",
+                [[
+                    glc, glc * 0, glc, glc * Advice(self.c_call_id),
+                    glc * off4, glc * cid_n, glc * retoff4, glc * la4,
+                    glc * (rwc + npp), glc * 0,
+                ]],
+                self.copy_table,
+            )
+        cs.create_gate(
+            "RET rwc", gretn * (rwc_n - rwc - npp - 2 * la4 - 8)
+        )
+        self._ret_npp = npp
+        self._ret_la4 = la4
+        self._ret_flags = (rtn, stp, rvt)
+        self._ret_retoff4 = retoff4
+        self._ret_retlen4 = retlen4
 
         # ---- PUSH immediate decomposition (reference execution/push.rs):
         # bytes_a holds the pushed word LE; the carry bank holds is_pushed
@@ -938,8 +1073,12 @@ class EvmCircuit(Circuit):
             nd_e = Advice(self.c_depth_n)
             op_expr = ind["PUSH"] * (plen + 0x5F) \
                 + ind["DUP"] * (nd_e + 0x7F) \
-                + ind["SWAP"] * (nd_e + 0x8F)
-            g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"]
+                + ind["SWAP"] * (nd_e + 0x8F) \
+                + ind["CALL"] * (f1 * 0xF1 + f2 * 0xF2 + fdg * 0xF4
+                                 + fsa * 0xFA) \
+                + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD)
+            g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"] + ind["CALL"] \
+                + ind["RET"] * (rtn + rvt)
             for g, byte in OPCODE_BYTE.items():
                 op_expr = op_expr + ind[g] * byte
                 g_code = g_code + ind[g]
@@ -1051,7 +1190,60 @@ class EvmCircuit(Circuit):
             access(q * ind["SHA3"], 0, 0, sp, va),
             access(q * ind["SHA3"], 1, 0, sp + 1, vb),
             access(q * ind["SHA3"], 2 + self._sha3_size4, 1, sp + 1, vc),
+            # root RETURN / REVERT: read offset@sp, length@sp+1 (terminal)
+            access(q * (ind["RETURN"] + ind["REVERT"]), 0, 0, sp, va),
+            access(q * (ind["RETURN"] + ind["REVERT"]), 1, 0, sp + 1, vb),
         ]
+        # ---- CALL accesses: pops + the new frame's CallContext writes ----
+        gcall_b = q * ind["CALL"]
+        call_hv = Advice(self.c_carry[20]) + Advice(self.c_carry[21])
+        call_npops = self._call_npops
+        inputs.append(access(gcall_b, 0, 0, sp, va))           # gas
+        inputs.append(access(gcall_b, 1, 0, sp + 1, vb))       # to
+        inputs.append(access(gcall_b * call_hv, 2, 0, sp + 2, vc))  # value
+        for j, bank in enumerate(
+            (self.c_addr, self.c_bytes_b, self.c_bytes_d, self.c_bytes_e)
+        ):
+            cells = [Advice(c) for c in bank[:4]]
+            val_rlc = (cells[0] + cells[1] * self.r_word
+                       + cells[2] * self.r_word * self.r_word
+                       + cells[3] * self.r_word * self.r_word * self.r_word)
+            inputs.append(
+                access(gcall_b, 2 + call_hv + j, 0, sp + 2 + call_hv + j,
+                       val_rlc)
+            )
+        for k, (field, val) in enumerate(self._call_ctx_writes):
+            inputs.append(
+                access(gcall_b, call_npops + k, 1, 0, val, tag=ctxtag,
+                       id_expr=self._call_new_id, field=field)
+            )
+        # ---- RET accesses: pops + restoration reads + success write ------
+        gret_b = q * ind["RET"]
+        rtn_b, stp_b, rvt_b = self._ret_flags
+        gret_d = gret_b * (rtn_b + rvt_b)
+        ret_npp = self._ret_npp
+        ret_la4 = self._ret_la4
+        inputs.append(access(gret_d, 0, 0, sp, va))
+        inputs.append(access(gret_d, 1, 0, sp + 1, vb))
+        ret_base = ret_npp + 2 * ret_la4
+        ret_reads = [
+            (int(CallContextField.CallerId), cid_n),
+            (int(CallContextField.ReturnPc), pc_n),
+            (int(CallContextField.ReturnSp), sp_n),
+            (int(CallContextField.ParentCalleeAddress), callee_n),
+            (int(CallContextField.ParentCodeHash), chash_n),
+            (int(CallContextField.RetOffset), self._ret_retoff4),
+            (int(CallContextField.RetLength), self._ret_retlen4),
+        ]
+        for k, (field, val) in enumerate(ret_reads):
+            inputs.append(
+                access(gret_b, ret_base + k, 0, 0, val, tag=ctxtag,
+                       field=field)
+            )
+        inputs.append(
+            access(gret_b, ret_base + 7, 1, sp_n, rtn_b + stp_b,
+                   id_expr=cid_n)
+        )
 
         # ---- memory word gadgets ------------------------------------------
         mem = [Advice(c) for c in self.c_mem]  # big-endian: mem[j] @ addr+j
@@ -1530,6 +1722,58 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "CALL":
+                    op_ = s.op
+                    hv = int(op_ in (OpcodeId.CALL, OpcodeId.CALLCODE))
+                    npp_ = 6 + hv
+                    flag_idx = {
+                        OpcodeId.CALL: 20, OpcodeId.CALLCODE: 21,
+                        OpcodeId.DELEGATECALL: 22, OpcodeId.STATICCALL: 23,
+                    }[op_]
+                    carries[flag_idx][si] = 1
+                    set_word("a", si, ops[1].value)  # `to` stack word
+                    tail = [ops[npp_ - 4 + j].value for j in range(4)]
+                    for i in range(4):
+                        addrbytes[i][si] = (tail[0] >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (tail[1] >> (8 * i)) & 0xFF
+                        byts["d"][i][si] = (tail[2] >> (8 * i)) & 0xFF
+                        byts["e"][i][si] = (tail[3] >> (8 * i)) & 0xFF
+                    caller_v = ops[npp_ + 9].value  # CallerAddress write
+                    cle = caller_v.to_bytes(20, "little")
+                    for i in range(20):
+                        membytes[i][si] = cle[i]
+                    ez_col[si] = ops[npp_ + 13].value  # IsStatic write
+                elif kind == "RET":
+                    op_ = s.op
+                    flag_idx = {
+                        OpcodeId.RETURN: 20, OpcodeId.STOP: 21,
+                        OpcodeId.REVERT: 22,
+                    }[op_]
+                    carries[flag_idx][si] = 1
+                    has_d = op_ != OpcodeId.STOP
+                    npp_ = 2 if has_d else 0
+                    off_v = ops[0].value if has_d else 0
+                    len_v = ops[1].value if has_d else 0
+                    nrw = len(ops)
+                    base = nrw - 8  # 7 ctx reads + success write at tail
+                    retoff_v = ops[base + 5].value
+                    retlen_v = ops[base + 6].value
+                    la_v = min(len_v, retlen_v)
+                    assert (nrw - npp_ - 8) == 2 * la_v
+                    if has_d:
+                        carries[23][si] = int(len_v < retlen_v)
+                        diff_v = (retlen_v - len_v if len_v < retlen_v
+                                  else len_v - retlen_v)
+                    else:
+                        diff_v = 0
+                    for i in range(4):
+                        addrbytes[i][si] = (off_v >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (len_v >> (8 * i)) & 0xFF
+                        byts["a"][i][si] = (retoff_v >> (8 * i)) & 0xFF
+                        byts["e"][i][si] = (retlen_v >> (8 * i)) & 0xFF
+                        byts["d"][i][si] = (la_v >> (8 * i)) & 0xFF
+                        membytes[i][si] = (diff_v >> (8 * i)) & 0xFF
+                    ez_col[si] = int(la_v == 0)
                 elif kind == "SHA3":
                     assert self.keccak_table is not None, (
                         "SHA3 needs the Keccak circuit's table (composed)"
@@ -1606,7 +1850,27 @@ class EvmCircuit(Circuit):
             inv_of = 0
             inv2_of = 0
             acc_m = rpl_v = prl_v = 0
-            if kind == "SHA3":
+            if kind == "CALL":
+                hv = int(s.op in (OpcodeId.CALL, OpcodeId.CALLCODE))
+                npp_ = 6 + hv
+                va.append(rlc(ops[0]))          # gas word
+                vb.append(rlc(ops[1]))          # to word
+                vc.append(rlc(ops[2]) if hv else 0)
+                if s.op == OpcodeId.DELEGATECALL:
+                    acc_m = word_rlc(ops[npp_ + 10].value, r_int)  # Value
+            elif kind == "RET":
+                has_d = s.op != OpcodeId.STOP
+                va.append(rlc(ops[0]) if has_d else 0)
+                vb.append(rlc(ops[1]) if has_d else 0)
+                vc.append(0)
+                la_v = min(ops[1].value, ops[len(ops) - 2].value) \
+                    if has_d else 0
+                inv_of = la_v % R
+            elif kind in ("RETURN", "REVERT"):
+                va.append(rlc(ops[0]))
+                vb.append(rlc(ops[1]))
+                vc.append(0)
+            elif kind == "SHA3":
                 size = ops[1].value
                 va.append(rlc(ops[0]))
                 vb.append(rlc(ops[1]))

@@ -48,6 +48,7 @@ class StateParams:
     addr_bits: int = 160
     key_bits: int = 256
     rwc_bits: int = 32
+    field_bits: int = 8  # field_tag width (CallContextField reaches 21)
     target_rows: int = 0  # 0 => fill usable rows
 
     def limb_counts(self):
@@ -58,7 +59,7 @@ class StateParams:
             ("tag", 1),
             ("id", ceil(self.id_bits)),
             ("address", ceil(self.addr_bits)),
-            ("field_tag", 1),
+            ("field_tag", ceil(self.field_bits)),
             ("storage_key", ceil(self.key_bits)),
             ("rw_counter", ceil(self.rwc_bits)),
         ]
@@ -94,6 +95,16 @@ def rw_value_encoding(r: Rw, r_chal: int) -> int:
     CallContext.Value), RAW field element for small fields (addresses,
     lengths, ids, flags) — so TxTable/BytecodeTable lookups compare raw
     integers while word lookups compare RLCs."""
+    if r.tag == RwTag.CallContext and r.field_tag in (
+        CallContextField.CodeHash, CallContextField.ParentCodeHash
+    ):
+        # keccak digests use the BytecodeCircuit's fold (digest byte 0
+        # takes r^0) so the EVM circuit's code-hash column feeds lookups
+        # directly (circuits/evm.py phase-1 `hash_rlc`)
+        acc = 0
+        for i, b in enumerate(r.value.to_bytes(32, "big")):
+            acc = (acc + b * pow(r_chal, i, R)) % R
+        return acc
     if r.tag == RwTag.CallContext and r.field_tag != CallContextField.Value:
         return r.value % R
     return word_rlc(r.value, r_chal)

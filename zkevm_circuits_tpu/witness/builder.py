@@ -97,6 +97,12 @@ def exp_by_squaring(base: int, exponent: int, steps: list) -> int:
 
 @dataclasses.dataclass
 class TxContext:
+    """Per-call-frame context (the root frame doubles as tx context).
+
+    `to_addr` is the EXECUTING address (storage/self); `from_addr` the
+    caller address (msg.sender).  Restoration fields mirror the
+    CallContext rows the CALL step writes."""
+
     tx_id: int
     call_id: int
     from_addr: int
@@ -104,6 +110,16 @@ class TxContext:
     value: int
     calldata: bytes
     code_hash: int = 0  # keccak(executing bytecode); 0 in dev witnesses
+    is_root: bool = True
+    is_static: bool = False
+    caller_id: int = 0
+    ret_pc: int = 0  # caller pc after the call opcode
+    ret_sp: int = 0  # caller stack slot receiving the success flag
+    ret_offset: int = 0
+    ret_length: int = 0
+    parent_callee: int = 0  # caller's executing address
+    parent_code_hash: int = 0
+    sstore_count: int = 0  # writes inside this frame (revert tracking)
 
 
 # context opcodes handled by one generic path: opcode -> (CallContext
@@ -133,26 +149,48 @@ class CircuitInputBuilder:
 
     # ------------------------------------------------------------------
     def handle_tx(self, tx_ctx_args: dict, trace: GethExecTrace,
-                  committed_storage: dict | None = None):
-        """tx_ctx_args: from_addr/to_addr/value/calldata ints+bytes.
+                  committed_storage: dict | None = None,
+                  code_hashes: dict | None = None):
+        """tx_ctx_args: from_addr/to_addr/value/calldata ints+bytes (plus
+        optional code_hash for the root frame).
         committed_storage: {(addr, key): value} pre-tx committed values
-        (for storage value_prev tracking)."""
+        (for storage value_prev tracking).
+        code_hashes: {address: keccak_int} for nested-call code binding
+        (0 when absent — dev witnesses leave the binding off)."""
         tx_id = len(self.txs) + 1
         call_id = self._next_call_id
         self._next_call_id += 1
         ctx = TxContext(tx_id=tx_id, call_id=call_id, **tx_ctx_args)
         self.txs.append(ctx)
         storage = dict(committed_storage or {})
+        hashes = dict(code_hashes or {})
+        hashes.setdefault(ctx.to_addr, ctx.code_hash)
 
         self._begin_tx(ctx)
         logs = trace.struct_logs
+        frames = [ctx]
         for i, step in enumerate(logs):
-            if step.depth != 1:
-                raise NotImplementedError(
-                    "nested-call replay lands with the call/create opcodes"
-                )
+            fr = frames[-1]
+            assert step.depth == len(frames), (
+                f"depth mismatch at step {i}: {step.depth} vs {len(frames)}"
+            )
             nxt = logs[i + 1] if i + 1 < len(logs) else None
-            self._handle_step(ctx, step, nxt, storage)
+            op = step.op
+            if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
+                frames.append(self._handle_call(fr, step, hashes))
+            elif op.is_call or op.is_create:
+                raise NotImplementedError(
+                    "calls that do not descend (empty accounts, "
+                    "precompiles) and CREATE land later"
+                )
+            elif len(frames) > 1 and (
+                op in (OpcodeId.STOP, OpcodeId.RETURN, OpcodeId.REVERT)
+                or (nxt is not None and nxt.depth == step.depth - 1)
+            ):
+                self._handle_frame_end(fr, frames[-2], step)
+                frames.pop()
+            else:
+                self._handle_step(fr, step, nxt, storage)
         self._end_tx(ctx, trace)
 
     def _begin_tx(self, ctx: TxContext):
@@ -194,6 +232,137 @@ class CircuitInputBuilder:
             ctx.call_id, CallContextField.IsSuccess, int(not trace.failed)
         )
         es.rw_indices = [r.rw_counter]
+        self.steps.append(es)
+
+    # ------------------------------------------------------------------
+    def _handle_call(self, fr: TxContext, step: GethExecStep,
+                     hashes: dict) -> TxContext:
+        """CALL/CALLCODE/DELEGATECALL/STATICCALL that descends into a new
+        frame (reference bus-mapping src/evm/opcodes/callop.rs).  Emits
+        the stack pops + the new frame's CallContext writes; returns the
+        new frame context."""
+        op = step.op
+        call_id = fr.call_id
+        sp = STACK_BASE - len(step.stack)
+        es = ExecStep(
+            exec_state="CALL", pc=step.pc, op=op, gas=step.gas,
+            gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+        )
+        rws: list[Rw] = []
+        has_value = op in (OpcodeId.CALL, OpcodeId.CALLCODE)
+        npops = 7 if has_value else 6
+        vals = [step.stack[-1 - i] for i in range(npops)]
+        for i, v in enumerate(vals):
+            rws.append(self.rws.stack_read(call_id, sp + i, v))
+        gas_w, addr = vals[0], vals[1] & ((1 << 160) - 1)
+        value = vals[2] if has_value else (
+            fr.value if op == OpcodeId.DELEGATECALL else 0
+        )
+        args_off, args_len, ret_off, ret_len = vals[npops - 4 : npops]
+        calldata = bytes(step.memory[args_off : args_off + args_len]) \
+            .ljust(args_len, b"\x00")
+
+        if op == OpcodeId.DELEGATECALL:
+            exec_addr, caller_addr = fr.to_addr, fr.from_addr
+        elif op == OpcodeId.CALLCODE:
+            exec_addr, caller_addr = fr.to_addr, fr.to_addr
+        else:
+            exec_addr, caller_addr = addr, fr.to_addr
+        code_hash = hashes.get(addr, 0)
+        new_id = self.rws.counter + 1  # first context write's rw counter
+        new = TxContext(
+            tx_id=fr.tx_id, call_id=new_id, from_addr=caller_addr,
+            to_addr=exec_addr, value=value, calldata=calldata,
+            code_hash=code_hash, is_root=False,
+            is_static=fr.is_static or op == OpcodeId.STATICCALL,
+            caller_id=call_id, ret_pc=step.pc + 1,
+            ret_sp=sp + npops - 1, ret_offset=ret_off, ret_length=ret_len,
+            parent_callee=fr.to_addr, parent_code_hash=fr.code_hash,
+        )
+        self._next_call_id = max(self._next_call_id, new_id + 1)
+        CCF = CallContextField
+        w = self.rws.call_context_write
+        rws += [
+            w(new_id, CCF.CallerId, call_id),
+            w(new_id, CCF.ReturnPc, new.ret_pc),
+            w(new_id, CCF.ReturnSp, new.ret_sp),
+            w(new_id, CCF.RetOffset, ret_off),
+            w(new_id, CCF.RetLength, ret_len),
+            w(new_id, CCF.ParentCalleeAddress, fr.to_addr),
+            w(new_id, CCF.ParentCodeHash, fr.code_hash),
+            w(new_id, CCF.TxId, fr.tx_id),
+            w(new_id, CCF.CalleeAddress, exec_addr),
+            w(new_id, CCF.CallerAddress, caller_addr),
+            w(new_id, CCF.Value, value),
+            w(new_id, CCF.CallDataLength, args_len),
+            w(new_id, CCF.CodeHash, code_hash),
+            w(new_id, CCF.IsStatic, int(new.is_static)),
+            w(new_id, CCF.IsRoot, 0),
+        ]
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
+        return new
+
+    def _handle_frame_end(self, fr: TxContext, parent: TxContext,
+                          step: GethExecStep):
+        """Nested STOP/RETURN/REVERT: copy return data into the caller's
+        memory, restore the caller context, push the success flag
+        (reference execution/return_revert.rs)."""
+        op = step.op
+        sp = STACK_BASE - len(step.stack)
+        es = ExecStep(
+            exec_state="RET", pc=step.pc, op=op, gas=step.gas,
+            gas_cost=step.gas_cost, call_id=fr.call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+        )
+        rws: list[Rw] = []
+        success = int(op != OpcodeId.REVERT and not step.error)
+        if op == OpcodeId.REVERT and fr.sstore_count:
+            raise NotImplementedError(
+                "reverting frames with storage writes need reversible-"
+                "write bookkeeping"
+            )
+        if op in (OpcodeId.RETURN, OpcodeId.REVERT):
+            off, length = step.stack[-1], step.stack[-2]
+            rws.append(self.rws.stack_read(fr.call_id, sp, off))
+            rws.append(self.rws.stack_read(fr.call_id, sp + 1, length))
+        else:
+            off, length = 0, 0
+        la = min(length, fr.ret_length)
+        if la:
+            data = bytes(step.memory[off : off + la]).ljust(la, b"\x00")
+            ev = CopyEvent(
+                src_type="memory", src_id=fr.call_id, src_addr=off,
+                dst_type="memory", dst_id=parent.call_id,
+                dst_addr=fr.ret_offset, length=la,
+                rw_counter_start=self.rws.counter + 1, bytes_=data,
+            )
+            for j, byte in enumerate(data):
+                rws.append(self.rws.memory_read(fr.call_id, off + j, byte))
+                rws.append(
+                    self.rws.memory_write(
+                        parent.call_id, fr.ret_offset + j, byte
+                    )
+                )
+            self.copy_events.append(ev)
+        CCF = CallContextField
+        r_ = self.rws.call_context_read
+        rws += [
+            r_(fr.call_id, CCF.CallerId, fr.caller_id),
+            r_(fr.call_id, CCF.ReturnPc, fr.ret_pc),
+            r_(fr.call_id, CCF.ReturnSp, fr.ret_sp),
+            r_(fr.call_id, CCF.ParentCalleeAddress, fr.parent_callee),
+            r_(fr.call_id, CCF.ParentCodeHash, fr.parent_code_hash),
+            r_(fr.call_id, CCF.RetOffset, fr.ret_offset),
+            r_(fr.call_id, CCF.RetLength, fr.ret_length),
+        ]
+        rws.append(
+            self.rws.stack_write(parent.call_id, fr.ret_sp, success)
+        )
+        es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
     # ------------------------------------------------------------------
@@ -263,6 +432,7 @@ class CircuitInputBuilder:
                 self.rws.storage_write(ctx.tx_id, ctx.to_addr, key, val, prev)
             )
             storage[(ctx.to_addr, key)] = val
+            ctx.sstore_count += 1
         elif op == OpcodeId.CALLDATALOAD:
             # root call: stack offset pop, a CallDataLength ctx read (the
             # circuit's boundary gadget needs the length), stack word push

@@ -44,6 +44,16 @@ class CallContextField(enum.IntEnum):
     StackPointer = 12
     GasLeft = 13
     Depth = 14
+    # call-frame restoration fields (written at the CALL step keyed by the
+    # NEW call id, read back at the frame-ending step; the reference keeps
+    # equivalents in its CallContext tag, table.rs:577)
+    ReturnPc = 15  # caller pc after the call opcode
+    ReturnSp = 16  # caller stack slot receiving the success flag
+    RetOffset = 17  # caller memory offset for return data
+    RetLength = 18  # caller-declared max return data length
+    ParentCalleeAddress = 19  # caller's own executing address (raw)
+    ParentCodeHash = 20  # caller's code-hash RLC (word-RLC encoded)
+    CodeHash = 21  # callee's code-hash RLC (word-RLC encoded)
 
 
 class AccountField(enum.IntEnum):
