@@ -239,6 +239,53 @@ def test_super_circuit_catches_wrong_return_data():
     assert failures
 
 
+def test_super_circuit_log_opcodes():
+    """LOG0..LOG2: TxLog address/topic rows + memory->TxLog data copy."""
+    code = (
+        Bytecode()
+        .push(1, 0xAB).push(1, 0).op("MSTORE8")
+        .push(1, 0xCD).push(1, 1).op("MSTORE8")
+        .push(1, 2).push(1, 0).op("LOG0")                 # 2 data bytes
+        .push(2, 0x1234).push(1, 0).push(1, 0).op("LOG1")  # topic, no data
+        .push(2, 0xBEEF).push(2, 0xF00D)
+        .push(1, 2).push(1, 0).op("LOG2")                 # 2 topics + data
+        .op("STOP")
+    )
+    b, codes, txs = _witness(code)
+    from zkevm_circuits_tpu.witness.rw import RwTag
+    log_rows = [r for r in b.rws.rws if r.tag == RwTag.TxLog]
+    assert len(log_rows) == (1 + 0 + 2) + (1 + 1 + 0) + (1 + 2 + 2)
+    circ = SuperCircuit(b, codes, txs)
+    MockProver(K, circ).assert_satisfied()
+
+
+def test_super_circuit_catches_wrong_log_topic():
+    code = (
+        Bytecode()
+        .push(2, 0x1234).push(1, 0).push(1, 0).op("LOG1").op("STOP")
+    )
+    b, codes, txs = _witness(code)
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 1:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.evm.steps)
+                    if s.op is not None and s.op.is_log
+                )
+                # claim a different topic value on the LOG row
+                arr = np.array(cols[self.evm.c_val_c])
+                arr[row] = F.from_int(0x9999 * F.R % F.modulus)
+                cols[self.evm.c_val_c] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b, codes, txs)).verify()
+    assert failures
+
+
 def test_super_circuit_catches_wrong_sha3_digest():
     """A SHA3 step claiming a wrong digest byte must miss the KeccakTable
     lookup (the padded-RLC bridge pins the message)."""

@@ -74,6 +74,7 @@ class CopyCircuit(Circuit):
         self.c_left = cs.advice_column()  # bytes left incl. this row
         self.c_is_rlc = cs.advice_column()  # memory -> RLC event kind
         self.c_is_mm = cs.advice_column()  # memory -> memory event kind
+        self.c_is_log = cs.advice_column()  # memory -> TxLog event kind
         self.c_acc = cs.advice_column(phase=1)  # running byte RLC
 
         if self.standalone:
@@ -111,8 +112,12 @@ class CopyCircuit(Circuit):
             ("src_addr", sad, sad_n, 1), ("dst_addr", dad, dad_n, 1),
         ):
             cs.create_gate(f"copy cont {name}", q * cont * (nxt - cur - d))
-        # memory->memory rows consume TWO rw counters (read + write)
-        cs.create_gate("copy cont rwc", q * cont * (rwc_n - rwc - 1 - imm))
+        # memory->memory and memory->TxLog rows consume TWO rw counters
+        # (read + write)
+        ilog_f = Advice(self.c_is_log)
+        cs.create_gate(
+            "copy cont rwc", q * cont * (rwc_n - rwc - 1 - imm - ilog_f)
+        )
         cs.create_gate("copy cont src_id", q * cont * (sid_n - sid))
         cs.create_gate("copy cont dst_id", q * cont * (did_n - did))
         # length countdown: first row holds the event length, decrements to
@@ -134,6 +139,11 @@ class CopyCircuit(Circuit):
         cs.create_gate("is_mm implies active", q * imm * (1 - act))
         cs.create_gate("is_mm xor is_rlc", q * imm * irlc)
         cs.create_gate("copy cont is_mm", q * cont * (imm_n - imm))
+        ilog, ilog_n = Advice(self.c_is_log), Advice(self.c_is_log, 1)
+        cs.create_gate("is_log bool", q * ilog * (ilog - 1))
+        cs.create_gate("is_log implies active", q * ilog * (1 - act))
+        cs.create_gate("is_log excl", q * ilog * (irlc + imm))
+        cs.create_gate("copy cont is_log", q * cont * (ilog_n - ilog))
         gf = q * act * (1 - Advice(self.c_cont, -1))
         cs.create_gate("acc seed", gf * irlc * (acc - byte))
         cs.create_gate(
@@ -153,8 +163,8 @@ class CopyCircuit(Circuit):
             "acc_last pins acc", q * act * (1 - cont) * irlc * (accl - acc)
         )
         self.copy_table = [
-            gf, gf * irlc, gf * imm, gf * sid, gf * sad, gf * did,
-            gf * dad, gf * left, gf * rwc, gf * accl,
+            gf, gf * irlc, gf * imm, gf * ilog, gf * sid, gf * sad,
+            gf * did, gf * dad, gf * left, gf * rwc, gf * accl,
         ]
 
         if self.standalone:
@@ -174,21 +184,25 @@ class CopyCircuit(Circuit):
 
         g = q * act
         gw = g * (1 - irlc)
-        gr = g * (irlc + imm)
+        gr = g * (irlc + imm + ilog)
+        # destination tag: Memory, except TxLog for log-data events
+        dst_tag = int(RwTag.Memory) + ilog * (
+            int(RwTag.TxLog) - int(RwTag.Memory)
+        )
         cs.lookup_logup(
             "copy rw bus",
             [
-                # destination WRITE (calldata->memory at rwc, memory->
-                # memory at rwc+1 after its paired read)
-                [gw * (rwc + imm), gw, gw * int(RwTag.Memory), gw * did,
+                # destination WRITE (calldata->memory at rwc; memory->
+                # memory / memory->TxLog at rwc+1 after the paired read)
+                [gw * (rwc + imm + ilog), gw, gw * dst_tag, gw * did,
                  gw * dad, gw * 0, gw * 0, gw * byte],
-                # source READ (memory->RLC and memory->memory)
+                # source READ (memory->RLC / ->memory / ->TxLog)
                 [gr * rwc, gr * 0, gr * int(RwTag.Memory), gr * sid,
                  gr * sad, gr * 0, gr * 0, gr * byte],
             ],
             rw_table,
         )
-        gs = g * (1 - pad) * (1 - irlc - imm)
+        gs = g * (1 - pad) * (1 - irlc - imm - ilog)
         cs.lookup_logup(
             "copy tx source",
             [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
@@ -225,11 +239,13 @@ class CopyCircuit(Circuit):
         for ev in self.events:
             is_rlc = int(ev.dst_type == "rlc")
             is_mm = int(ev.src_type == "memory" and ev.dst_type == "memory")
+            is_log = int(ev.dst_type == "txlog")
+            plain = not (is_rlc or is_mm or is_log)
             # source calldata length determines padding
             for j in range(ev.length):
                 src = ev.src_addr + j
                 is_pad = 0
-                if not is_rlc and not is_mm and self.tx_rows is not None:
+                if plain and self.tx_rows is not None:
                     in_range = any(
                         t[0] == ev.src_id and t[1] == src for t in self.tx_rows
                     )
@@ -237,8 +253,9 @@ class CopyCircuit(Circuit):
                 rows.append((
                     1, int(j + 1 < ev.length), is_pad,
                     ev.src_id, src, ev.dst_id, ev.dst_addr + j,
-                    ev.bytes_[j], ev.rw_counter_start + j * (1 + is_mm),
-                    ev.length - j, is_rlc, is_mm,
+                    ev.bytes_[j],
+                    ev.rw_counter_start + j * (1 + is_mm + is_log),
+                    ev.length - j, is_rlc, is_mm, is_log,
                 ))
         if phase != 0:
             # running byte RLC + per-event final-acc claim, walking
@@ -271,6 +288,7 @@ class CopyCircuit(Circuit):
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
             (self.c_left, 9), (self.c_is_rlc, 10), (self.c_is_mm, 11),
+            (self.c_is_log, 12),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.standalone:

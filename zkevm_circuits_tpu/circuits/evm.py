@@ -56,7 +56,7 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "SHA3", "CALL", "RET", "RETURN", "REVERT", "DUP", "SWAP",
+    "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "STOP",
@@ -70,7 +70,7 @@ GADGETS = [
 OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
-                 "CALL", "RET")
+                 "CALL", "RET", "LOG")
 }
 
 
@@ -155,6 +155,8 @@ class EvmCircuit(Circuit):
         # under r, matching BytecodeCircuit's hash encoding); carried
         # across a call frame like callee
         self.c_code_hash = cs.advice_column(phase=1)
+        # per-tx log counter (logs emitted BEFORE this step)
+        self.c_log_id = cs.advice_column()
         self.c_inv = cs.advice_column(phase=1)  # IsZero inverse witness
         self.c_inv2 = cs.advice_column(phase=1)  # second inverse (EXP/CDC)
         self.c_ez = cs.advice_column()  # EXP: exponent==0; CDC: length==0
@@ -740,7 +742,8 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * 0, gl * 0, gl * Advice(self.c_call_id),
+                    gl, gl * 0, gl * 0, gl * 0,
+                    gl * Advice(self.c_call_id),
                     gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
                     gl * (rwc + 3), gl * 0,
@@ -904,7 +907,8 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "SHA3 copy event",
                 [[
-                    glm, glm, glm * 0, glm * Advice(self.c_call_id),
+                    glm, glm, glm * 0, glm * 0,
+                    glm * Advice(self.c_call_id),
                     glm * jdest_int, glm * 0, glm * 0,
                     glm * size4, glm * (rwc + 2), glm * acc_m,
                 ]],
@@ -1031,7 +1035,8 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "RET copy event",
                 [[
-                    glc, glc * 0, glc, glc * Advice(self.c_call_id),
+                    glc, glc * 0, glc, glc * 0,
+                    glc * Advice(self.c_call_id),
                     glc * off4, glc * cid_n, glc * retoff4, glc * la4,
                     glc * (rwc + npp), glc * 0,
                 ]],
@@ -1045,6 +1050,71 @@ class EvmCircuit(Circuit):
         self._ret_flags = (rtn, stp, rvt)
         self._ret_retoff4 = retoff4
         self._ret_retlen4 = retlen4
+
+        # ---- LOG0..LOG4 (reference execution/logs.rs): pops (offset,
+        # size, topics); TxLog rows for the address + topics; a memory->
+        # TxLog copy event for the data.  Topic-count one-hot flags in
+        # carry cells 24..28; topic word RLCs in the four spare phase-1
+        # cells (vc, acc_m, rpl, prl — free on LOG rows). ----------------
+        glog = q * ind["LOG"]
+        glogn = q * q_n * ind["LOG"]
+        lflags = [cr[24 + j] for j in range(5)]
+        lsum = None
+        n_e = None
+        for j, lf in enumerate(lflags):
+            lsum = lf if lsum is None else lsum + lf
+            if j:
+                term = lf * j
+                n_e = term if n_e is None else n_e + term
+        n_e = n_e if n_e is not None else 0
+        cs.create_gate("LOG ntopics one-hot", glog * (lsum - 1))
+        lid = Advice(self.c_log_id)
+        lid_n = Advice(self.c_log_id, 1)
+        lid1 = lid + 1
+        L32, L48 = 1 << 32, 1 << 48
+        cs.create_gate("LOG offset rlc", glog * (fold4_rlc(ab4) - va))
+        size_rlc_l = (bb[0] + bb[1] * self.r_word
+                      + bb[2] * self.r_word * self.r_word
+                      + bb[3] * self.r_word * self.r_word * self.r_word)
+        size4_l = fold4_int(bb)
+        cs.create_gate("LOG size rlc", glog * (size_rlc_l - vb))
+        cs.create_gate("LOG ez bool", glog * ez * (ez - 1))
+        cs.create_gate("LOG ez kill", glog * ez * size4_l)
+        cs.create_gate(
+            "LOG ez complete", glog * (1 - ez) * (size4_l * inv - 1)
+        )
+        addr20 = None
+        for i in range(20):
+            term = ba[i] * (1 << (8 * i))
+            addr20 = term if addr20 is None else addr20 + term
+        cs.create_gate("LOG addr bind", glog * (addr20 - callee))
+        for i in range(20, 32):
+            cs.create_gate(f"LOG addr byte {i} zero", glog * ba[i])
+        if self.copy_table is not None:
+            gll = glog * (1 - ez)
+            cs.lookup_logup(
+                "LOG copy event",
+                [[
+                    gll, gll * 0, gll * 0, gll,
+                    gll * Advice(self.c_call_id), gll * fold4_int(ab4),
+                    gll * txid, gll * (3 * L32 + lid1 * L48),
+                    gll * size4_l, gll * (rwc + 3 + 2 * n_e), gll * 0,
+                ]],
+                self.copy_table,
+            )
+        transition(ind["LOG"], 1, 3 + 2 * n_e + 2 * size4_l, 2 + n_e)
+        # log counter walk: +1 on LOG rows, reset at BEGIN_TX
+        cs.create_gate("log id begin", q * bt * lid)
+        cs.create_gate(
+            "log id walk",
+            q * q_n * (1 - bt_n) * (lid_n - lid - ind["LOG"]),
+        )
+        self._log_topic_cells = [
+            vc, Advice(self.c_acc_m), Advice(self.c_rpl), Advice(self.c_prl)
+        ]
+        self._log_flags = lflags
+        self._log_n = n_e
+        self._log_lid1 = lid1
 
         # ---- PUSH immediate decomposition (reference execution/push.rs):
         # bytes_a holds the pushed word LE; the carry bank holds is_pushed
@@ -1076,9 +1146,10 @@ class EvmCircuit(Circuit):
                 + ind["SWAP"] * (nd_e + 0x8F) \
                 + ind["CALL"] * (f1 * 0xF1 + f2 * 0xF2 + fdg * 0xF4
                                  + fsa * 0xFA) \
-                + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD)
+                + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD) \
+                + ind["LOG"] * (self._log_n + 0xA0)
             g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"] + ind["CALL"] \
-                + ind["RET"] * (rtn + rvt)
+                + ind["RET"] * (rtn + rvt) + ind["LOG"]
             for g, byte in OPCODE_BYTE.items():
                 op_expr = op_expr + ind[g] * byte
                 g_code = g_code + ind[g]
@@ -1244,6 +1315,31 @@ class EvmCircuit(Circuit):
             access(gret_b, ret_base + 7, 1, sp_n, rtn_b + stp_b,
                    id_expr=cid_n)
         )
+        # ---- LOG accesses: pops + TxLog address/topic writes -------------
+        glog_b = q * ind["LOG"]
+        logtag = int(RwTag.TxLog)
+        L32, L48 = 1 << 32, 1 << 48
+        log_n = self._log_n
+        log_lid1 = self._log_lid1
+        inputs.append(access(glog_b, 0, 0, sp, va))
+        inputs.append(access(glog_b, 1, 0, sp + 1, vb))
+        inputs.append(
+            access(glog_b, 2 + log_n, 1, 1 * L32 + log_lid1 * L48,
+                   rlc_expr(ba), tag=logtag, id_expr=txid)
+        )
+        for j in range(4):
+            gate_j = None
+            for k in range(j + 1, 5):
+                t_ = self._log_flags[k]
+                gate_j = t_ if gate_j is None else gate_j + t_
+            gtj = glog_b * gate_j
+            cell = self._log_topic_cells[j]
+            inputs.append(access(gtj, 2 + j, 0, sp + 2 + j, cell))
+            inputs.append(
+                access(gtj, 3 + log_n + j, 1,
+                       j + 2 * L32 + log_lid1 * L48, cell,
+                       tag=logtag, id_expr=txid)
+            )
 
         # ---- memory word gadgets ------------------------------------------
         mem = [Advice(c) for c in self.c_mem]  # big-endian: mem[j] @ addr+j
@@ -1433,6 +1529,8 @@ class EvmCircuit(Circuit):
             return "BEGIN_TX"
         if s.exec_state == "EndTx":
             return "END_TX"
+        if s.op is not None and s.op.is_log:
+            return "LOG"
         if s.op is not None and s.op.is_push:
             return "PUSH"
         if s.op is not None and s.op.is_dup:
@@ -1469,6 +1567,7 @@ class EvmCircuit(Circuit):
                 "cid": last.call_id if last else 0,
                 "txid": last.tx_id if last else 0,
                 "callee": last.callee if last else 0,
+                "lid": last.log_id if last else 0,
             }
             padded = lambda vals, key: mont(vals + [pads[key]] * pad_n)
             cols[self.c_pc] = padded([s.pc for s in steps], "pc")
@@ -1484,6 +1583,7 @@ class EvmCircuit(Circuit):
             cols[self.c_callee] = padded(
                 [s.callee for s in steps], "callee"
             )
+            cols[self.c_log_id] = padded([s.log_id for s in steps], "lid")
             plens = [
                 s.op.push_len if (s.op is not None and s.op.is_push) else 0
                 for s in steps
@@ -1722,6 +1822,22 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "LOG":
+                    ntop = s.op - 0xA0
+                    carries[24 + ntop][si] = 1
+                    off_v = ops[0].value
+                    size_v = ops[1].value
+                    assert max(off_v, size_v) < (1 << 32)
+                    assert self.copy_table is not None or size_v == 0, (
+                        "LOG with size > 0 needs the Copy circuit's table"
+                    )
+                    for i in range(4):
+                        addrbytes[i][si] = (off_v >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (size_v >> (8 * i)) & 0xFF
+                    cle = s.callee.to_bytes(20, "little")
+                    for i in range(20):
+                        byts["a"][i][si] = cle[i]
+                    ez_col[si] = int(size_v == 0)
                 elif kind == "CALL":
                     op_ = s.op
                     hv = int(op_ in (OpcodeId.CALL, OpcodeId.CALLCODE))
@@ -1820,7 +1936,7 @@ class EvmCircuit(Circuit):
                 rws = [
                     r for r in rws
                     if r.tag in (RwTag.Stack, RwTag.Memory, RwTag.Storage,
-                                 RwTag.CallContext)
+                                 RwTag.CallContext, RwTag.TxLog)
                 ]
                 assert len(rws) <= self._rw_target(n), (
                     f"rw table overflow: {len(rws)} rows > rw_target "
@@ -1850,7 +1966,15 @@ class EvmCircuit(Circuit):
             inv_of = 0
             inv2_of = 0
             acc_m = rpl_v = prl_v = 0
-            if kind == "CALL":
+            if kind == "LOG":
+                ntop = s.op - 0xA0
+                va.append(rlc(ops[0]))
+                vb.append(rlc(ops[1]))
+                topics = [rlc(ops[2 + j]) for j in range(ntop)] + [0] * 4
+                vc.append(topics[0])
+                acc_m, rpl_v, prl_v = topics[1], topics[2], topics[3]
+                inv_of = ops[1].value % R
+            elif kind == "CALL":
                 hv = int(s.op in (OpcodeId.CALL, OpcodeId.CALLCODE))
                 npp_ = 6 + hv
                 va.append(rlc(ops[0]))          # gas word

@@ -43,6 +43,7 @@ class ExecStep:
     tx_id: int = 0
     callee: int = 0  # executing contract address
     code_hash: int = 0  # keccak of the executing bytecode (big-endian int)
+    log_id: int = 0  # logs emitted in this tx BEFORE this step
 
 
 @dataclasses.dataclass
@@ -120,6 +121,7 @@ class TxContext:
     parent_callee: int = 0  # caller's executing address
     parent_code_hash: int = 0
     sstore_count: int = 0  # writes inside this frame (revert tracking)
+    log_mark: int = 0  # tx log count at frame entry (revert tracking)
 
 
 # context opcodes handled by one generic path: opcode -> (CallContext
@@ -146,6 +148,7 @@ class CircuitInputBuilder:
         self.mulmod_events: list = []  # circuits.mulmod.MulModEvent
         self.sha3_inputs: list[bytes] = []  # keccak preimages (SHA3 opcode)
         self._next_call_id = 1
+        self._tx_log_count = 0  # logs emitted in the current tx
 
     # ------------------------------------------------------------------
     def handle_tx(self, tx_ctx_args: dict, trace: GethExecTrace,
@@ -165,6 +168,7 @@ class CircuitInputBuilder:
         storage = dict(committed_storage or {})
         hashes = dict(code_hashes or {})
         hashes.setdefault(ctx.to_addr, ctx.code_hash)
+        self._tx_log_count = 0
 
         self._begin_tx(ctx)
         logs = trace.struct_logs
@@ -199,7 +203,7 @@ class CircuitInputBuilder:
             exec_state="BeginTx", pc=0, op=None, gas=0, gas_cost=0,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
             rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
-            code_hash=ctx.code_hash,
+            code_hash=ctx.code_hash, log_id=self._tx_log_count,
         )
         rws = [
             self.rws.call_context_read(ctx.call_id, CallContextField.TxId, ctx.tx_id),
@@ -226,7 +230,7 @@ class CircuitInputBuilder:
             exec_state="EndTx", pc=0, op=None, gas=0, gas_cost=0,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
             rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
-            code_hash=ctx.code_hash,
+            code_hash=ctx.code_hash, log_id=self._tx_log_count,
         )
         r = self.rws.call_context_read(
             ctx.call_id, CallContextField.IsSuccess, int(not trace.failed)
@@ -249,6 +253,7 @@ class CircuitInputBuilder:
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
         )
         rws: list[Rw] = []
         has_value = op in (OpcodeId.CALL, OpcodeId.CALLCODE)
@@ -280,6 +285,7 @@ class CircuitInputBuilder:
             caller_id=call_id, ret_pc=step.pc + 1,
             ret_sp=sp + npops - 1, ret_offset=ret_off, ret_length=ret_len,
             parent_callee=fr.to_addr, parent_code_hash=fr.code_hash,
+            log_mark=self._tx_log_count,
         )
         self._next_call_id = max(self._next_call_id, new_id + 1)
         CCF = CallContextField
@@ -317,13 +323,16 @@ class CircuitInputBuilder:
             gas_cost=step.gas_cost, call_id=fr.call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
         )
         rws: list[Rw] = []
         success = int(op != OpcodeId.REVERT and not step.error)
-        if op == OpcodeId.REVERT and fr.sstore_count:
+        if op == OpcodeId.REVERT and (
+            fr.sstore_count or self._tx_log_count > fr.log_mark
+        ):
             raise NotImplementedError(
-                "reverting frames with storage writes need reversible-"
-                "write bookkeeping"
+                "reverting frames with storage writes or logs need "
+                "reversible-write bookkeeping"
             )
         if op in (OpcodeId.RETURN, OpcodeId.REVERT):
             off, length = step.stack[-1], step.stack[-2]
@@ -376,6 +385,7 @@ class CircuitInputBuilder:
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=ctx.tx_id, callee=ctx.to_addr, code_hash=ctx.code_hash,
+            log_id=self._tx_log_count,
         )
         rws: list[Rw] = []
 
@@ -516,6 +526,52 @@ class CircuitInputBuilder:
                 MulModEvent(a=a, b=bb_, n=nn, r=result,
                             is_add=op == OpcodeId.ADDMOD)
             )
+        elif op.is_log:
+            # LOGn: pops (offset, size, topic_0..topic_{n-1}); TxLog rows
+            # for address + topics; a memory->TxLog copy for the data
+            # (reference bus-mapping src/evm/opcodes/logs.rs)
+            from .rw import TxLogField
+
+            ntop = op - 0xA0
+            off, size = stack_val(0), stack_val(1)
+            topics = [stack_val(2 + j) for j in range(ntop)]
+            rws.append(self.rws.stack_read(call_id, sp, off))
+            rws.append(self.rws.stack_read(call_id, sp + 1, size))
+            for j, t in enumerate(topics):
+                rws.append(self.rws.stack_read(call_id, sp + 2 + j, t))
+            log_id = self._tx_log_count + 1
+            self._tx_log_count = log_id
+            rws.append(
+                self.rws.tx_log_write(
+                    ctx.tx_id, log_id, TxLogField.Address, 0, ctx.to_addr
+                )
+            )
+            for j, t in enumerate(topics):
+                rws.append(
+                    self.rws.tx_log_write(
+                        ctx.tx_id, log_id, TxLogField.Topic, j, t
+                    )
+                )
+            data = bytes(step.memory[off : off + size]).ljust(size, b"\x00")
+            ev = CopyEvent(
+                src_type="memory", src_id=call_id, src_addr=off,
+                dst_type="txlog", dst_id=ctx.tx_id,
+                dst_addr=(int(TxLogField.Data) << 32) + (log_id << 48),
+                length=size, rw_counter_start=self.rws.counter + 1,
+                bytes_=data,
+            )
+            for j, byte in enumerate(data):
+                rws.append(self.rws.memory_read(call_id, off + j, byte))
+                rws.append(
+                    self.rws.push(
+                        is_write=True, tag=RwTag.TxLog, id=ctx.tx_id,
+                        address=j + (int(TxLogField.Data) << 32)
+                        + (log_id << 48),
+                        value=byte,
+                    )
+                )
+            if size:
+                self.copy_events.append(ev)
         elif op in CONTEXT_OPS:
             # context opcodes: a fresh CallContext read at this step's own
             # rw counter (reference bus-mapping src/evm/opcodes/caller.rs

@@ -62,6 +62,12 @@ class AccountField(enum.IntEnum):
     CodeHash = 3
 
 
+class TxLogField(enum.IntEnum):
+    Address = 1
+    Topic = 2
+    Data = 3
+
+
 @dataclasses.dataclass
 class Rw:
     rw_counter: int
@@ -119,6 +125,14 @@ class RwMap:
         return self.push(is_write=True, tag=RwTag.Storage, id=tx_id,
                          address=addr, storage_key=key, value=value,
                          value_prev=value_prev)
+
+    def tx_log_write(self, tx_id, log_id, field, index, value):
+        """TxLog row; the (log_id, field, index) triple packs into the
+        address key (reference build_tx_log_address,
+        eth-types/src/evm_types.rs): index + field << 32 + log_id << 48."""
+        packed = index + (int(field) << 32) + (log_id << 48)
+        return self.push(is_write=True, tag=RwTag.TxLog, id=tx_id,
+                         address=packed, value=value)
 
     def call_context_read(self, call_id, field, value):
         return self.push(is_write=False, tag=RwTag.CallContext, id=call_id,
