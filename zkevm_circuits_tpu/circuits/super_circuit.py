@@ -50,7 +50,7 @@ from .tx import TxCircuit, TxParams
 class SuperParams:
     state: StateParams = dataclasses.field(
         default_factory=lambda: StateParams(
-            limb_bits=4, id_bits=8, addr_bits=56, key_bits=16, rwc_bits=12,
+            limb_bits=4, id_bits=8, addr_bits=160, key_bits=16, rwc_bits=12,
             target_rows=200,
         )
     )

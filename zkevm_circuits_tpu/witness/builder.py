@@ -443,6 +443,12 @@ class CircuitInputBuilder:
             )
             storage[(ctx.to_addr, key)] = val
             ctx.sstore_count += 1
+        elif op in (OpcodeId.CALLDATALOAD, OpcodeId.CALLDATACOPY) \
+                and not ctx.is_root:
+            raise NotImplementedError(
+                "nested-frame calldata reads (caller-memory source) land "
+                "with the calldata-offset context plumbing"
+            )
         elif op == OpcodeId.CALLDATALOAD:
             # root call: stack offset pop, a CallDataLength ctx read (the
             # circuit's boundary gadget needs the length), stack word push
