@@ -319,6 +319,36 @@ def test_super_circuit_catches_wrong_sha3_digest():
     assert failures
 
 
+def test_super_circuit_with_sig_binding():
+    """Full tx-validity chain: RLP sign-hash -> Keccak -> Sig circuit
+    ECDSA verification -> recovered sender == TxTable CallerAddress."""
+    b, codes, txs = _witness()
+    circ = SuperCircuit(b, codes, txs, with_sig=True)
+    assert circ.sig is not None and circ.mulmod is not None
+    MockProver(13, circ).assert_satisfied()
+
+
+def test_super_circuit_sig_catches_wrong_sender():
+    b, codes, txs = _witness()
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 1:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                # CallerAddress row of tx 1 (fixed layout index 4)
+                arr = np.array(cols[self.tx.c_value])
+                good = F.to_int(np.asarray(F.from_mont(arr[4])))
+                arr[4] = F.from_int((good + 1) * F.R % F.modulus)
+                cols[self.tx.c_value] = arr
+            return cols
+
+    failures = MockProver(13, Corrupt(b, codes, txs, with_sig=True)).verify()
+    assert any("sig binding" in f or "rw bus" in f or "begin tx" in f
+               for f in failures), failures
+
+
 def test_super_circuit_full_catches_copy_corruption():
     """Cross-circuit: a copied byte that disagrees with the Tx table's
     calldata must miss the copy->tx lookup."""

@@ -279,6 +279,10 @@ class SigCircuit(Circuit):
         }
         self.c_pb = [cs.advice_column() for _ in range(64)]  # pubkey bytes
         self.c_db = [cs.advice_column() for _ in range(32)]  # digest bytes
+        # statement bytes (BE) for the SigTable's RLC encodings
+        self.c_zb = [cs.advice_column() for _ in range(32)]
+        self.c_rb = [cs.advice_column() for _ in range(32)]
+        self.c_sb = [cs.advice_column() for _ in range(32)]
         self.c_rp = [cs.advice_column(phase=1) for _ in range(10)]
 
         qs, qw = Fixed(self.q_setup), Fixed(self.q_walk)
@@ -433,6 +437,21 @@ class SigCircuit(Circuit):
                 cs.create_gate(
                     f"sig {name} bytes {half}", qf * (u[half] - e)
                 )
+        # statement byte decompositions (z, r, s) for the RLC exposures
+        stmt_bytes = {}
+        for name, cols in (("z", self.c_zb), ("rr", self.c_rb),
+                           ("ss", self.c_sb)):
+            bs = [Advice(c) for c in cols]
+            stmt_bytes[name] = bs
+            u = P(name, back)
+            for half, off in ((1, 0), (0, 16)):
+                e = None
+                for i in range(16):
+                    term = bs[off + i] * (1 << (8 * (15 - i)))
+                    e = term if e is None else e + term
+                cs.create_gate(
+                    f"sig stmt {name} bytes {half}", qf * (u[half] - e)
+                )
         # challenge-power chain: r^2,4,8,16,32,64 then r^68, r^70, r^71,
         # r^72 — the keccak pad bridge for the fixed 64-byte message
         rp = [Advice(c) for c in self.c_rp]
@@ -462,10 +481,9 @@ class SigCircuit(Circuit):
             [[qf, qf * acc_pad, qf * out_rlc]],
             keccak_table,
         )
+        all_bytes = pb + db + [b for bs in stmt_bytes.values() for b in bs]
         cs.lookup_logup(
-            "sig byte ranges",
-            [[qf * c] for c in pb + db],
-            byte_table,
+            "sig byte ranges", [[qf * c] for c in all_bytes], byte_table
         )
         addr_e = None
         for j in range(20):
@@ -475,17 +493,34 @@ class SigCircuit(Circuit):
 
         cs.lookup_logup("sig mulmod ops", mm_inputs, mulmod_table)
 
-        # ---- exposed SigTable (on setup rows; reference table.rs:2455) --
-        fwd = EV_ROWS - 1  # setup -> final rotation for the address
+        # ---- exposed SigTable (on setup rows; reference table.rs:2455):
+        # (enable, msg_hash_rlc [digest fold, matching the RlpCircuit's
+        # sign-hash convention], sig_r_rlc, sig_s_rlc [word RLCs, matching
+        # the TxTable SigR/SigS values], recovered address raw) ----------
+        fwd = EV_ROWS - 1  # setup -> final rotation
         addr_fwd = None
         for j in range(20):
             term = Advice(self.c_db[12 + j], fwd) * (1 << (8 * (19 - j)))
             addr_fwd = term if addr_fwd is None else addr_fwd + term
+        z_rlc = None
+        rpow = None
+        for i in range(32):  # digest fold: BE byte i takes r^i
+            b_ = Advice(self.c_zb[i], fwd)
+            term = b_ if i == 0 else b_ * rpow
+            z_rlc = term if z_rlc is None else z_rlc + term
+            rpow = r_ if rpow is None else rpow * r_
+        def word_fold(cols):  # word RLC: LE byte j (= BE byte 31-j) * r^j
+            e = None
+            rp_ = None
+            for j in range(32):
+                b_ = Advice(cols[31 - j], fwd)
+                term = b_ if j == 0 else b_ * rp_
+                e = term if e is None else e + term
+                rp_ = r_ if rp_ is None else rp_ * r_
+            return e
         self.sig_table = [
-            qs,
-            qs * P("z")[0], qs * P("z")[1],
-            qs * P("rr")[0], qs * P("rr")[1],
-            qs * P("ss")[0], qs * P("ss")[1],
+            qs, qs * z_rlc,
+            qs * word_fold(self.c_rb), qs * word_fold(self.c_sb),
             qs * addr_fwd,
         ]
 
@@ -551,7 +586,8 @@ class SigCircuit(Circuit):
         singles = {
             self.c_b1: [0] * nrows, self.c_b2: [0] * nrows,
         }
-        for c in list(self.saccs.values()) + self.c_pb + self.c_db:
+        for c in (list(self.saccs.values()) + self.c_pb + self.c_db
+                  + self.c_zb + self.c_rb + self.c_sb):
             singles[c] = [0] * nrows
 
         # padding events keep every role row all-zero: zero rows satisfy
@@ -611,6 +647,11 @@ class SigCircuit(Circuit):
             dig = keccak256(pb)
             for j in range(32):
                 singles[self.c_db[j]][frow] = dig[j]
+            for cols, v in ((self.c_zb, ev.msg_hash), (self.c_rb, ev.r),
+                            (self.c_sb, ev.s)):
+                be = v.to_bytes(32, "big")
+                for j in range(32):
+                    singles[cols[j]][frow] = be[j]
 
         for name, (clo, chi) in self.pairs.items():
             out[clo] = mont([v[0] for v in pairs_v[name]])

@@ -82,7 +82,7 @@ class SuperCircuit(Circuit):
                  params: SuperParams | None = None,
                  public_data: PublicData | None = None,
                  poseidon_events: list[PoseidonEvent] | None = None,
-                 with_keccak: bool = False):
+                 with_keccak: bool = False, with_sig: bool = False):
         p = params or SuperParams()
         self.params = p
         self.state = StateCircuit(builder.rws, p.state)
@@ -107,11 +107,38 @@ class SuperCircuit(Circuit):
         if builder.exp_events:
             self.exp = ExpCircuit(builder.exp_events, p.exp)
             self.subs.append(self.exp)
-        self.mulmod = None
-        if builder.mulmod_events:
-            from .mulmod import MulModCircuit
+        # Sig circuit (opt-in: ~258 sig rows + ~5400 MulMod rows per tx,
+        # needs K >= 13) — verifies every tx signature in-circuit and
+        # binds the recovered sender through the Tx circuit
+        self.sig = None
+        sig_mm_events: list = []
+        if with_sig:
+            from ..crypto import secp256k1 as secp
+            from .sig import SigCircuit, SigEvent
 
-            self.mulmod = MulModCircuit(builder.mulmod_events)
+            sig_events = []
+            for tx in txs:
+                digest = tx.sign_hash()
+                rec = (tx.v - 35 - 2 * tx.chain_id) & 1 if tx.v >= 35 \
+                    else tx.v & 1
+                pub = secp.recover(digest, tx.r, tx.s, rec)
+                sig_events.append(SigEvent(
+                    msg_hash=int.from_bytes(digest, "big"),
+                    r=tx.r, s=tx.s, pubkey=pub,
+                ))
+            self.sig = SigCircuit(sig_events)
+            self.subs.append(self.sig)
+            for ev in sig_events:
+                sig_mm_events.extend(ev.mulmod_events())
+
+        self.mulmod = None
+        if builder.mulmod_events or sig_mm_events:
+            from .mulmod import MulModCircuit, MulModParams
+
+            evs = list(builder.mulmod_events) + sig_mm_events
+            self.mulmod = MulModCircuit(
+                evs, MulModParams(target_rows=len(evs) + 1)
+            )
             self.subs.append(self.mulmod)
         # bytecode-table opcode binding: on when the builder carried real
         # code hashes (dev witnesses leave code_hash = 0, reference-style)
@@ -121,10 +148,13 @@ class SuperCircuit(Circuit):
 
         self.pd = public_data
         self.keccak = None
-        if with_keccak or public_data is not None or builder.sha3_inputs:
+        if (with_keccak or public_data is not None or builder.sha3_inputs
+                or self.sig is not None):
             messages = [bc.to_bytes() for bc in bytecodes]
             messages += [tx.sign_payload() for tx in txs]
             messages += list(builder.sha3_inputs)
+            if self.sig is not None:
+                messages += [ev.pubkey_bytes() for ev in self.sig.events]
             if public_data is not None:
                 messages.append(public_data.pi_bytes())
             self.keccak = KeccakCircuit(messages)
@@ -146,14 +176,30 @@ class SuperCircuit(Circuit):
         if self.keccak is not None:
             self.keccak.configure(cs, challenge=r_word)
             keccak_table = self.keccak.keccak_table_exprs()
-        rlp_table = data_len_table = None
+        self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
+        if self.mulmod is not None:
+            self.mulmod.configure(cs)
+        sig_table = None
+        if self.sig is not None:
+            from ..plonk.expression import Fixed as _Fixed
+
+            self.sig.configure(
+                cs, mulmod_table=self.mulmod.mulmod_table,
+                keccak_table=keccak_table, challenge=r_word,
+                byte_table=[_Fixed(self.bytecode.tbl_byte)],
+            )
+            sig_table = self.sig.sig_table
+        rlp_table = data_len_table = sign_hash_table = None
         if self.rlp is not None:
             self.rlp.configure(cs, challenge=r_word, keccak_table=keccak_table)
             rlp_table = self.rlp.rlp_table
             data_len_table = self.rlp.data_len_table
+            sign_hash_table = self.rlp.sign_hash_table
         self.tx.configure(
             cs, challenge=r_word, rlp_table=rlp_table,
-            data_len_table=data_len_table,
+            data_len_table=data_len_table, sig_table=sig_table,
+            sign_hash_table=sign_hash_table if sig_table is not None
+            else None,
         )
         if self.copy is not None:
             self.copy.configure(
@@ -162,9 +208,6 @@ class SuperCircuit(Circuit):
             )
         if self.exp is not None:
             self.exp.configure(cs)
-        if self.mulmod is not None:
-            self.mulmod.configure(cs)
-        self.bytecode.configure(cs, challenge=r_word, keccak_table=keccak_table)
         self.evm.configure(
             cs, rw_table=rw_table, challenge=r_word,
             exp_table=self.exp.exp_table if self.exp is not None else None,

@@ -101,13 +101,20 @@ class TxCircuit(Circuit):
             tx._sender = sender
 
     def configure(self, cs: ConstraintSystem, challenge=None,
-                  rlp_table=None, data_len_table=None):
+                  rlp_table=None, data_len_table=None, sig_table=None,
+                  sign_hash_table=None):
         """`rlp_table`: RlpCircuit.rlp_table exprs (g, tx_id, tag, value);
         `data_len_table`: RlpCircuit.data_len_table exprs (g, tx_id, len).
         When given, the signed-field / calldata / chain-id bindings above
-        are wired; standalone mode proves the layout only."""
+        are wired; standalone mode proves the layout only.
+        `sig_table` + `sign_hash_table`: the Sig circuit's table and the
+        RLP circuit's (tx_id, sign_hash_rlc) rows — when both are given,
+        each tx's SigV row binds (sign_hash, SigR, SigS, CallerAddress)
+        to an ECDSA-verified SigTable entry: the sender IS the recovered
+        signer (reference tx_circuit sig lookups)."""
         p = self.params
         self.has_rlp = rlp_table is not None
+        self.has_sig = sig_table is not None and sign_hash_table is not None
         self.q_fixed = cs.fixed_column()  # fixed-field region rows
         self.q_data = cs.fixed_column()  # calldata region rows
         self.f_tag = cs.fixed_column()  # expected tag sequence (fixed layout)
@@ -127,6 +134,7 @@ class TxCircuit(Circuit):
         self.c_rec = cs.advice_column()  # SigV row: recovery bit
         self.c_chain = cs.advice_column()  # SigV row: chain id
         self.c_cd_rlc = cs.advice_column(phase=1)  # calldata running RLC
+        self.c_sign_hash = cs.advice_column(phase=1)  # SigV row: hash RLC
         self.r = challenge if challenge is not None else cs.challenge(phase=0)
 
         qf, qd = Fixed(self.q_fixed), Fixed(self.q_data)
@@ -207,6 +215,29 @@ class TxCircuit(Circuit):
                     [g_fin, g_fin * txid, g_fin * (idx + 1)],
                 ],
                 data_len_table,
+            )
+
+        if self.has_sig:
+            # the SigV row joins three tables on this tx: its sign-hash
+            # RLC comes from the RLP circuit, and the (hash, r, s,
+            # caller) tuple must be an ECDSA-verified SigTable entry.
+            # Fixed layout offsets from SigV: SigR at +1, SigS at +2,
+            # CallerAddress at -5 (FIXED_TAGS order).
+            g_sv2 = qf * Fixed(self.f_issigv) * ir
+            sh = Advice(self.c_sign_hash)
+            cs.lookup_logup(
+                "tx sign hash",
+                [[g_sv2, g_sv2 * txid, g_sv2 * sh]],
+                sign_hash_table,
+            )
+            cs.lookup_logup(
+                "tx sig binding",
+                [[
+                    g_sv2, g_sv2 * sh, g_sv2 * Advice(self.c_value, 1),
+                    g_sv2 * Advice(self.c_value, 2),
+                    g_sv2 * Advice(self.c_value, -5),
+                ]],
+                sig_table,
             )
 
     def tx_table_exprs(self) -> list:
@@ -343,4 +374,19 @@ class TxCircuit(Circuit):
             v = raw_vals[i][1]
             acc = v % R if idxs[i] == 0 else (acc * r_int + v) % R
             cdrs.append(acc)
-        return {self.c_value: mont(vals), self.c_cd_rlc: mont(cdrs)}
+        # SigV rows: sign-hash digest fold (RlpCircuit c_hash convention)
+        shs = []
+        for i, tid in enumerate(tx_ids):
+            tg = FIXED_TAGS[i % len(FIXED_TAGS)] if i < n_fixed else None
+            if tg == TxFieldTag.SigV and tid:
+                digest = self.txs[tid - 1].sign_hash()
+                shs.append(
+                    sum(b * pow(r_int, j, R) for j, b in enumerate(digest))
+                    % R
+                )
+            else:
+                shs.append(0)
+        return {
+            self.c_value: mont(vals), self.c_cd_rlc: mont(cdrs),
+            self.c_sign_hash: mont(shs),
+        }
