@@ -319,6 +319,43 @@ def test_super_circuit_catches_wrong_sha3_digest():
     assert failures
 
 
+def test_super_circuit_block_context_ops():
+    """Block/tx context opcodes bound to the BlockTable / TxTable."""
+    from zkevm_circuits_tpu.tracer import BlockEnv
+
+    code = (
+        Bytecode()
+        .op("TIMESTAMP").op("POP").op("NUMBER").op("POP")
+        .op("COINBASE").op("POP").op("GASLIMIT").op("POP")
+        .op("CHAINID").op("POP").op("BASEFEE").op("POP")
+        .op("DIFFICULTY").op("POP").op("GASPRICE").op("POP")
+        .op("ORIGIN").op("POP").op("STOP")
+    )
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    env = BlockEnv(number=42, timestamp=1234567, chain_id=1337,
+                   difficulty=(1 << 200) + 99)
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state, env).run_tx(
+        Tx(from_addr=sender, to=CONTRACT, gas_price=txs[0].gas_price)
+    )
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr,
+    )
+    circ = SuperCircuit(b, [code], txs, block=env)
+    assert circ.block is not None
+    MockProver(K, circ).assert_satisfied()
+
+
 def test_super_circuit_with_sig_binding():
     """Full tx-validity chain: RLP sign-hash -> Keccak -> Sig circuit
     ECDSA verification -> recovered sender == TxTable CallerAddress."""

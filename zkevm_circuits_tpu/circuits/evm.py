@@ -56,7 +56,9 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG", "DUP", "SWAP",
+    "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
+    "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
+    "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "STOP",
@@ -96,7 +98,8 @@ class EvmCircuit(Circuit):
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
                   exp_table=None, copy_table=None, tx_table=None,
-                  bytecode_table=None, mulmod_table=None, keccak_table=None):
+                  bytecode_table=None, mulmod_table=None, keccak_table=None,
+                  block_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -123,6 +126,7 @@ class EvmCircuit(Circuit):
         self.bytecode_table = bytecode_table
         self.mulmod_table = mulmod_table
         self.keccak_table = keccak_table
+        self.block_table = block_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -316,6 +320,10 @@ class EvmCircuit(Circuit):
         # context reads: 1 ctx read + 1 stack push; sp -= 1, rwc += 2
         for g in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
             transition(ind[g], 1, 2, -1)
+        # block/tx context pushes: 1 stack write only
+        for g in ("TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID",
+                  "BASEFEE", "DIFFICULTY", "GASPRICE", "ORIGIN"):
+            transition(ind[g], 1, 1, -1)
         # SLOAD: key pop + storage read + value push; sp 0, rwc += 3
         transition(ind["SLOAD"], 1, 3, 0)
         # SSTORE: key + value pops + storage write; sp += 2, rwc += 3
@@ -1116,6 +1124,59 @@ class EvmCircuit(Circuit):
         self._log_n = n_e
         self._log_lid1 = lid1
 
+        # ---- block/tx context opcodes (reference execution/block_ctx.rs,
+        # gasprice.rs, origin.rs): one stack push bound to the BlockTable
+        # or TxTable.  Small fields decompose into bytes_a[0:8] (raw +
+        # word-RLC folds); address fields into bytes_a[0:20]. ------------
+        from .block import BlockFieldTag as BT
+
+        def fold_n(cells, nbytes, use_r):
+            e = None
+            rpow = None
+            for i in range(nbytes):
+                mulr = rpow if use_r else (1 << (8 * i))
+                term = cells[i] if (use_r and i == 0) else cells[i] * mulr
+                e = term if e is None else e + term
+                if use_r:
+                    rpow = self.r_word if rpow is None else rpow * self.r_word
+            return e
+
+        raw8, rlc8 = fold_n(ba, 8, False), fold_n(ba, 8, True)
+        raw20, rlc20 = fold_n(ba, 20, False), fold_n(ba, 20, True)
+        SMALL_BLOCK_OPS = {
+            "TIMESTAMP": int(BT.Timestamp), "NUMBER": int(BT.Number),
+            "GASLIMIT": int(BT.GasLimit), "CHAINID": int(BT.ChainId),
+            "BASEFEE": int(BT.BaseFee),
+        }
+        block_inputs = []
+        for gname, btag in SMALL_BLOCK_OPS.items():
+            gb_ = q * ind[gname]
+            cs.create_gate(f"{gname} rlc", gb_ * (rlc8 - va))
+            block_inputs.append([gb_, gb_ * btag, gb_ * raw8])
+        gcb = q * ind["COINBASE"]
+        cs.create_gate("COINBASE rlc", gcb * (rlc20 - va))
+        block_inputs.append([gcb, gcb * int(BT.Coinbase), gcb * raw20])
+        gdf = q * ind["DIFFICULTY"]
+        block_inputs.append([gdf, gdf * int(BT.Difficulty), gdf * va])
+        if self.block_table is not None:
+            cs.lookup_logup("block context", block_inputs, self.block_table)
+        ggp = q * ind["GASPRICE"]
+        gor = q * ind["ORIGIN"]
+        cs.create_gate("ORIGIN rlc", gor * (rlc20 - va))
+        if self.tx_table is not None:
+            from .tx import TxFieldTag as _TTB
+
+            cs.lookup_logup(
+                "tx context ops",
+                [
+                    [ggp * txid, ggp * int(_TTB.GasPrice), ggp * 0,
+                     ggp * va],
+                    [gor * txid, gor * int(_TTB.CallerAddress), gor * 0,
+                     gor * raw20],
+                ],
+                self.tx_table,
+            )
+
         # ---- PUSH immediate decomposition (reference execution/push.rs):
         # bytes_a holds the pushed word LE; the carry bank holds is_pushed
         # selector bits (sel_i = 1 iff LE byte i is inside the n-byte
@@ -1252,6 +1313,13 @@ class EvmCircuit(Circuit):
             access(q * ind["SWAP"], 3, 1, sp, vb),
             # PC: write va at sp-1
             access(q * ind["PC"], 0, 1, sp - 1, va),
+            # block/tx context pushes: write va at sp-1
+            access(
+                q * (ind["TIMESTAMP"] + ind["NUMBER"] + ind["COINBASE"]
+                     + ind["GASLIMIT"] + ind["CHAINID"] + ind["BASEFEE"]
+                     + ind["DIFFICULTY"] + ind["GASPRICE"] + ind["ORIGIN"]),
+                0, 1, sp - 1, va,
+            ),
             # JUMP: read dest@sp; JUMPI: read dest@sp + cond@sp+1
             access(gj, 0, 0, sp, va),
             access(gji, 0, 0, sp, va),
@@ -1822,6 +1890,23 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind in ("TIMESTAMP", "NUMBER", "GASLIMIT", "CHAINID",
+                              "BASEFEE", "COINBASE", "ORIGIN"):
+                    if kind not in ("ORIGIN",):
+                        assert self.block_table is not None, (
+                            f"{kind} needs the Block circuit's table"
+                        )
+                    v = ops[0].value
+                    nb = 20 if kind in ("COINBASE", "ORIGIN") else 8
+                    assert v < (1 << (8 * nb))
+                    le = v.to_bytes(nb, "little")
+                    for i in range(nb):
+                        byts["a"][i][si] = le[i]
+                elif kind in ("DIFFICULTY", "GASPRICE"):
+                    if kind == "DIFFICULTY":
+                        assert self.block_table is not None, (
+                            "DIFFICULTY needs the Block circuit's table"
+                        )
                 elif kind == "LOG":
                     ntop = s.op - 0xA0
                     carries[24 + ntop][si] = 1
@@ -2048,6 +2133,10 @@ class EvmCircuit(Circuit):
                 vc.append(ops[5].value % R)       # raw calldata length
             elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
                 va.append(rlc(ops[1])); vb.append(0); vc.append(0)
+            elif kind in ("TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT",
+                          "CHAINID", "BASEFEE", "DIFFICULTY", "GASPRICE",
+                          "ORIGIN"):
+                va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SLOAD":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
             elif kind == "SSTORE":

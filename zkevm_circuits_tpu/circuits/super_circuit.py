@@ -82,7 +82,8 @@ class SuperCircuit(Circuit):
                  params: SuperParams | None = None,
                  public_data: PublicData | None = None,
                  poseidon_events: list[PoseidonEvent] | None = None,
-                 with_keccak: bool = False, with_sig: bool = False):
+                 with_keccak: bool = False, with_sig: bool = False,
+                 block=None):
         p = params or SuperParams()
         self.params = p
         self.state = StateCircuit(builder.rws, p.state)
@@ -167,6 +168,12 @@ class SuperCircuit(Circuit):
         if poseidon_events:
             self.poseidon = PoseidonCircuit(poseidon_events)
             self.subs.append(self.poseidon)
+        self.block = None
+        if block is not None:
+            from .block import BlockCircuit
+
+            self.block = BlockCircuit(block)
+            self.subs.append(self.block)
 
     def configure(self, cs: ConstraintSystem):
         r_word = cs.challenge(phase=0)
@@ -208,6 +215,8 @@ class SuperCircuit(Circuit):
             )
         if self.exp is not None:
             self.exp.configure(cs)
+        if self.block is not None:
+            self.block.configure(cs, challenge=r_word)
         self.evm.configure(
             cs, rw_table=rw_table, challenge=r_word,
             exp_table=self.exp.exp_table if self.exp is not None else None,
@@ -221,6 +230,9 @@ class SuperCircuit(Circuit):
                 self.mulmod.mulmod_table if self.mulmod is not None else None
             ),
             keccak_table=keccak_table,
+            block_table=(
+                self.block.block_table if self.block is not None else None
+            ),
         )
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)
