@@ -532,3 +532,61 @@ def test_evm_circuit_catches_wrong_calldataload_pad():
 
     failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "sel bit past the calldata end must fail"
+
+
+def test_evm_circuit_signed_ops():
+    m = (1 << 256) - 1  # -1
+    b = _witness(
+        Bytecode()
+        .push(1, 3).push(32, m - 13).op("SDIV").op("POP")   # -14 / 3 = -4
+        .push(1, 3).push(32, m - 13).op("SMOD").op("POP")   # -14 % 3 = -2
+        .push(32, m - 4).push(1, 20).op("SDIV").op("POP")   # 20 / -5 = -4
+        .push(1, 0).push(32, m).op("SDIV").op("POP")        # div by zero
+        .push(1, 5).push(1, 100).op("SDIV").op("POP")       # 100/5 positive
+        .push(32, 1 << 255).push(32, m).op("SDIV").op("POP")  # MIN / -1
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_signextend():
+    b = _witness(
+        Bytecode()
+        .push(1, 0x80).push(1, 0).op("SIGNEXTEND").op("POP")  # -> -128
+        .push(1, 0x7F).push(1, 0).op("SIGNEXTEND").op("POP")  # -> 0x7F
+        .push(2, 0x80FF).push(1, 1).op("SIGNEXTEND").op("POP")
+        .push(2, 0x1234).push(1, 31).op("SIGNEXTEND").op("POP")  # identity
+        .push(2, 0x1234).push(32, 1 << 200).op("SIGNEXTEND").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_sdiv_sign():
+    m = (1 << 256) - 1
+    b = _witness(
+        Bytecode().push(1, 3).push(32, m - 13).op("SDIV").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        """Claim the positive quotient 4 instead of -4."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "SDIV"
+                )
+                good = 4 .to_bytes(32, "little")
+                for j in (0, 31):
+                    arr = np.array(cols[self.c_bytes_c[j]])
+                    arr[row] = F.from_int(good[j] * F.R % F.modulus)
+                    cols[self.c_bytes_c[j]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "flipped SDIV sign must fail"

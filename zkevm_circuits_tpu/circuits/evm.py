@@ -56,6 +56,7 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
+    "SDIV", "SMOD", "SIGNEXTEND",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -154,6 +155,8 @@ class EvmCircuit(Circuit):
         self.c_bytes_c = [cs.advice_column() for _ in range(32)]
         self.c_bytes_d = [cs.advice_column() for _ in range(32)]
         self.c_bytes_e = [cs.advice_column() for _ in range(32)]  # SHR diff
+        self.c_bytes_f = [cs.advice_column() for _ in range(32)]  # SDIV rem
+        self.c_bytes_g = [cs.advice_column() for _ in range(32)]  # SDIV diff
         self.c_carry = [cs.advice_column() for _ in range(32)]
         # code-hash RLC of the executing bytecode (fold of digest bytes
         # under r, matching BytecodeCircuit's hash encoding); carried
@@ -249,7 +252,8 @@ class EvmCircuit(Circuit):
         # POP: reads one value; sp += 1, rwc += 1, pc += 1
         transition(ind["POP"], 1, 1, 1)
         # binary word ops: read two, write one; sp += 1, rwc += 3, pc += 1
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP",
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
+                  "SIGNEXTEND", "LT", "GT", "EQ", "EXP",
                   "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             transition(ind[g], 1, 3, 1)
         # unary word ops: read one, write one; sp 0, rwc += 2, pc += 1
@@ -679,6 +683,161 @@ class EvmCircuit(Circuit):
             [Fixed(self.tbl_sel256), Fixed(self.tbl_byte),
              Fixed(self.tbl_pow2_lo), Fixed(self.tbl_pow2_hi)],
         )
+
+        # ---- SDIV / SMOD (reference execution/sdiv_smod.rs): two's-
+        # complement via |a| (bank d), |b| (bank e) with top-bit-bound
+        # sign flags; unsigned identity q*|b| + r = |a| (q in mem bank,
+        # r in bank f, r<|b| diff in bank g); result = +-q (SDIV, sign
+        # sa xor sb) / +-r (SMOD, sign sa), zero divisor gives 0. -------
+        bf_ = [Advice(c) for c in self.c_bytes_f]
+        bg_ = [Advice(c) for c in self.c_bytes_g]
+        inv2 = Advice(self.c_inv2)
+        gsd, gsm = q * ind["SDIV"], q * ind["SMOD"]
+        gsx = gsd + gsm
+        sa, sb_ = cr[19], cr[20]
+        c0a, c0b, c0c = cr[21], cr[22], cr[23]
+        rest_a, rest_b = Advice(self.c_addr[0]), Advice(self.c_addr[1])
+        for nm, flag in (("sa", sa), ("sb", sb_), ("c0a", c0a),
+                         ("c0b", c0b), ("c0c", c0c)):
+            cs.create_gate(f"SDIV {nm} bool", gsx * flag * (flag - 1))
+        # sign flags ARE the operands' top bits
+        cs.create_gate("SDIV sa top", gsx * (ba[31] - sa * 128 - rest_a))
+        cs.create_gate("SDIV sb top", gsx * (bb[31] - sb_ * 128 - rest_b))
+        # |a|: equal when non-negative, complement identity when negative
+        for (sgn, c0, src, dst, nm) in (
+            (sa, c0a, ba, bd, "a"), (sb_, c0b, bb, be_, "b"),
+        ):
+            for lo_half in (True, False):
+                s_src = half128(src, lo_half)
+                s_dst = half128(dst, lo_half)
+                cs.create_gate(
+                    f"SDIV abs {nm} eq {lo_half}",
+                    gsx * (1 - sgn) * (s_dst - s_src),
+                )
+            cs.create_gate(
+                f"SDIV abs {nm} neg lo",
+                gsx * sgn * (half128(src, True) + half128(dst, True)
+                             - c0 * L128),
+            )
+            cs.create_gate(
+                f"SDIV abs {nm} neg hi",
+                gsx * sgn * (half128(src, False) + half128(dst, False)
+                             + c0 - L128),
+            )
+        # zero-divisor flag over |b|'s half sum
+        sbv = half128(be_, True) + half128(be_, False)
+        nzb = sbv * inv
+        cs.create_gate("SDIV nzb kill", gsx * sbv * (1 - nzb))
+        cs.create_gate("SDIV zero divisor", gsx * (1 - nzb) * vc)
+        gnz = gsx * nzb
+        # unsigned identity on the magnitudes
+        tsd = mul_t(mem_b, be_)
+        cs.create_gate(
+            "SDIV id lo",
+            gnz * (tsd[0] + tsd[1] * L64 + half128(bf_, True)
+                   - half128(bd, True) - cl * L128),
+        )
+        cs.create_gate(
+            "SDIV id hi",
+            gnz * (tsd[2] + tsd[3] * L64 + half128(bf_, False) + cl
+                   - half128(bd, False) - ch * L128),
+        )
+        cs.create_gate(
+            "SDIV no overflow", gnz * (ch + tsd[4] + tsd[5] + tsd[6])
+        )
+        borq = cr[18]
+        cs.create_gate("SDIV bor bool", gsx * borq * (borq - 1))
+        cs.create_gate(
+            "SDIV r<b lo",
+            gnz * (half128(bf_, True) - half128(be_, True) + borq * L128
+                   - half128(bg_, True)),
+        )
+        cs.create_gate(
+            "SDIV r<b hi",
+            gnz * (half128(bf_, False) - half128(be_, False) - borq
+                   + L128 - half128(bg_, False)),
+        )
+        # result: select |q| (SDIV) / |r| (SMOD), negate by the op's sign
+        res_sign_sd = sa + sb_ - 2 * sa * sb_
+        for g_op, val_bank, rsign, nm in (
+            (gsd, mem_b, res_sign_sd, "sdiv"), (gsm, bf_, sa, "smod"),
+        ):
+            v_lo, v_hi = half128(val_bank, True), half128(val_bank, False)
+            sv = v_lo + v_hi
+            zv = Advice(self.c_ez)
+            cs.create_gate(f"{nm} zv bool", g_op * zv * (zv - 1))
+            cs.create_gate(f"{nm} zv kill", g_op * zv * sv)
+            cs.create_gate(
+                f"{nm} zv complete",
+                g_op * nzb * (1 - zv) * (sv * inv2 - 1),
+            )
+            cs.create_gate(f"{nm} zero result", g_op * zv * vc)
+            neg = rsign * (1 - zv)
+            for lo_half in (True, False):
+                cs.create_gate(
+                    f"{nm} res eq {lo_half}",
+                    g_op * nzb * (1 - neg)
+                    * (half128(bc, lo_half) - half128(val_bank, lo_half)),
+                )
+            cs.create_gate(
+                f"{nm} res neg lo",
+                g_op * nzb * neg * (v_lo + half128(bc, True) - c0c * L128),
+            )
+            cs.create_gate(
+                f"{nm} res neg hi",
+                g_op * nzb * neg * (v_hi + half128(bc, False) + c0c - L128),
+            )
+        cs.create_gate("SDIV a rlc", gsx * (rlc_expr(ba) - va))
+        cs.create_gate("SDIV b rlc", gsx * (rlc_expr(bb) - vb))
+        cs.create_gate("SDIV c rlc", gsx * nzb * (rlc_expr(bc) - vc))
+
+        # ---- SIGNEXTEND (reference execution/signextend.rs): keep-mask
+        # bits m_j (carry bank) monotone non-increasing from byte 0; the
+        # drop position is the index operand; dropped bytes become the
+        # selected byte's sign fill. ------------------------------------
+        gse = q * ind["SIGNEXTEND"]
+        m_bits = cr
+        for j in range(32):
+            cs.create_gate(
+                f"SEXT m{j} bool", gse * m_bits[j] * (m_bits[j] - 1)
+            )
+        cs.create_gate("SEXT m0", gse * (m_bits[0] - 1))
+        s_hi_i = None
+        for k in range(1, 32):
+            s_hi_i = ba[k] if s_hi_i is None else s_hi_i + ba[k]
+        drops = []
+        for j in range(31):
+            e_j = m_bits[j] - m_bits[j + 1]
+            drops.append(e_j)
+            cs.create_gate(f"SEXT e{j} bool", gse * e_j * (e_j - 1))
+            cs.create_gate(f"SEXT e{j} at i", gse * e_j * (ba[0] - j))
+            cs.create_gate(f"SEXT e{j} small i", gse * e_j * s_hi_i)
+        # keep-all requires i >= 31 (ez + byte lookup) or i >= 2^8
+        sext_ez = Advice(self.c_ez)
+        cs.create_gate("SEXT ez bool", gse * sext_ez * (sext_ez - 1))
+        cs.create_gate(
+            "SEXT keep-all big i",
+            gse * m_bits[31] * (1 - sext_ez) * (s_hi_i * inv - 1),
+        )
+        sel_byte = None
+        for j in range(31):
+            term = drops[j] * bb[j]
+            sel_byte = term if sel_byte is None else sel_byte + term
+        sgn_se = Advice(self.c_eo)
+        rest_se = Advice(self.c_addr[2])
+        cs.create_gate("SEXT sgn bool", gse * sgn_se * (sgn_se - 1))
+        cs.create_gate(
+            "SEXT sign split", gse * (sel_byte - sgn_se * 128 - rest_se)
+        )
+        for j in range(32):
+            cs.create_gate(
+                f"SEXT res {j}",
+                gse * (bc[j] - m_bits[j] * bb[j]
+                       - (1 - m_bits[j]) * sgn_se * 255),
+            )
+        cs.create_gate("SEXT a rlc", gse * (rlc_expr(ba) - va))
+        cs.create_gate("SEXT b rlc", gse * (rlc_expr(bb) - vb))
+        cs.create_gate("SEXT c rlc", gse * (rlc_expr(bc) - vc))
 
         # ---- EXP: lookup into the Exp circuit's table (reference
         # evm_circuit/execution/exp.rs); exponent 0/1 handled arithmetically
@@ -1236,14 +1395,20 @@ class EvmCircuit(Circuit):
         # argument, gated by q alone (padding/unused cells are 0 = valid)
         all_byte_cols = (
             self.c_bytes_a + self.c_bytes_b + self.c_bytes_c
-            + self.c_bytes_d + self.c_bytes_e + self.c_carry + self.c_mem
-            + self.c_addr
+            + self.c_bytes_d + self.c_bytes_e + self.c_bytes_f
+            + self.c_bytes_g + self.c_carry + self.c_mem + self.c_addr
         )
         byte_inputs = [[q * Advice(c)] for c in all_byte_cols]
         # BYTE out-of-range path: ez proves index byte >= 32 (byte-range
         # membership of ba[0]-32 given ba[0] < 256)
         byte_inputs.append([q * ind["BYTE"] * Advice(self.c_ez)
                             * (Advice(self.c_bytes_a[0]) - 32)])
+        # SDIV/SMOD sign rests < 128 (2*rest stays a byte)
+        byte_inputs.append([gsx * 2 * rest_a])
+        byte_inputs.append([gsx * 2 * rest_b])
+        # SIGNEXTEND: 2*rest < 256 and the keep-all i >= 31 proof
+        byte_inputs.append([gse * 2 * rest_se])
+        byte_inputs.append([gse * m_bits[31] * sext_ez * (ba[0] - 31)])
         cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -1266,7 +1431,8 @@ class EvmCircuit(Circuit):
         ctxtag = int(RwTag.CallContext)
         CCF = CallContextField
         gbin = None
-        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ", "EXP",
+        for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
+                  "SIGNEXTEND", "LT", "GT", "EQ", "EXP",
                   "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             gbin = ind[g] if gbin is None else gbin + ind[g]
         gbin = q * gbin
@@ -1667,7 +1833,7 @@ class EvmCircuit(Circuit):
             # AddWords byte cells + carries (ADD: a+b=c; SUB: c+b=a; PC
             # borrows bytes_a for the pc decomposition)
             n_steps = len(steps)
-            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abcde"}
+            byts = {k: [[0] * n_steps for _ in range(32)] for k in "abcdefg"}
             carries = [[0] * n_steps for _ in range(32)]
             membytes = [[0] * n_steps for _ in range(32)]
             addrbytes = [[0] * n_steps for _ in range(4)]
@@ -1772,6 +1938,62 @@ class EvmCircuit(Circuit):
                     set_word("b", si, y)
                     set_word("c", si, w)
                     set_carry_bytes(si, *mul_carries(x, y, 0, w))
+                elif kind in ("SDIV", "SMOD"):
+                    M255 = 1 << 255
+                    a_, b_v, res = (o.value for o in ops[:3])
+                    sa_v, sb_v = int(a_ >= M255), int(b_v >= M255)
+                    abs_a = (M256 - a_) % M256 if sa_v else a_
+                    abs_b = (M256 - b_v) % M256 if sb_v else b_v
+                    qv = abs_a // abs_b if abs_b else 0
+                    rv = abs_a - qv * abs_b if abs_b else 0
+                    set_word("a", si, a_)
+                    set_word("b", si, b_v)
+                    set_word("c", si, res)
+                    set_word("d", si, abs_a)
+                    set_word("e", si, abs_b)
+                    set_word("f", si, rv)
+                    qb = qv.to_bytes(32, "little")
+                    for j in range(32):
+                        membytes[j][si] = qb[j]
+                    if abs_b:
+                        set_carry_bytes(
+                            si, *mul_carries(qv, abs_b, rv, abs_a),
+                            bor=int((rv & M128) < (abs_b & M128)),
+                        )
+                        set_word("g", si, (rv - abs_b + M256) % M256)
+                    carries[19][si] = sa_v
+                    carries[20][si] = sb_v
+                    if sa_v:
+                        carries[21][si] = (
+                            (a_ & M128) + (abs_a & M128)
+                        ) >> 128
+                    if sb_v:
+                        carries[22][si] = (
+                            (b_v & M128) + (abs_b & M128)
+                        ) >> 128
+                    val = qv if kind == "SDIV" else rv
+                    rsgn = sa_v ^ sb_v if kind == "SDIV" else sa_v
+                    if abs_b and rsgn and val:
+                        carries[23][si] = (
+                            (val & M128) + (res & M128)
+                        ) >> 128
+                    addrbytes[0][si] = (a_ >> 248) - sa_v * 128
+                    addrbytes[1][si] = (b_v >> 248) - sb_v * 128
+                    ez_col[si] = int(val == 0)
+                elif kind == "SIGNEXTEND":
+                    i_w, x_w, res = (o.value for o in ops[:3])
+                    set_word("a", si, i_w)
+                    set_word("b", si, x_w)
+                    set_word("c", si, res)
+                    keep_all = i_w >= 31
+                    kept = 31 if keep_all else i_w
+                    for j in range(kept + 1):
+                        carries[j][si] = 1
+                    if not keep_all:
+                        sel = (x_w >> (8 * i_w)) & 0xFF
+                        eo_col[si] = sel >> 7
+                        addrbytes[2][si] = sel & 0x7F
+                    ez_col[si] = int(31 <= i_w < 256)
                 elif kind in ("DIV", "MOD"):
                     a_, b_ = ops[0].value, ops[1].value
                     qv = a_ // b_ if b_ else 0
@@ -2001,7 +2223,8 @@ class EvmCircuit(Circuit):
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),
-                ("e", self.c_bytes_e),
+                ("e", self.c_bytes_e), ("f", self.c_bytes_f),
+                ("g", self.c_bytes_g),
             ):
                 for i, ci in enumerate(colset):
                     cols[ci] = mont(byts[key][i])
@@ -2040,7 +2263,9 @@ class EvmCircuit(Circuit):
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
         va, vb, vc, invs, inv2s = [], [], [], [], []
         accms, rpls, prls = [], [], []
-        binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "LT", "GT", "EQ",
+        M128_, M256 = (1 << 128) - 1, 1 << 256
+        binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
+                  "SIGNEXTEND", "LT", "GT", "EQ",
                   "EXP", "CALLDATACOPY", "AND", "OR", "XOR", "BYTE", "SHL",
                   "SHR")
         for s in steps:
@@ -2101,6 +2326,20 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(rlc(ops[2]))
                 if kind in ("DIV", "MOD"):
                     inv_of = vb[-1]
+                elif kind in ("SDIV", "SMOD"):
+                    M255 = 1 << 255
+                    b_v = ops[1].value
+                    abs_b = (M256 - b_v) % M256 if b_v >= M255 else b_v
+                    inv_of = ((abs_b & M128_) + (abs_b >> 128)) % R
+                    a_ = ops[0].value
+                    abs_a = (M256 - a_) % M256 if a_ >= M255 else a_
+                    val = (abs_a // abs_b if kind == "SDIV"
+                           else abs_a % abs_b) if abs_b else 0
+                    inv2_of = ((val & M128_) + (val >> 128)) % R
+                elif kind == "SIGNEXTEND":
+                    inv_of = sum(
+                        ops[0].value.to_bytes(32, "little")[1:]
+                    ) % R
                 elif kind == "EQ":
                     inv_of = (va[-1] - vb[-1]) % R
                 elif kind == "EXP":
