@@ -218,6 +218,47 @@ def test_super_circuit_staticcall_stop():
     MockProver(K, SuperCircuit(b, codes, txs)).assert_satisfied()
 
 
+def test_super_circuit_returndata_ops():
+    """RETURNDATASIZE + RETURNDATACOPY read the last callee's output."""
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    callee = (
+        Bytecode().push(1, 42).push(1, 0).op("MSTORE")
+        .push(1, 32).push(1, 0).op("RETURN")
+    )
+    caller = Bytecode().push(1, 0).push(1, 0)    # retLen=0: force RDC use
+    caller.push(1, 0).push(1, 0).push(1, 0)
+    caller.push(2, CALLEE).push(2, 0xFFFF).op("CALL").op("POP")
+    caller.op("RETURNDATASIZE").op("POP")
+    caller.push(1, 32).push(1, 0).push(1, 64).op("RETURNDATACOPY")
+    caller.push(1, 64).op("MLOAD").op("POP").op("STOP")
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB({
+        sender: Account(balance=10**18),
+        CONTRACT: Account(code=caller.to_bytes()),
+        CALLEE: Account(code=callee.to_bytes()),
+    })
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    hashes = {
+        CONTRACT: int.from_bytes(keccak256(caller.to_bytes()), "big"),
+        CALLEE: int.from_bytes(keccak256(callee.to_bytes()), "big"),
+    }
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=hashes[CONTRACT]),
+        tr, code_hashes=hashes,
+    )
+    kinds = [s.exec_state for s in b.steps]
+    assert "RETURNDATASIZE" in kinds and "RETURNDATACOPY" in kinds
+    # the MLOAD result is the callee's word, delivered via RDC
+    mload = b.steps[kinds.index("MLOAD")]
+    assert b.rws.rws[mload.rw_indices[-1] ].value == 42
+    MockProver(K, SuperCircuit(b, [caller, callee], txs)).assert_satisfied()
+
+
 def test_super_circuit_catches_wrong_return_data():
     """A tampered byte in the caller's received return data must break
     the copy<->rw-bus binding."""

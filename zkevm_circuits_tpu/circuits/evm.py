@@ -56,7 +56,7 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "SDIV", "SMOD", "SIGNEXTEND",
+    "SDIV", "SMOD", "SIGNEXTEND", "RETURNDATASIZE", "RETURNDATACOPY",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -1210,10 +1210,12 @@ class EvmCircuit(Circuit):
                 self.copy_table,
             )
         cs.create_gate(
-            "RET rwc", gretn * (rwc_n - rwc - npp - 2 * la4 - 8)
+            "RET rwc", gretn * (rwc_n - rwc - npp - 2 * la4 - 11)
         )
         self._ret_npp = npp
         self._ret_la4 = la4
+        self._ret_off4 = off4
+        self._ret_len4 = len4
         self._ret_flags = (rtn, stp, rvt)
         self._ret_retoff4 = retoff4
         self._ret_retlen4 = retlen4
@@ -1282,6 +1284,56 @@ class EvmCircuit(Circuit):
         self._log_flags = lflags
         self._log_n = n_e
         self._log_lid1 = lid1
+
+        # ---- RETURNDATASIZE / RETURNDATACOPY (reference execution/
+        # returndatasize.rs, returndatacopy.rs): read the last callee's
+        # bookkeeping context rows; RDC copies from the CALLEE's memory
+        # via a memory->memory event, with src+len <= rdlen enforced. ----
+        grds = q * ind["RETURNDATASIZE"]
+        cs.create_gate("RDS rlc", grds * (fold4_rlc(ab4) - va))
+        transition(ind["RETURNDATASIZE"], 1, 2, -1)
+        grdc = q * ind["RETURNDATACOPY"]
+        grdcn = q * q_n * ind["RETURNDATACOPY"]
+        rdc_src4 = fold4_int(ba)
+        rdc_len4 = fold4_int(bb)
+        rdc_off4 = (bd[0] + bd[1] * 256 + bd[2] * 65536
+                    + bd[3] * 16777216)
+        rdc_rdl4 = (be_[0] + be_[1] * 256 + be_[2] * 65536
+                    + be_[3] * 16777216)
+        rdc_diff4 = (bf_[0] + bf_[1] * 256 + bf_[2] * 65536
+                     + bf_[3] * 16777216)
+        rdc_lcid = Advice(self.c_push_len)
+        cs.create_gate("RDC dst rlc", grdc * (fold4_rlc(ab4) - va))
+        cs.create_gate("RDC src rlc", grdc * (fold4_rlc(ba[:4]) - vb))
+        cs.create_gate("RDC len rlc", grdc * (fold4_rlc(bb[:4]) - vc))
+        cs.create_gate(
+            "RDC bound", grdc * (rdc_rdl4 - rdc_src4 - rdc_len4 - rdc_diff4)
+        )
+        cs.create_gate("RDC ez bool", grdc * ez * (ez - 1))
+        cs.create_gate("RDC ez kill", grdc * ez * rdc_len4)
+        cs.create_gate(
+            "RDC ez complete", grdc * (1 - ez) * (rdc_len4 * inv - 1)
+        )
+        if self.copy_table is not None:
+            glr2 = grdc * (1 - ez)
+            cs.lookup_logup(
+                "RDC copy event",
+                [[
+                    glr2, glr2 * 0, glr2, glr2 * 0,
+                    glr2 * rdc_lcid, glr2 * (rdc_off4 + rdc_src4),
+                    glr2 * Advice(self.c_call_id), glr2 * fold4_int(ab4),
+                    glr2 * rdc_len4, glr2 * (rwc + 6), glr2 * 0,
+                ]],
+                self.copy_table,
+            )
+        cs.create_gate("RDC pc", grdcn * (pc_n - pc - 1))
+        cs.create_gate("RDC sp", grdcn * (sp_n - sp - 3))
+        cs.create_gate(
+            "RDC rwc", grdcn * (rwc_n - rwc - 6 - 2 * rdc_len4)
+        )
+        self._rdc_lcid = rdc_lcid
+        self._rdc_off4 = rdc_off4
+        self._rdc_rdl4 = rdc_rdl4
 
         # ---- block/tx context opcodes (reference execution/block_ctx.rs,
         # gasprice.rs, origin.rs): one stack push bound to the BlockTable
@@ -1545,8 +1597,21 @@ class EvmCircuit(Circuit):
                 access(gret_b, ret_base + k, 0, 0, val, tag=ctxtag,
                        field=field)
             )
+        # last-callee bookkeeping written to the CALLER's context
+        ret_writes = [
+            (int(CallContextField.LastCalleeId), Advice(self.c_call_id)),
+            (int(CallContextField.LastCalleeReturnDataOffset),
+             self._ret_off4),
+            (int(CallContextField.LastCalleeReturnDataLength),
+             self._ret_len4),
+        ]
+        for k, (field, valw) in enumerate(ret_writes):
+            inputs.append(
+                access(gret_b, ret_base + 7 + k, 1, 0, valw, tag=ctxtag,
+                       id_expr=cid_n, field=field)
+            )
         inputs.append(
-            access(gret_b, ret_base + 7, 1, sp_n, rtn_b + stp_b,
+            access(gret_b, ret_base + 10, 1, sp_n, rtn_b + stp_b,
                    id_expr=cid_n)
         )
         # ---- LOG accesses: pops + TxLog address/topic writes -------------
@@ -1634,6 +1699,22 @@ class EvmCircuit(Circuit):
         inputs.append(access(gcdl_b, 1, 0, 0, cdlen_b, tag=ctxtag,
                              field=int(CCF.CallDataLength)))
         inputs.append(access(gcdl_b, 2, 1, sp, vb))
+
+        # ---- RETURNDATASIZE / RETURNDATACOPY accesses --------------------
+        grds_b = q * ind["RETURNDATASIZE"]
+        inputs.append(access(grds_b, 0, 0, 0, fold4_int(ab4), tag=ctxtag,
+                             field=int(CCF.LastCalleeReturnDataLength)))
+        inputs.append(access(grds_b, 1, 1, sp - 1, va))
+        grdc_b = q * ind["RETURNDATACOPY"]
+        inputs.append(access(grdc_b, 0, 0, sp, va))
+        inputs.append(access(grdc_b, 1, 0, sp + 1, vb))
+        inputs.append(access(grdc_b, 2, 0, sp + 2, vc))
+        inputs.append(access(grdc_b, 3, 0, 0, self._rdc_lcid, tag=ctxtag,
+                             field=int(CCF.LastCalleeId)))
+        inputs.append(access(grdc_b, 4, 0, 0, self._rdc_off4, tag=ctxtag,
+                             field=int(CCF.LastCalleeReturnDataOffset)))
+        inputs.append(access(grdc_b, 5, 0, 0, self._rdc_rdl4, tag=ctxtag,
+                             field=int(CCF.LastCalleeReturnDataLength)))
 
         # ---- BEGIN_TX: the 6 call-context reads (builder _begin_tx order:
         # TxId, CalleeAddress, CallerAddress, Value, IsRoot,
@@ -2107,11 +2188,30 @@ class EvmCircuit(Circuit):
                     le = addr.to_bytes(20, "little")
                     for i in range(20):
                         byts["a"][i][si] = le[i]
-                elif kind == "CALLDATASIZE":
+                elif kind in ("CALLDATASIZE", "RETURNDATASIZE"):
                     ln = ops[0].value
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "RETURNDATACOPY":
+                    assert self.copy_table is not None or \
+                        ops[2].value == 0, (
+                            "RETURNDATACOPY needs the Copy circuit"
+                        )
+                    dst, src_, ln = (o.value for o in ops[:3])
+                    lcid, rdoff, rdlen = (o.value for o in ops[3:6])
+                    assert max(dst, src_, ln, rdoff, rdlen) < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (dst >> (8 * i)) & 0xFF
+                        byts["a"][i][si] = (src_ >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (ln >> (8 * i)) & 0xFF
+                        byts["d"][i][si] = (rdoff >> (8 * i)) & 0xFF
+                        byts["e"][i][si] = (rdlen >> (8 * i)) & 0xFF
+                        byts["f"][i][si] = (
+                            (rdlen - src_ - ln) >> (8 * i)
+                        ) & 0xFF
+                    plens[si] = lcid
+                    ez_col[si] = int(ln == 0)
                 elif kind in ("TIMESTAMP", "NUMBER", "GASLIMIT", "CHAINID",
                               "BASEFEE", "COINBASE", "ORIGIN"):
                     if kind not in ("ORIGIN",):
@@ -2178,11 +2278,12 @@ class EvmCircuit(Circuit):
                     off_v = ops[0].value if has_d else 0
                     len_v = ops[1].value if has_d else 0
                     nrw = len(ops)
-                    base = nrw - 8  # 7 ctx reads + success write at tail
+                    # tail: 7 ctx reads + 3 bookkeeping writes + success
+                    base = nrw - 11
                     retoff_v = ops[base + 5].value
                     retlen_v = ops[base + 6].value
                     la_v = min(len_v, retlen_v)
-                    assert (nrw - npp_ - 8) == 2 * la_v
+                    assert (nrw - npp_ - 11) == 2 * la_v
                     if has_d:
                         carries[23][si] = int(len_v < retlen_v)
                         diff_v = (retlen_v - len_v if len_v < retlen_v
@@ -2297,7 +2398,7 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0]) if has_d else 0)
                 vb.append(rlc(ops[1]) if has_d else 0)
                 vc.append(0)
-                la_v = min(ops[1].value, ops[len(ops) - 2].value) \
+                la_v = min(ops[1].value, ops[len(ops) - 5].value) \
                     if has_d else 0
                 inv_of = la_v % R
             elif kind in ("RETURN", "REVERT"):
@@ -2370,8 +2471,13 @@ class EvmCircuit(Circuit):
                 va.append(ops[2].value % R)       # raw caller address
                 vb.append(rlc(ops[3]))            # value word RLC
                 vc.append(ops[5].value % R)       # raw calldata length
-            elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
+            elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE",
+                          "RETURNDATASIZE"):
                 va.append(rlc(ops[1])); vb.append(0); vc.append(0)
+            elif kind == "RETURNDATACOPY":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
+                vc.append(rlc(ops[2]))
+                inv_of = ops[2].value % R
             elif kind in ("TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT",
                           "CHAINID", "BASEFEE", "DIFFICULTY", "GASPRICE",
                           "ORIGIN"):

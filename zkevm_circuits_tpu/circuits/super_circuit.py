@@ -51,7 +51,7 @@ class SuperParams:
     state: StateParams = dataclasses.field(
         default_factory=lambda: StateParams(
             limb_bits=4, id_bits=8, addr_bits=160, key_bits=16, rwc_bits=12,
-            target_rows=200,
+            target_rows=360,
         )
     )
     evm: EvmParams = dataclasses.field(

@@ -122,6 +122,10 @@ class TxContext:
     parent_code_hash: int = 0
     sstore_count: int = 0  # writes inside this frame (revert tracking)
     log_mark: int = 0  # tx log count at frame entry (revert tracking)
+    # last-callee return data bookkeeping (RETURNDATASIZE/COPY)
+    last_callee_id: int = 0
+    last_ret_off: int = 0
+    last_ret_data: bytes = b""
 
 
 # context opcodes handled by one generic path: opcode -> (CallContext
@@ -132,6 +136,10 @@ CONTEXT_OPS = {
     OpcodeId.CALLVALUE: (CallContextField.Value, lambda c: c.value),
     OpcodeId.CALLDATASIZE: (
         CallContextField.CallDataLength, lambda c: len(c.calldata)
+    ),
+    OpcodeId.RETURNDATASIZE: (
+        CallContextField.LastCalleeReturnDataLength,
+        lambda c: len(c.last_ret_data),
     ),
 }
 
@@ -368,6 +376,19 @@ class CircuitInputBuilder:
             r_(fr.call_id, CCF.RetOffset, fr.ret_offset),
             r_(fr.call_id, CCF.RetLength, fr.ret_length),
         ]
+        # record the callee's return data on the CALLER's context
+        # (RETURNDATASIZE/RETURNDATACOPY read these back)
+        full = bytes(step.memory[off : off + length]).ljust(length, b"\x00") \
+            if op in (OpcodeId.RETURN, OpcodeId.REVERT) else b""
+        w_ = self.rws.call_context_write
+        rws += [
+            w_(parent.call_id, CCF.LastCalleeId, fr.call_id),
+            w_(parent.call_id, CCF.LastCalleeReturnDataOffset, off),
+            w_(parent.call_id, CCF.LastCalleeReturnDataLength, length),
+        ]
+        parent.last_callee_id = fr.call_id
+        parent.last_ret_off = off
+        parent.last_ret_data = full
         rws.append(
             self.rws.stack_write(parent.call_id, fr.ret_sp, success)
         )
@@ -499,6 +520,41 @@ class CircuitInputBuilder:
             self.sha3_inputs.append(data)
             digest = nxt.stack[-1] if nxt and not step.error else 0
             rws.append(self.rws.stack_write(call_id, sp + 1, digest))
+        elif op == OpcodeId.RETURNDATACOPY:
+            # pops (dst, src, len); reads the last callee's return data
+            # from ITS memory, writes into this frame's memory
+            # (reference bus-mapping src/evm/opcodes/returndatacopy.rs)
+            dst, src, ln = stack_val(0), stack_val(1), stack_val(2)
+            rws.append(self.rws.stack_read(call_id, sp, dst))
+            rws.append(self.rws.stack_read(call_id, sp + 1, src))
+            rws.append(self.rws.stack_read(call_id, sp + 2, ln))
+            assert src + ln <= len(ctx.last_ret_data), "tracer enforces"
+            CCF = CallContextField
+            rws.append(self.rws.call_context_read(
+                call_id, CCF.LastCalleeId, ctx.last_callee_id
+            ))
+            rws.append(self.rws.call_context_read(
+                call_id, CCF.LastCalleeReturnDataOffset, ctx.last_ret_off
+            ))
+            rws.append(self.rws.call_context_read(
+                call_id, CCF.LastCalleeReturnDataLength,
+                len(ctx.last_ret_data),
+            ))
+            data = ctx.last_ret_data[src : src + ln]
+            ev = CopyEvent(
+                src_type="memory", src_id=ctx.last_callee_id,
+                src_addr=ctx.last_ret_off + src,
+                dst_type="memory", dst_id=call_id, dst_addr=dst,
+                length=ln, rw_counter_start=self.rws.counter + 1,
+                bytes_=data,
+            )
+            for j, byte in enumerate(data):
+                rws.append(self.rws.memory_read(
+                    ctx.last_callee_id, ctx.last_ret_off + src + j, byte
+                ))
+                rws.append(self.rws.memory_write(call_id, dst + j, byte))
+            if ln:
+                self.copy_events.append(ev)
         elif op == OpcodeId.EXP:
             base, exponent = stack_val(0), stack_val(1)
             rws.append(self.rws.stack_read(call_id, sp, base))

@@ -54,6 +54,8 @@ class CallContextField(enum.IntEnum):
     ParentCalleeAddress = 19  # caller's own executing address (raw)
     ParentCodeHash = 20  # caller's code-hash RLC (word-RLC encoded)
     CodeHash = 21  # callee's code-hash RLC (word-RLC encoded)
+    LastCalleeId = 22  # written to the CALLER at frame end
+    LastCalleeReturnDataOffset = 23  # offset of the data in callee memory
 
 
 class AccountField(enum.IntEnum):
