@@ -218,6 +218,58 @@ def test_super_circuit_staticcall_stop():
     MockProver(K, SuperCircuit(b, codes, txs)).assert_satisfied()
 
 
+def test_super_circuit_codecopy():
+    """CODECOPY binds copied bytes to the Bytecode circuit's table
+    (including zero padding past the code end)."""
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    code = (
+        Bytecode()
+        .push(1, 8).push(1, 2).push(1, 0).op("CODECOPY")  # 8 bytes from 2
+        .push(1, 0).op("MLOAD").op("POP").op("STOP")
+    )
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr, code_db={CONTRACT: code.to_bytes()},
+    )
+    assert any(ev.src_type == "bytecode" for ev in b.copy_events)
+    MockProver(K, SuperCircuit(b, [code], txs)).assert_satisfied()
+
+
+def test_super_circuit_codecopy_with_padding():
+    """CODECOPY reaching past the code end writes zero bytes (pad rows)."""
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    code = (
+        Bytecode()
+        .push(1, 32).push(1, 4).push(1, 0).op("CODECOPY").op("STOP")
+    )
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr, code_db={CONTRACT: code.to_bytes()},
+    )
+    MockProver(K, SuperCircuit(b, [code], txs)).assert_satisfied()
+
+
 def test_super_circuit_returndata_ops():
     """RETURNDATASIZE + RETURNDATACOPY read the last callee's output."""
     from zkevm_circuits_tpu.crypto.keccak import keccak256

@@ -58,7 +58,7 @@ class CopyCircuit(Circuit):
         self.tx_rows = tx_rows
 
     def configure(self, cs: ConstraintSystem, rw_table=None, tx_table=None,
-                  challenge=None):
+                  challenge=None, bytecode_table=None):
         self.standalone = rw_table is None
         self.q_copy = cs.fixed_column()
 
@@ -75,6 +75,8 @@ class CopyCircuit(Circuit):
         self.c_is_rlc = cs.advice_column()  # memory -> RLC event kind
         self.c_is_mm = cs.advice_column()  # memory -> memory event kind
         self.c_is_log = cs.advice_column()  # memory -> TxLog event kind
+        self.c_is_code = cs.advice_column()  # bytecode -> memory event kind
+        self.c_src_hash = cs.advice_column(phase=1)  # code-hash RLC (code)
         self.c_acc = cs.advice_column(phase=1)  # running byte RLC
 
         if self.standalone:
@@ -144,6 +146,13 @@ class CopyCircuit(Circuit):
         cs.create_gate("is_log implies active", q * ilog * (1 - act))
         cs.create_gate("is_log excl", q * ilog * (irlc + imm))
         cs.create_gate("copy cont is_log", q * cont * (ilog_n - ilog))
+        icode, icode_n = Advice(self.c_is_code), Advice(self.c_is_code, 1)
+        shash, shash_n = Advice(self.c_src_hash), Advice(self.c_src_hash, 1)
+        cs.create_gate("is_code bool", q * icode * (icode - 1))
+        cs.create_gate("is_code implies active", q * icode * (1 - act))
+        cs.create_gate("is_code excl", q * icode * (irlc + imm + ilog))
+        cs.create_gate("copy cont is_code", q * cont * (icode_n - icode))
+        cs.create_gate("copy cont src_hash", q * cont * (shash_n - shash))
         gf = q * act * (1 - Advice(self.c_cont, -1))
         cs.create_gate("acc seed", gf * irlc * (acc - byte))
         cs.create_gate(
@@ -162,9 +171,11 @@ class CopyCircuit(Circuit):
         cs.create_gate(
             "acc_last pins acc", q * act * (1 - cont) * irlc * (accl - acc)
         )
+        # code events carry their source id in the phase-1 hash column
+        sid_out = sid + icode * (shash - sid)
         self.copy_table = [
-            gf, gf * irlc, gf * imm, gf * ilog, gf * sid, gf * sad,
-            gf * did, gf * dad, gf * left, gf * rwc, gf * accl,
+            gf, gf * irlc, gf * imm, gf * ilog, gf * icode, gf * sid_out,
+            gf * sad, gf * did, gf * dad, gf * left, gf * rwc, gf * accl,
         ]
 
         if self.standalone:
@@ -202,12 +213,28 @@ class CopyCircuit(Circuit):
             ],
             rw_table,
         )
-        gs = g * (1 - pad) * (1 - irlc - imm - ilog)
+        gs = g * (1 - pad) * (1 - irlc - imm - ilog - icode)
         cs.lookup_logup(
             "copy tx source",
             [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
             tx_table,
         )
+        if bytecode_table is not None:
+            # bytecode source: (is_enabled, code_hash_rlc, index, value,
+            # is_code) — the is_code flag of the fetched byte is free
+            # (CODECOPY copies data and code bytes alike), carried in a
+            # witness cell so the tuple matches exactly
+            self.c_src_iscode = cs.advice_column()
+            sic = Advice(self.c_src_iscode)
+            gc_ = g * (1 - pad) * icode
+            cs.create_gate("src iscode bool", q * sic * (sic - 1))
+            cs.lookup_logup(
+                "copy bytecode source",
+                [[gc_, gc_ * shash, gc_ * sad, gc_ * byte, gc_ * sic]],
+                bytecode_table,
+            )
+        else:
+            self.c_src_iscode = None
 
     # ------------------------------------------------------------------
     def _target(self, n: int) -> int:
@@ -240,8 +267,9 @@ class CopyCircuit(Circuit):
             is_rlc = int(ev.dst_type == "rlc")
             is_mm = int(ev.src_type == "memory" and ev.dst_type == "memory")
             is_log = int(ev.dst_type == "txlog")
-            plain = not (is_rlc or is_mm or is_log)
-            # source calldata length determines padding
+            is_code = int(ev.src_type == "bytecode")
+            plain = not (is_rlc or is_mm or is_log or is_code)
+            # source length determines padding
             for j in range(ev.length):
                 src = ev.src_addr + j
                 is_pad = 0
@@ -250,12 +278,17 @@ class CopyCircuit(Circuit):
                         t[0] == ev.src_id and t[1] == src for t in self.tx_rows
                     )
                     is_pad = 0 if in_range else 1
+                if is_code:
+                    is_pad = int(ev.src_len >= 0 and src >= ev.src_len)
                 rows.append((
                     1, int(j + 1 < ev.length), is_pad,
-                    ev.src_id, src, ev.dst_id, ev.dst_addr + j,
-                    ev.bytes_[j],
+                    0 if is_code else ev.src_id, src, ev.dst_id,
+                    ev.dst_addr + j, ev.bytes_[j],
                     ev.rw_counter_start + j * (1 + is_mm + is_log),
-                    ev.length - j, is_rlc, is_mm, is_log,
+                    ev.length - j, is_rlc, is_mm, is_log, is_code,
+                    ev.src_id if is_code else 0,
+                    (ev.code_marks[j] if is_code and j < len(ev.code_marks)
+                     else 0),
                 ))
         if phase != 0:
             # running byte RLC + per-event final-acc claim, walking
@@ -278,9 +311,18 @@ class CopyCircuit(Circuit):
                 accs.extend(ev_accs)
                 lasts.extend([final] * len(ev_accs))
                 i = j + 1
+            hashes = []
+            rpows = [pow(r_int, i, R) for i in range(32)]
+            for row in rows:
+                h = row[14]
+                hashes.append(
+                    sum(b * rpows[i] for i, b in
+                        enumerate(h.to_bytes(32, "big"))) % R if h else 0
+                )
             return {
                 self.c_acc: mont(accs),
                 self.c_acc_last: mont(lasts),
+                self.c_src_hash: mont(hashes),
             }
         cols = {}
         for ci, k in (
@@ -288,9 +330,11 @@ class CopyCircuit(Circuit):
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
             (self.c_left, 9), (self.c_is_rlc, 10), (self.c_is_mm, 11),
-            (self.c_is_log, 12),
+            (self.c_is_log, 12), (self.c_is_code, 13),
         ):
             cols[ci] = mont([r[k] for r in rows])
+        if self.c_src_iscode is not None:
+            cols[self.c_src_iscode] = mont([r[15] for r in rows])
         if self.standalone:
             rws = self._mem_rws()
             cols[self.t_rwc] = mont([r.rw_counter for r in rws])

@@ -57,6 +57,7 @@ GADGETS = [
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
     "SDIV", "SMOD", "SIGNEXTEND", "RETURNDATASIZE", "RETURNDATACOPY",
+    "CODECOPY",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -909,7 +910,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * 0, gl * 0, gl * 0,
+                    gl, gl * 0, gl * 0, gl * 0, gl * 0,
                     gl * Advice(self.c_call_id),
                     gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
@@ -1074,7 +1075,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "SHA3 copy event",
                 [[
-                    glm, glm, glm * 0, glm * 0,
+                    glm, glm, glm * 0, glm * 0, glm * 0,
                     glm * Advice(self.c_call_id),
                     glm * jdest_int, glm * 0, glm * 0,
                     glm * size4, glm * (rwc + 2), glm * acc_m,
@@ -1202,7 +1203,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "RET copy event",
                 [[
-                    glc, glc * 0, glc, glc * 0,
+                    glc, glc * 0, glc, glc * 0, glc * 0,
                     glc * Advice(self.c_call_id),
                     glc * off4, glc * cid_n, glc * retoff4, glc * la4,
                     glc * (rwc + npp), glc * 0,
@@ -1264,7 +1265,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "LOG copy event",
                 [[
-                    gll, gll * 0, gll * 0, gll,
+                    gll, gll * 0, gll * 0, gll, gll * 0,
                     gll * Advice(self.c_call_id), gll * fold4_int(ab4),
                     gll * txid, gll * (3 * L32 + lid1 * L48),
                     gll * size4_l, gll * (rwc + 3 + 2 * n_e), gll * 0,
@@ -1319,7 +1320,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "RDC copy event",
                 [[
-                    glr2, glr2 * 0, glr2, glr2 * 0,
+                    glr2, glr2 * 0, glr2, glr2 * 0, glr2 * 0,
                     glr2 * rdc_lcid, glr2 * (rdc_off4 + rdc_src4),
                     glr2 * Advice(self.c_call_id), glr2 * fold4_int(ab4),
                     glr2 * rdc_len4, glr2 * (rwc + 6), glr2 * 0,
@@ -1334,6 +1335,39 @@ class EvmCircuit(Circuit):
         self._rdc_lcid = rdc_lcid
         self._rdc_off4 = rdc_off4
         self._rdc_rdl4 = rdc_rdl4
+
+        # ---- CODECOPY (reference execution/codecopy.rs): pops (dst,
+        # src, len); the executing bytecode's bytes land in memory via a
+        # bytecode->memory copy event keyed by the step's code hash. ----
+        gcc = q * ind["CODECOPY"]
+        gccn = q * q_n * ind["CODECOPY"]
+        cc_src4 = fold4_int(ba)
+        cc_len4 = fold4_int(bb)
+        cs.create_gate("CODECOPY dst rlc", gcc * (fold4_rlc(ab4) - va))
+        cs.create_gate("CODECOPY src rlc", gcc * (fold4_rlc(ba[:4]) - vb))
+        cs.create_gate("CODECOPY len rlc", gcc * (fold4_rlc(bb[:4]) - vc))
+        cs.create_gate("CODECOPY ez bool", gcc * ez * (ez - 1))
+        cs.create_gate("CODECOPY ez kill", gcc * ez * cc_len4)
+        cs.create_gate(
+            "CODECOPY ez complete", gcc * (1 - ez) * (cc_len4 * inv - 1)
+        )
+        if self.copy_table is not None:
+            glcc = gcc * (1 - ez)
+            cs.lookup_logup(
+                "CODECOPY copy event",
+                [[
+                    glcc, glcc * 0, glcc * 0, glcc * 0, glcc,
+                    glcc * chash, glcc * cc_src4,
+                    glcc * Advice(self.c_call_id), glcc * fold4_int(ab4),
+                    glcc * cc_len4, glcc * (rwc + 3), glcc * 0,
+                ]],
+                self.copy_table,
+            )
+        cs.create_gate("CODECOPY pc", gccn * (pc_n - pc - 1))
+        cs.create_gate("CODECOPY sp", gccn * (sp_n - sp - 3))
+        cs.create_gate(
+            "CODECOPY rwc", gccn * (rwc_n - rwc - 3 - cc_len4)
+        )
 
         # ---- block/tx context opcodes (reference execution/block_ctx.rs,
         # gasprice.rs, origin.rs): one stack push bound to the BlockTable
@@ -1705,6 +1739,10 @@ class EvmCircuit(Circuit):
         inputs.append(access(grds_b, 0, 0, 0, fold4_int(ab4), tag=ctxtag,
                              field=int(CCF.LastCalleeReturnDataLength)))
         inputs.append(access(grds_b, 1, 1, sp - 1, va))
+        gcc_b = q * ind["CODECOPY"]
+        inputs.append(access(gcc_b, 0, 0, sp, va))
+        inputs.append(access(gcc_b, 1, 0, sp + 1, vb))
+        inputs.append(access(gcc_b, 2, 0, sp + 2, vc))
         grdc_b = q * ind["RETURNDATACOPY"]
         inputs.append(access(grdc_b, 0, 0, sp, va))
         inputs.append(access(grdc_b, 1, 0, sp + 1, vb))
@@ -2193,6 +2231,18 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "CODECOPY":
+                    assert self.copy_table is not None or \
+                        ops[2].value == 0, (
+                            "CODECOPY needs the Copy circuit"
+                        )
+                    dst, src_, ln = (o.value for o in ops[:3])
+                    assert max(dst, src_, ln) < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (dst >> (8 * i)) & 0xFF
+                        byts["a"][i][si] = (src_ >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (ln >> (8 * i)) & 0xFF
+                    ez_col[si] = int(ln == 0)
                 elif kind == "RETURNDATACOPY":
                     assert self.copy_table is not None or \
                         ops[2].value == 0, (
@@ -2474,7 +2524,7 @@ class EvmCircuit(Circuit):
             elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE",
                           "RETURNDATASIZE"):
                 va.append(rlc(ops[1])); vb.append(0); vc.append(0)
-            elif kind == "RETURNDATACOPY":
+            elif kind in ("RETURNDATACOPY", "CODECOPY"):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
                 vc.append(rlc(ops[2]))
                 inv_of = ops[2].value % R

@@ -212,6 +212,10 @@ class SuperCircuit(Circuit):
             self.copy.configure(
                 cs, rw_table=rw_table, tx_table=self.tx.tx_table_exprs(),
                 challenge=r_word,
+                bytecode_table=(
+                    self.bytecode.bytecode_table_exprs()
+                    if self.bind_bytecode else None
+                ),
             )
         if self.exp is not None:
             self.exp.configure(cs)

@@ -52,7 +52,7 @@ class CopyEvent:
     circuit_input_builder/execution.rs; SURVEY.md §2.1 item 5)."""
 
     src_type: str  # 'calldata' | 'memory' | 'bytecode' | 'returndata'
-    src_id: int  # tx_id / call_id / code hash handle
+    src_id: int  # tx_id / call_id / code-hash int (bytecode source)
     src_addr: int
     dst_type: str
     dst_id: int
@@ -60,6 +60,8 @@ class CopyEvent:
     length: int
     rw_counter_start: int
     bytes_: bytes
+    src_len: int = -1  # source length for pad detection (-1 = n/a)
+    code_marks: bytes = b""  # is_code flags per copied byte (bytecode src)
 
 
 @dataclasses.dataclass
@@ -111,6 +113,7 @@ class TxContext:
     value: int
     calldata: bytes
     code_hash: int = 0  # keccak(executing bytecode); 0 in dev witnesses
+    code: bytes = b""  # executing bytecode (CODECOPY source)
     is_root: bool = True
     is_static: bool = False
     caller_id: int = 0
@@ -161,13 +164,15 @@ class CircuitInputBuilder:
     # ------------------------------------------------------------------
     def handle_tx(self, tx_ctx_args: dict, trace: GethExecTrace,
                   committed_storage: dict | None = None,
-                  code_hashes: dict | None = None):
+                  code_hashes: dict | None = None,
+                  code_db: dict | None = None):
         """tx_ctx_args: from_addr/to_addr/value/calldata ints+bytes (plus
         optional code_hash for the root frame).
         committed_storage: {(addr, key): value} pre-tx committed values
         (for storage value_prev tracking).
         code_hashes: {address: keccak_int} for nested-call code binding
-        (0 when absent — dev witnesses leave the binding off)."""
+        (0 when absent — dev witnesses leave the binding off).
+        code_db: {address: code bytes} — enables CODECOPY replay."""
         tx_id = len(self.txs) + 1
         call_id = self._next_call_id
         self._next_call_id += 1
@@ -176,6 +181,8 @@ class CircuitInputBuilder:
         storage = dict(committed_storage or {})
         hashes = dict(code_hashes or {})
         hashes.setdefault(ctx.to_addr, ctx.code_hash)
+        self._code_db = dict(code_db or {})
+        ctx.code = self._code_db.get(ctx.to_addr, b"")
         self._tx_log_count = 0
 
         self._begin_tx(ctx)
@@ -284,11 +291,12 @@ class CircuitInputBuilder:
         else:
             exec_addr, caller_addr = addr, fr.to_addr
         code_hash = hashes.get(addr, 0)
+        code_bytes = self._code_db.get(addr, b"")
         new_id = self.rws.counter + 1  # first context write's rw counter
         new = TxContext(
             tx_id=fr.tx_id, call_id=new_id, from_addr=caller_addr,
             to_addr=exec_addr, value=value, calldata=calldata,
-            code_hash=code_hash, is_root=False,
+            code_hash=code_hash, code=code_bytes, is_root=False,
             is_static=fr.is_static or op == OpcodeId.STATICCALL,
             caller_id=call_id, ret_pc=step.pc + 1,
             ret_sp=sp + npops - 1, ret_offset=ret_off, ret_length=ret_len,
@@ -520,6 +528,32 @@ class CircuitInputBuilder:
             self.sha3_inputs.append(data)
             digest = nxt.stack[-1] if nxt and not step.error else 0
             rws.append(self.rws.stack_write(call_id, sp + 1, digest))
+        elif op == OpcodeId.CODECOPY:
+            # pops (dst, src, len); the executing code's bytes (zero-
+            # padded past the end) land in memory
+            dst, src_, ln = stack_val(0), stack_val(1), stack_val(2)
+            rws.append(self.rws.stack_read(call_id, sp, dst))
+            rws.append(self.rws.stack_read(call_id, sp + 1, src_))
+            rws.append(self.rws.stack_read(call_id, sp + 2, ln))
+            code = ctx.code
+            chunk = bytes(code[src_ : src_ + ln]).ljust(ln, b"\x00")
+            from ..types import Bytecode as _BC
+
+            marks = _BC(code).is_code_marks()
+            ev = CopyEvent(
+                src_type="bytecode", src_id=ctx.code_hash, src_addr=src_,
+                dst_type="memory", dst_id=call_id, dst_addr=dst,
+                length=ln, rw_counter_start=self.rws.counter + 1,
+                bytes_=chunk, src_len=len(code),
+                code_marks=bytes(
+                    int(marks[src_ + j]) if src_ + j < len(code) else 0
+                    for j in range(ln)
+                ),
+            )
+            for j, byte in enumerate(chunk):
+                rws.append(self.rws.memory_write(call_id, dst + j, byte))
+            if ln:
+                self.copy_events.append(ev)
         elif op == OpcodeId.RETURNDATACOPY:
             # pops (dst, src, len); reads the last callee's return data
             # from ITS memory, writes into this frame's memory
