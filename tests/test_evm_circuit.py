@@ -590,3 +590,52 @@ def test_evm_circuit_catches_wrong_sdiv_sign():
 
     failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "flipped SDIV sign must fail"
+
+
+def test_evm_circuit_sar():
+    m = (1 << 256) - 1
+    b = _witness(
+        Bytecode()
+        .push(1, 0xF0).push(1, 4).op("SAR").op("POP")        # positive
+        .push(32, m - 0xEF).push(1, 4).op("SAR").op("POP")   # negative
+        .push(32, m).push(2, 300).op("SAR").op("POP")        # s >= 256, neg
+        .push(1, 7).push(2, 300).op("SAR").op("POP")         # s >= 256, pos
+        .push(32, m - 4).push(1, 0).op("SAR").op("POP")      # s = 0
+        .push(32, 1 << 255).push(1, 255).op("SAR").op("POP")  # MIN >> 255
+        .op("STOP")
+    )
+    # oracle check against the tracer's own semantics
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_sar_fill():
+    m = (1 << 256) - 1
+    b = _witness(
+        Bytecode().push(32, m - 0xEF).push(1, 4).op("SAR").op("POP")
+        .op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        """Claim the logical (zero-filled) shift instead of arithmetic."""
+
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "SAR"
+                )
+                # zero the top result byte (should be 0xFF) and the fill
+                # flag
+                for col, v in ((self.c_bytes_c[31], 0),
+                               (self.c_carry[22], 0)):
+                    arr = np.array(cols[col])
+                    arr[row] = F.from_int(v * F.R % F.modulus)
+                    cols[col] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "zero-filled SAR must fail"

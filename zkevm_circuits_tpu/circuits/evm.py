@@ -56,8 +56,8 @@ GADGETS = [
     "BEGIN_TX", "END_TX", "PUSH", "POP", "ADD", "SUB", "MUL", "DIV", "MOD",
     "LT", "GT", "EQ", "ISZERO", "NOT", "AND", "OR", "XOR", "BYTE", "SHL",
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
-    "SDIV", "SMOD", "SIGNEXTEND", "RETURNDATASIZE", "RETURNDATACOPY",
-    "CODECOPY",
+    "SDIV", "SMOD", "SIGNEXTEND", "SAR", "RETURNDATASIZE",
+    "RETURNDATACOPY", "CODECOPY",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -254,7 +254,7 @@ class EvmCircuit(Circuit):
         transition(ind["POP"], 1, 1, 1)
         # binary word ops: read two, write one; sp += 1, rwc += 3, pc += 1
         for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
-                  "SIGNEXTEND", "LT", "GT", "EQ", "EXP",
+                  "SIGNEXTEND", "SAR", "LT", "GT", "EQ", "EXP",
                   "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             transition(ind[g], 1, 3, 1)
         # unary word ops: read one, write one; sp 0, rwc += 2, pc += 1
@@ -681,6 +681,115 @@ class EvmCircuit(Circuit):
             "pow2 shifts",
             [[g_pow2, g_pow2 * ba[0], g_pow2 * half128(bd, True),
               g_pow2 * half128(bd, False)]],
+            [Fixed(self.tbl_sel256), Fixed(self.tbl_byte),
+             Fixed(self.tbl_pow2_lo), Fixed(self.tbl_pow2_hi)],
+        )
+
+        # ---- SAR (reference execution/sar.rs): arithmetic right shift
+        # via the unsigned split x = q*2^s + rem (SHR machinery: q in the
+        # mem bank, 2^s in bank d, rem in bank f, rem<2^s diff in bank g)
+        # plus the negative fill  r = q + sx*(2^256 - 2^(256-s))  with
+        # 2^(256-s) (bank e halves) from a second pow2-table read.
+        # s >= 256 gives all-ones/zero by sign; s = 0 gives r = x. ------
+        gsar = q * ind["SAR"]
+        M128_C = (1 << 128) - 1
+        inv2 = Advice(self.c_inv2)
+        bme = [Advice(c) for c in self.c_mem]
+        bfs = [Advice(c) for c in self.c_bytes_f]
+        bgs = [Advice(c) for c in self.c_bytes_g]
+        sar_sx = cr[19]
+        sar_car = cr[20]
+        sar_c2 = cr[21]
+        sar_sxp = cr[22]
+        sar_rest = Advice(self.c_addr[0])
+        for nm, flag in (("sx", sar_sx), ("car", sar_car), ("c2", sar_c2),
+                         ("sxp", sar_sxp)):
+            cs.create_gate(f"SAR {nm} bool", gsar * flag * (flag - 1))
+        cs.create_gate("SAR sx top", gsar * (bb[31] - sar_sx * 128 - sar_rest))
+        # zge: shift >= 256 (nonzero high bytes of s); z0: s == 0
+        sar_shi = None
+        for k in range(1, 32):
+            sar_shi = ba[k] if sar_shi is None else sar_shi + ba[k]
+        sar_ssum = sar_shi + ba[0]
+        sar_zge = Advice(self.c_ez)
+        sar_z0 = Advice(self.c_eo)
+        cs.create_gate("SAR zge bool", gsar * sar_zge * (sar_zge - 1))
+        cs.create_gate("SAR z0 bool", gsar * sar_z0 * (sar_z0 - 1))
+        cs.create_gate("SAR zge kill", gsar * sar_zge * (sar_shi * inv - 1))
+        cs.create_gate(
+            "SAR zge complete", gsar * (1 - sar_zge) * sar_shi
+        )
+        cs.create_gate("SAR z0 kill", gsar * sar_z0 * sar_ssum)
+        cs.create_gate(
+            "SAR z0 complete",
+            gsar * (1 - sar_z0) * (sar_ssum * inv2 - 1),
+        )
+        # unsigned split (gated shift < 256)
+        gsl_ = gsar * (1 - sar_zge)
+        tsar = mul_t(bme, bd)
+        cs.create_gate(
+            "SAR id lo",
+            gsl_ * (tsar[0] + tsar[1] * L64 + half128(bfs, True)
+                    - half128(bb, True) - cl * L128),
+        )
+        cs.create_gate(
+            "SAR id hi",
+            gsl_ * (tsar[2] + tsar[3] * L64 + half128(bfs, False) + cl
+                    - half128(bb, False) - ch * L128),
+        )
+        cs.create_gate(
+            "SAR no overflow", gsl_ * (ch + tsar[4] + tsar[5] + tsar[6])
+        )
+        sar_bor = cr[18]
+        cs.create_gate("SAR bor bool", gsar * sar_bor * (sar_bor - 1))
+        cs.create_gate(
+            "SAR rem<p lo",
+            gsl_ * (half128(bfs, True) - half128(bd, True) + sar_bor * L128
+                    - half128(bgs, True)),
+        )
+        cs.create_gate(
+            "SAR rem<p hi",
+            gsl_ * (half128(bfs, False) - half128(bd, False) - sar_bor
+                    + L128 - half128(bgs, False)),
+        )
+        # sign-fill: sxp = sx * (1-z0) * (1-zge); fill = r - q must equal
+        # sxp * (2^256 - pinv) with pinv = 2^(256-s) in bank e halves
+        cs.create_gate(
+            "SAR sxp def",
+            gsar * (sar_sxp - sar_sx * (1 - sar_z0) * (1 - sar_zge)),
+        )
+        pinv_lo, pinv_hi = half128(be_, True), half128(be_, False)
+        fill_lo = half128(bc, True) - half128(bme, True) + sar_car * L128
+        fill_hi = half128(bc, False) - half128(bme, False) - sar_car
+        cs.create_gate(
+            "SAR fill lo",
+            gsl_ * (fill_lo + sar_sxp * pinv_lo - sar_c2 * L128),
+        )
+        cs.create_gate(
+            "SAR fill hi",
+            gsl_ * (fill_hi + sar_sxp * pinv_hi + sar_c2 - sar_sxp * L128),
+        )
+        # shift >= 256: result is the sign fill alone
+        gz_ = gsar * sar_zge
+        cs.create_gate(
+            "SAR zge lo", gz_ * (half128(bc, True) - sar_sx * M128_C)
+        )
+        cs.create_gate(
+            "SAR zge hi", gz_ * (half128(bc, False) - sar_sx * M128_C)
+        )
+        cs.create_gate("SAR a rlc", gsar * (rlc_expr(ba) - va))
+        cs.create_gate("SAR b rlc", gsar * (rlc_expr(bb) - vb))
+        cs.create_gate("SAR c rlc", gsar * (rlc_expr(bc) - vc))
+        g_pw = gsl_
+        cs.lookup_logup(
+            "SAR pow2 reads",
+            [
+                [g_pw, g_pw * ba[0], g_pw * half128(bd, True),
+                 g_pw * half128(bd, False)],
+                [g_pw * (1 - sar_z0), g_pw * (1 - sar_z0) * (256 - ba[0]),
+                 g_pw * (1 - sar_z0) * pinv_lo,
+                 g_pw * (1 - sar_z0) * pinv_hi],
+            ],
             [Fixed(self.tbl_sel256), Fixed(self.tbl_byte),
              Fixed(self.tbl_pow2_lo), Fixed(self.tbl_pow2_hi)],
         )
@@ -1518,7 +1627,7 @@ class EvmCircuit(Circuit):
         CCF = CallContextField
         gbin = None
         for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
-                  "SIGNEXTEND", "LT", "GT", "EQ", "EXP",
+                  "SIGNEXTEND", "SAR", "LT", "GT", "EQ", "EXP",
                   "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             gbin = ind[g] if gbin is None else gbin + ind[g]
         gbin = q * gbin
@@ -2057,6 +2166,45 @@ class EvmCircuit(Circuit):
                     set_word("b", si, y)
                     set_word("c", si, w)
                     set_carry_bytes(si, *mul_carries(x, y, 0, w))
+                elif kind == "SAR":
+                    s_, x_, res = (o.value for o in ops[:3])
+                    set_word("a", si, s_)
+                    set_word("b", si, x_)
+                    set_word("c", si, res)
+                    sx_v = int(x_ >= (1 << 255))
+                    carries[19][si] = sx_v
+                    addrbytes[0][si] = (x_ >> 248) - sx_v * 128
+                    ez_col[si] = int(s_ >= 256)
+                    eo_col[si] = int(s_ == 0)
+                    if s_ < 256:
+                        p2 = 1 << s_
+                        qv = x_ >> s_
+                        rem = x_ - (qv << s_)
+                        set_word("d", si, p2)
+                        set_word("f", si, rem)
+                        qb = qv.to_bytes(32, "little")
+                        for j in range(32):
+                            membytes[j][si] = qb[j]
+                        set_carry_bytes(
+                            si, *mul_carries(qv, p2, rem, x_),
+                            bor=int((rem & M128) < (p2 & M128)),
+                        )
+                        set_word("g", si, (rem - p2 + M256) % M256)
+                        if s_ > 0:
+                            pinv = 1 << (256 - s_)
+                            set_word("e", si, pinv)
+                        fill = res - qv
+                        carries[22][si] = int(sx_v and s_ > 0)
+                        carries[20][si] = int(
+                            (res & M128) < (qv & M128)
+                        )
+                        if carries[22][si]:
+                            pv = 1 << (256 - s_)
+                            fl = ((res & M128) - (qv & M128)
+                                  + carries[20][si] * (1 << 128))
+                            carries[21][si] = (
+                                fl + (pv & M128)
+                            ) >> 128
                 elif kind in ("SDIV", "SMOD"):
                     M255 = 1 << 255
                     a_, b_v, res = (o.value for o in ops[:3])
@@ -2416,7 +2564,7 @@ class EvmCircuit(Circuit):
         accms, rpls, prls = [], [], []
         M128_, M256 = (1 << 128) - 1, 1 << 256
         binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
-                  "SIGNEXTEND", "LT", "GT", "EQ",
+                  "SIGNEXTEND", "SAR", "LT", "GT", "EQ",
                   "EXP", "CALLDATACOPY", "AND", "OR", "XOR", "BYTE", "SHL",
                   "SHR")
         for s in steps:
@@ -2491,6 +2639,10 @@ class EvmCircuit(Circuit):
                     inv_of = sum(
                         ops[0].value.to_bytes(32, "little")[1:]
                     ) % R
+                elif kind == "SAR":
+                    sbytes = ops[0].value.to_bytes(32, "little")
+                    inv_of = sum(sbytes[1:]) % R
+                    inv2_of = sum(sbytes) % R
                 elif kind == "EQ":
                     inv_of = (va[-1] - vb[-1]) % R
                 elif kind == "EXP":
