@@ -35,11 +35,47 @@ def test_mpt_updates_witness():
     assert ups.trie.root() == ups.updates[-1].new_root
 
 
-def test_mpt_leaf_split_not_witnessable_yet():
+def test_mpt_leaf_split_witness():
     ups = MptUpdates()
     ups.write(0b00, 1)
-    with pytest.raises(NotImplementedError):
-        ups.write(0b10, 2)  # would split the root leaf
+    u = ups.write(0b10, 2)  # splits the root leaf
+    assert u.is_split and u.was_empty
+    assert u.split_key == 0b00 and u.split_value == 1
+    assert u.depth > u.split_old_depth
+    assert u.split_old_depth == 0  # the whole old tree was one leaf
+    MockProver(K, MptCircuit(ups.updates)).assert_satisfied()
+
+
+def test_mpt_leaf_split_circuit():
+    ups = MptUpdates()
+    # force a DEEP split: keys share two low bits
+    ups.write(0b0100, 9)
+    u = ups.write(0b0000, 3)  # shares bits 00, diverges at bit 2
+    assert u.is_split and u.split_old_depth < u.depth
+    ups.write(0b0000, 4)  # update after the split
+    MockProver(K, MptCircuit(ups.updates)).assert_satisfied()
+
+
+def test_mpt_leaf_split_circuit_catches_wrong_displaced_leaf():
+    ups = MptUpdates()
+    ups.write(0b0100, 9)
+    ups.write(0b0000, 3)
+
+    class Corrupt(MptCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                # claim a different displaced-leaf value on the split row
+                arr = np.array(cols[self.c_v1])
+                for i in range(arr.shape[0]):
+                    v = F.to_int(np.asarray(F.from_mont(arr[i])))
+                    if v == 9:
+                        arr[i] = F.from_int(8 * F.R % F.modulus)
+                cols[self.c_v1] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(ups.updates)).verify()
+    assert failures
 
 
 def test_mpt_circuit_satisfied():

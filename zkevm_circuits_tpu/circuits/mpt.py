@@ -60,6 +60,11 @@ class MptCircuit(Circuit):
         self.c_sib = cs.advice_column()
         self.c_old_acc = cs.advice_column()
         self.c_new_acc = cs.advice_column()
+        # leaf-split extension zone: branch rows below the displaced
+        # leaf's OLD depth (old chain frozen, new-side siblings empty)
+        self.c_ext = cs.advice_column()
+        self.c_k1 = cs.advice_column()  # displaced leaf key (split row)
+        self.c_v1 = cs.advice_column()  # displaced leaf value
         # carried per-update values (constant within a block)
         self.c_key = cs.advice_column()
         self.c_old_v = cs.advice_column()
@@ -116,9 +121,39 @@ class MptCircuit(Circuit):
         cs.create_gate("mpt old root", gl * (oa - old_root))
         cs.create_gate("mpt new root", gl * (na - new_root))
 
+        # ---- leaf-split extension zone (reference halo2-mpt-circuits'
+        # extension-node machinery): ext marks branch rows BELOW the
+        # displaced leaf's old depth.  The split row (first branch row of
+        # the zone) pins the old accumulator to the sibling, which must
+        # itself be the displaced leaf's hash; inner ext rows carry the
+        # old accumulator unchanged over EMPTY siblings; the old-side
+        # branch hash is gated off throughout the zone. ------------------
+        ext = Advice(self.c_ext)
+        first_p = Advice(self.c_first, -1)
+        k1, v1 = Advice(self.c_k1), Advice(self.c_v1)
+        cs.create_gate("mpt ext bool", q * ext * (ext - 1))
+        cs.create_gate("mpt ext not leaf", q * ext * first)
+        # ext rows form a prefix of the branch rows (no re-entry)
+        cs.create_gate(
+            "mpt ext prefix",
+            q * (1 - first) * (1 - first_p) * ext * (1 - Advice(self.c_ext, -1)),
+        )
+        # split row = first branch row with ext set
+        g_split = q * ext * first_p
+        cs.create_gate("mpt split seeds old", g_split * (oa - sib))
+        g_inner = q * ext * (1 - first_p)
+        cs.create_gate("mpt ext sib empty", g_inner * sib)
+        cs.create_gate("mpt ext old frozen", g_inner * (oa - oa_p))
+        # splits are fresh inserts: the exposed old slot is empty
+        cs.create_gate(
+            "mpt split implies empty",
+            g_split * (1 - Advice(self.c_emp, -1)),
+        )
+
         # poseidon lookups: leaf hashes + branch hashes (old & new sides)
         g_old_leaf = gf * (1 - emp)
         g_branch = q * (1 - first)
+        g_branch_old = g_branch * (1 - ext)
         l_old = bit * sib + (1 - bit) * oa_p
         r_old = bit * oa_p + (1 - bit) * sib
         l_new = bit * sib + (1 - bit) * na_p
@@ -129,10 +164,14 @@ class MptCircuit(Circuit):
                 [g_old_leaf, g_old_leaf * DOM_LEAF, g_old_leaf * key,
                  g_old_leaf * old_v, g_old_leaf * oa],
                 [gf, gf * DOM_LEAF, gf * key, gf * new_v, gf * na],
-                [g_branch, g_branch * DOM_BRANCH, g_branch * l_old,
-                 g_branch * r_old, g_branch * oa],
+                [g_branch_old, g_branch_old * DOM_BRANCH,
+                 g_branch_old * l_old, g_branch_old * r_old,
+                 g_branch_old * oa],
                 [g_branch, g_branch * DOM_BRANCH, g_branch * l_new,
                  g_branch * r_new, g_branch * na],
+                # the split row's sibling IS the displaced leaf's hash
+                [g_split, g_split * DOM_LEAF, g_split * k1, g_split * v1,
+                 g_split * sib],
             ],
             poseidon_table,
         )
@@ -153,19 +192,25 @@ class MptCircuit(Circuit):
             nacc = hash2_domain(DOM_LEAF, u.key, u.new_value)
             n_rows = u.depth + 1
             for j in range(n_rows):
+                ext = k1 = v1 = 0
                 if j == 0:
                     b, s = 0, 0
                 else:
                     d = u.depth - j  # branch for depth d
                     b, s = u.bits[d], u.siblings[d]
-                    lo, ro = (s, oacc) if b else (oacc, s)
+                    ext = int(u.is_split and d >= u.split_old_depth)
                     ln, rn = (s, nacc) if b else (nacc, s)
-                    oacc = hash2_domain(DOM_BRANCH, lo, ro)
                     nacc = hash2_domain(DOM_BRANCH, ln, rn)
+                    if ext and j == 1:  # split row: seed the frozen chain
+                        oacc = s
+                        k1, v1 = u.split_key, u.split_value
+                    elif not ext:
+                        lo, ro = (s, oacc) if b else (oacc, s)
+                        oacc = hash2_domain(DOM_BRANCH, lo, ro)
                 rows.append((
                     int(j == 0), int(j == n_rows - 1), int(u.was_empty and j == 0),
                     b, s, oacc, nacc, u.key, u.old_value, u.new_value,
-                    u.old_root, u.new_root,
+                    u.old_root, u.new_root, ext, k1, v1,
                 ))
             assert oacc == u.old_root and nacc == u.new_root
         return rows
@@ -211,7 +256,7 @@ class MptCircuit(Circuit):
         # extra poseidon row H(DOM_LEAF, 0, 0) is appended to the table
         # witness (composed mode must add the matching PoseidonEvent).
         pad_hash = hash2_domain(DOM_LEAF, 0, 0)
-        pad = (1, 1, 1, 0, 0, 0, pad_hash, 0, 0, 0, 0, pad_hash)
+        pad = (1, 1, 1, 0, 0, 0, pad_hash, 0, 0, 0, 0, pad_hash, 0, 0, 0)
         n_real = len(rows)
         rows = rows + [pad] * (t - n_real)
         mont = lambda vals: F.from_ints(
@@ -223,6 +268,7 @@ class MptCircuit(Circuit):
             (self.c_bit, 3), (self.c_sib, 4), (self.c_old_acc, 5),
             (self.c_new_acc, 6), (self.c_key, 7), (self.c_old_v, 8),
             (self.c_new_v, 9), (self.c_old_root, 10), (self.c_new_root, 11),
+            (self.c_ext, 12), (self.c_k1, 13), (self.c_v1, 14),
         ):
             cols[ci] = mont([r[idx] for r in rows])
         if self.standalone:

@@ -33,6 +33,15 @@ class MptUpdate:
     siblings: list[int]  # top-down
     bits: list[int]  # top-down path bits (little-endian key bits)
     was_empty: bool
+    # leaf-split insertion: the displaced leaf (old_depth < depth); the
+    # old path ends at leaf(split_key, split_value) at split_old_depth
+    split_old_depth: int = -1  # -1 => not a split
+    split_key: int = 0
+    split_value: int = 0
+
+    @property
+    def is_split(self) -> bool:
+        return self.split_old_depth >= 0
 
 
 class MptUpdates:
@@ -50,17 +59,33 @@ class MptUpdates:
         self.trie.update(key, new_value)
         after = self.trie.prove(key)
         new_root = self.trie.root()
+        split_old_depth, split_key, split_value = -1, 0, 0
         if was_existing:
             assert after.depth == before.depth
             assert after.siblings == before.siblings, "structure changed"
             old_value = before.leaf_value
             was_empty = False
+        elif before.found:
+            # leaf split: the occupying leaf moved down; the new path's
+            # shared prefix keeps the old siblings, the extension zone is
+            # empty, and the displaced leaf is the bottom sibling
+            d0, d1 = before.depth, after.depth
+            assert d1 > d0
+            assert after.siblings[:d0] == before.siblings
+            assert all(s == 0 for s in after.siblings[d0 : d1 - 1])
+            leaf_h = hash2_domain(
+                DOM_LEAF, before.leaf_key, before.leaf_value
+            )
+            assert after.siblings[d1 - 1] == leaf_h
+            split_old_depth = d0
+            split_key = before.leaf_key
+            split_value = before.leaf_value
+            old_value = 0
+            was_empty = True
         else:
-            # fresh key: witnessable only if it landed without a leaf split
-            if before.found or after.depth != before.depth:
+            if after.depth != before.depth:
                 raise NotImplementedError(
-                    "leaf-split insertion witness lands with the extension "
-                    "gadget (apply-only for now)"
+                    "unexpected restructure without a displaced leaf"
                 )
             old_value = 0
             was_empty = True
@@ -69,7 +94,8 @@ class MptUpdates:
             old_root=old_root, new_root=new_root, depth=after.depth,
             siblings=after.siblings,
             bits=[(key >> d) & 1 for d in range(after.depth)],
-            was_empty=was_empty,
+            was_empty=was_empty, split_old_depth=split_old_depth,
+            split_key=split_key, split_value=split_value,
         )
         self.updates.append(upd)
         return upd
@@ -86,21 +112,30 @@ def mpt_poseidon_events(updates: list[MptUpdate]):
 
     events = []
 
-    def emit(update: MptUpdate, value: int, skip_leaf: bool):
+    def emit(update: MptUpdate, value: int, skip_leaf: bool,
+             depth: int | None = None, seed: int = 0):
         if not skip_leaf:
             acc = hash2_domain(DOM_LEAF, update.key, value)
             events.append(
                 PoseidonEvent(domain=DOM_LEAF, in0=update.key, in1=value)
             )
         else:
-            acc = 0
-        for d in reversed(range(update.depth)):
+            acc = seed
+        for d in reversed(range(update.depth if depth is None else depth)):
             sib = update.siblings[d]
             l, r = (sib, acc) if update.bits[d] else (acc, sib)
             events.append(PoseidonEvent(domain=DOM_BRANCH, in0=l, in1=r))
             acc = hash2_domain(DOM_BRANCH, l, r)
 
     for u in updates:
-        emit(u, u.old_value, skip_leaf=u.was_empty)
+        if u.is_split:
+            # old side: the displaced leaf hashed up from its OLD depth
+            leaf_h = hash2_domain(DOM_LEAF, u.split_key, u.split_value)
+            events.append(PoseidonEvent(
+                domain=DOM_LEAF, in0=u.split_key, in1=u.split_value
+            ))
+            emit(u, 0, skip_leaf=True, depth=u.split_old_depth, seed=leaf_h)
+        else:
+            emit(u, u.old_value, skip_leaf=u.was_empty)
         emit(u, u.new_value, skip_leaf=False)
     return events
