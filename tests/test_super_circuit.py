@@ -379,6 +379,80 @@ def test_super_circuit_catches_wrong_log_topic():
     assert failures
 
 
+def _mstore_word(code, offset, value):
+    code.push(32, value).push(2, offset).op("MSTORE")
+    return code
+
+
+def test_super_circuit_identity_and_ecadd_precompiles():
+    """CALL 0x04 (identity) and 0x06 (BN254 add) inline, results MLOADed."""
+    from zkevm_circuits_tpu.crypto.curve import G1_GEN, host_g1_add
+
+    G2 = host_g1_add(G1_GEN, G1_GEN)
+    code = Bytecode()
+    _mstore_word(code, 0, 0x1234)                      # identity input
+    code.push(1, 32).push(1, 0x40)                     # retLen=32 retOff=64
+    code.push(1, 32).push(1, 0)                        # argsLen=32 argsOff=0
+    code.push(1, 0).push(1, 4).push(2, 0xFFFF).op("CALL").op("POP")
+    code.push(1, 0x40).op("MLOAD").op("POP")
+    _mstore_word(code, 0, G1_GEN[0])
+    _mstore_word(code, 32, G1_GEN[1])
+    _mstore_word(code, 64, G2[0])
+    _mstore_word(code, 96, G2[1])
+    code.push(1, 64).push(2, 0x100)                    # retLen=64 retOff
+    code.push(1, 128).push(1, 0)                       # argsLen=128 argsOff
+    code.push(2, 6).push(2, 0xFFFF).op("STATICCALL").op("POP")
+    code.push(2, 0x100).op("MLOAD").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    kinds = [s.exec_state for s in b.steps]
+    assert "IDENTITY" in kinds and "ECADD" in kinds
+    G3 = host_g1_add(G1_GEN, G2)
+    assert b.ecadd_events[0].r == G3
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.ecc is not None and circ.mulmod is not None
+    MockProver(10, circ).assert_satisfied()
+
+
+def test_super_circuit_ecmul_precompile():
+    from zkevm_circuits_tpu.crypto.curve import G1_GEN, host_g1_mul
+
+    k = 0xABCDEF123456789
+    code = Bytecode()
+    _mstore_word(code, 0, G1_GEN[0])
+    _mstore_word(code, 32, G1_GEN[1])
+    _mstore_word(code, 64, k)
+    code.push(1, 64).push(2, 0x100)
+    code.push(1, 96).push(1, 0)
+    code.push(2, 7).push(2, 0xFFFF).op("STATICCALL").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    assert b.ecmul_events and b.ecmul_events[0].r == host_g1_mul(G1_GEN, k)
+    MockProver(13, SuperCircuit(b, codes, txs)).assert_satisfied()
+
+
+def test_super_circuit_ecrecover_precompile():
+    from zkevm_circuits_tpu.crypto import secp256k1 as secp
+
+    sk = 0x5EED_BEEF_F00D
+    z = 0x1122334455667788
+    r, s, rec = secp.sign(sk, z.to_bytes(32, "big"))
+    expect_addr = secp.eth_address(sk)
+    code = Bytecode()
+    _mstore_word(code, 0, z)
+    _mstore_word(code, 32, 27 + rec)
+    _mstore_word(code, 64, r)
+    _mstore_word(code, 96, s)
+    code.push(1, 32).push(2, 0x100)
+    code.push(1, 128).push(1, 0)
+    code.push(2, 1).push(2, 0xFFFF).op("STATICCALL").op("POP")
+    code.push(2, 0x100).op("MLOAD").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    assert "ECRECOVER" in [st.exec_state for st in b.steps]
+    assert b.sig_events and b.sig_events[0].address == expect_addr
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.sig is not None  # auto-enabled by the precompile
+    MockProver(13, circ).assert_satisfied()
+
+
 def test_super_circuit_catches_wrong_sha3_digest():
     """A SHA3 step claiming a wrong digest byte must miss the KeccakTable
     lookup (the padded-RLC bridge pins the message)."""

@@ -76,6 +76,7 @@ class CopyCircuit(Circuit):
         self.c_is_mm = cs.advice_column()  # memory -> memory event kind
         self.c_is_log = cs.advice_column()  # memory -> TxLog event kind
         self.c_is_code = cs.advice_column()  # bytecode -> memory event kind
+        self.c_is_wrlc = cs.advice_column()  # RLC-bound memory WRITE kind
         self.c_src_hash = cs.advice_column(phase=1)  # code-hash RLC (code)
         self.c_acc = cs.advice_column(phase=1)  # running byte RLC
 
@@ -146,18 +147,25 @@ class CopyCircuit(Circuit):
         cs.create_gate("is_log implies active", q * ilog * (1 - act))
         cs.create_gate("is_log excl", q * ilog * (irlc + imm))
         cs.create_gate("copy cont is_log", q * cont * (ilog_n - ilog))
+        iwr, iwr_n = Advice(self.c_is_wrlc), Advice(self.c_is_wrlc, 1)
+        cs.create_gate("is_wrlc bool", q * iwr * (iwr - 1))
+        cs.create_gate("is_wrlc implies active", q * iwr * (1 - act))
+        cs.create_gate("copy cont is_wrlc", q * cont * (iwr_n - iwr))
         icode, icode_n = Advice(self.c_is_code), Advice(self.c_is_code, 1)
         shash, shash_n = Advice(self.c_src_hash), Advice(self.c_src_hash, 1)
         cs.create_gate("is_code bool", q * icode * (icode - 1))
         cs.create_gate("is_code implies active", q * icode * (1 - act))
         cs.create_gate("is_code excl", q * icode * (irlc + imm + ilog))
+        cs.create_gate("is_wrlc excl", q * iwr * (irlc + imm + ilog + icode))
         cs.create_gate("copy cont is_code", q * cont * (icode_n - icode))
         cs.create_gate("copy cont src_hash", q * cont * (shash_n - shash))
         gf = q * act * (1 - Advice(self.c_cont, -1))
-        cs.create_gate("acc seed", gf * irlc * (acc - byte))
+        rlc_kind = irlc + iwr
+        cs.create_gate("acc seed", gf * rlc_kind * (acc - byte))
         cs.create_gate(
             "acc chain",
-            q * cont * irlc * (acc_n - acc * self.r_word - Advice(self.c_byte, 1)),
+            q * cont * rlc_kind
+            * (acc_n - acc * self.r_word - Advice(self.c_byte, 1)),
         )
 
         # exposed CopyTable, gated on each event's first row (the previous
@@ -169,13 +177,15 @@ class CopyCircuit(Circuit):
         accl, accl_n = Advice(self.c_acc_last), Advice(self.c_acc_last, 1)
         cs.create_gate("acc_last cont", q * cont * (accl_n - accl))
         cs.create_gate(
-            "acc_last pins acc", q * act * (1 - cont) * irlc * (accl - acc)
+            "acc_last pins acc",
+            q * act * (1 - cont) * rlc_kind * (accl - acc),
         )
         # code events carry their source id in the phase-1 hash column
         sid_out = sid + icode * (shash - sid)
         self.copy_table = [
-            gf, gf * irlc, gf * imm, gf * ilog, gf * icode, gf * sid_out,
-            gf * sad, gf * did, gf * dad, gf * left, gf * rwc, gf * accl,
+            gf, gf * irlc, gf * imm, gf * ilog, gf * icode, gf * iwr,
+            gf * sid_out, gf * sad, gf * did, gf * dad, gf * left,
+            gf * rwc, gf * accl,
         ]
 
         if self.standalone:
@@ -213,7 +223,7 @@ class CopyCircuit(Circuit):
             ],
             rw_table,
         )
-        gs = g * (1 - pad) * (1 - irlc - imm - ilog - icode)
+        gs = g * (1 - pad) * (1 - irlc - imm - ilog - icode - iwr)
         cs.lookup_logup(
             "copy tx source",
             [[gs * sid, gs * int(TxFieldTag.CallData), gs * sad, gs * byte]],
@@ -268,7 +278,8 @@ class CopyCircuit(Circuit):
             is_mm = int(ev.src_type == "memory" and ev.dst_type == "memory")
             is_log = int(ev.dst_type == "txlog")
             is_code = int(ev.src_type == "bytecode")
-            plain = not (is_rlc or is_mm or is_log or is_code)
+            is_wr = int(ev.src_type == "rlc")  # RLC-bound memory write
+            plain = not (is_rlc or is_mm or is_log or is_code or is_wr)
             # source length determines padding
             for j in range(ev.length):
                 src = ev.src_addr + j
@@ -289,6 +300,7 @@ class CopyCircuit(Circuit):
                     ev.src_id if is_code else 0,
                     (ev.code_marks[j] if is_code and j < len(ev.code_marks)
                      else 0),
+                    is_wr,
                 ))
         if phase != 0:
             # running byte RLC + per-event final-acc claim, walking
@@ -301,13 +313,15 @@ class CopyCircuit(Circuit):
                 j = i
                 acc = 0
                 ev_accs = []
+                is_acc_kind = rows[i][10] or rows[i][16]
                 while True:
-                    acc = (acc * r_int + rows[j][7]) % R if rows[j][10] else 0
+                    acc = ((acc * r_int + rows[j][7]) % R
+                           if is_acc_kind else 0)
                     ev_accs.append(acc)
                     if not rows[j][1]:
                         break
                     j += 1
-                final = ev_accs[-1] if rows[i][10] else 0
+                final = ev_accs[-1] if is_acc_kind else 0
                 accs.extend(ev_accs)
                 lasts.extend([final] * len(ev_accs))
                 i = j + 1
@@ -330,7 +344,7 @@ class CopyCircuit(Circuit):
             (self.c_src_id, 3), (self.c_src_addr, 4), (self.c_dst_id, 5),
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
             (self.c_left, 9), (self.c_is_rlc, 10), (self.c_is_mm, 11),
-            (self.c_is_log, 12), (self.c_is_code, 13),
+            (self.c_is_log, 12), (self.c_is_code, 13), (self.c_is_wrlc, 16),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.c_src_iscode is not None:

@@ -58,6 +58,7 @@ GADGETS = [
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
     "SDIV", "SMOD", "SIGNEXTEND", "SAR", "RETURNDATASIZE",
     "RETURNDATACOPY", "CODECOPY",
+    "ECRECOVER", "IDENTITY", "ECADD", "ECMUL",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -74,7 +75,8 @@ GADGETS = [
 OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
-                 "CALL", "RET", "LOG")
+                 "CALL", "RET", "LOG", "ECRECOVER", "IDENTITY", "ECADD",
+                 "ECMUL")
 }
 
 
@@ -101,7 +103,7 @@ class EvmCircuit(Circuit):
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
                   exp_table=None, copy_table=None, tx_table=None,
                   bytecode_table=None, mulmod_table=None, keccak_table=None,
-                  block_table=None):
+                  block_table=None, sig_table=None, ecc_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -129,6 +131,8 @@ class EvmCircuit(Circuit):
         self.mulmod_table = mulmod_table
         self.keccak_table = keccak_table
         self.block_table = block_table
+        self.sig_table = sig_table
+        self.ecc_table = ecc_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -1019,7 +1023,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * 0, gl * 0, gl * 0, gl * 0,
+                    gl, gl * 0, gl * 0, gl * 0, gl * 0, gl * 0,
                     gl * Advice(self.c_call_id),
                     gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
@@ -1184,7 +1188,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "SHA3 copy event",
                 [[
-                    glm, glm, glm * 0, glm * 0, glm * 0,
+                    glm, glm, glm * 0, glm * 0, glm * 0, glm * 0,
                     glm * Advice(self.c_call_id),
                     glm * jdest_int, glm * 0, glm * 0,
                     glm * size4, glm * (rwc + 2), glm * acc_m,
@@ -1312,7 +1316,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "RET copy event",
                 [[
-                    glc, glc * 0, glc, glc * 0, glc * 0,
+                    glc, glc * 0, glc, glc * 0, glc * 0, glc * 0,
                     glc * Advice(self.c_call_id),
                     glc * off4, glc * cid_n, glc * retoff4, glc * la4,
                     glc * (rwc + npp), glc * 0,
@@ -1374,7 +1378,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "LOG copy event",
                 [[
-                    gll, gll * 0, gll * 0, gll, gll * 0,
+                    gll, gll * 0, gll * 0, gll, gll * 0, gll * 0,
                     gll * Advice(self.c_call_id), gll * fold4_int(ab4),
                     gll * txid, gll * (3 * L32 + lid1 * L48),
                     gll * size4_l, gll * (rwc + 3 + 2 * n_e), gll * 0,
@@ -1429,7 +1433,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "RDC copy event",
                 [[
-                    glr2, glr2 * 0, glr2, glr2 * 0, glr2 * 0,
+                    glr2, glr2 * 0, glr2, glr2 * 0, glr2 * 0, glr2 * 0,
                     glr2 * rdc_lcid, glr2 * (rdc_off4 + rdc_src4),
                     glr2 * Advice(self.c_call_id), glr2 * fold4_int(ab4),
                     glr2 * rdc_len4, glr2 * (rwc + 6), glr2 * 0,
@@ -1465,7 +1469,7 @@ class EvmCircuit(Circuit):
             cs.lookup_logup(
                 "CODECOPY copy event",
                 [[
-                    glcc, glcc * 0, glcc * 0, glcc * 0, glcc,
+                    glcc, glcc * 0, glcc * 0, glcc * 0, glcc, glcc * 0,
                     glcc * chash, glcc * cc_src4,
                     glcc * Advice(self.c_call_id), glcc * fold4_int(ab4),
                     glcc * cc_len4, glcc * (rwc + 3), glcc * 0,
@@ -1477,6 +1481,232 @@ class EvmCircuit(Circuit):
         cs.create_gate(
             "CODECOPY rwc", gccn * (rwc_n - rwc - 3 - cc_len4)
         )
+
+        # ---- precompile calls: ECRECOVER (0x01), IDENTITY (0x04),
+        # ECADD (0x06), ECMUL (0x07) — inline, no frame descent
+        # (reference evm_circuit/execution/precompiles/).  Input/output
+        # bytes ride TWO RLC-bound copy events (memory->RLC read and
+        # RLC->memory write); the semantic statement is one lookup into
+        # the Sig / Ecc table (IDENTITY: one memory->memory event). ------
+        pf1, pfd, pfa = cr[20], cr[22], cr[23]
+        p_in_acc = Advice(self.c_acc_m)
+        p_out_acc = Advice(self.c_rpl)
+        self._pc_skel = {}
+
+        def be_word_rlc(bank):
+            """Stack/word RLC of a BE-stored 32-byte bank."""
+            e = None
+            rp_ = None
+            for j in range(32):
+                b_ = bank[31 - j]
+                term = b_ if j == 0 else b_ * rp_
+                e = term if e is None else e + term
+                rp_ = self.r_word if rp_ is None else rp_ * self.r_word
+            return e
+
+        def be_halves(bank):
+            hi = None
+            lo = None
+            for i in range(16):
+                th = bank[i] * (1 << (8 * (15 - i)))
+                tl = bank[16 + i] * (1 << (8 * (15 - i)))
+                hi = th if hi is None else hi + th
+                lo = tl if lo is None else lo + tl
+            return lo, hi
+
+        def horner(seq):
+            e = seq[0]
+            for x in seq[1:]:
+                e = e * self.r_word + x
+            return e
+
+        def precompile_skeleton(gname, addr_const, in_expr, out_expr,
+                                rwc_extra):
+            g_ = q * ind[gname]
+            gn_ = q * q_n * ind[gname]
+            cs.create_gate(
+                f"{gname} variant one-hot", g_ * (pf1 + pfd + pfa - 1)
+            )
+            hv_ = pf1
+            npops_ = 6 + hv_
+            cs.create_gate(f"{gname} pc", gn_ * (pc_n - pc - 1))
+            cs.create_gate(f"{gname} sp", gn_ * (sp_n - sp - npops_ + 1))
+            cs.create_gate(
+                f"{gname} rwc", gn_ * (rwc_n - rwc - npops_ - rwc_extra)
+            )
+            self._pc_skel[gname] = (
+                g_, hv_, npops_, addr_const, in_expr, out_expr
+            )
+            return g_, hv_, npops_
+
+        a_off_rlc = fold4_rlc(ab4)
+        a_off_int = fold4_int(ab4)
+        r_off4 = [Advice(self.c_mem[4 + i]) for i in range(4)]
+        r_off_rlc = (r_off4[0] + r_off4[1] * self.r_word
+                     + r_off4[2] * self.r_word * self.r_word
+                     + r_off4[3] * self.r_word * self.r_word * self.r_word)
+        r_off_int = (r_off4[0] + r_off4[1] * 256 + r_off4[2] * 65536
+                     + r_off4[3] * 16777216)
+
+        # ECRECOVER: banks a=hash, b=r, c=s, d[0]=v, e[0:20]=address out
+        g_ecr, _, _ = precompile_skeleton(
+            "ECRECOVER", 1, 128, 32, 128 + 32 + 4
+        )
+        v_cell = bd[0]
+        cs.create_gate(
+            "ECRECOVER v 27/28", g_ecr * (v_cell - 27) * (v_cell - 28)
+        )
+        ecr_in_seq = ([ba[i] for i in range(32)] + [0] * 31 + [v_cell]
+                      + [bb[i] for i in range(32)]
+                      + [bc[i] for i in range(32)])
+        cs.create_gate(
+            "ECRECOVER in acc", g_ecr * (horner(ecr_in_seq) - p_in_acc)
+        )
+        ecr_out_seq = [0] * 12 + [be_[i] for i in range(20)]
+        cs.create_gate(
+            "ECRECOVER out acc", g_ecr * (horner(ecr_out_seq) - p_out_acc)
+        )
+        if self.sig_table is not None:
+            z_fold = None
+            rp_ = None
+            for i in range(32):
+                term = ba[i] if i == 0 else ba[i] * rp_
+                z_fold = term if z_fold is None else z_fold + term
+                rp_ = self.r_word if rp_ is None else rp_ * self.r_word
+            addr20 = None
+            for j in range(20):
+                term = be_[j] * (1 << (8 * (19 - j)))
+                addr20 = term if addr20 is None else addr20 + term
+            cs.lookup_logup(
+                "ECRECOVER sig",
+                [[g_ecr, g_ecr * z_fold, g_ecr * be_word_rlc(bb),
+                  g_ecr * be_word_rlc(bc), g_ecr * addr20]],
+                self.sig_table,
+            )
+
+        # ECADD: a=x1, b=y1, c=x2, d=y2 -> e=x3, f=y3
+        g_ea, _, _ = precompile_skeleton("ECADD", 6, 128, 64, 128 + 64 + 4)
+        ea_in = ([ba[i] for i in range(32)] + [bb[i] for i in range(32)]
+                 + [bc[i] for i in range(32)] + [bd[i] for i in range(32)])
+        ea_out = ([be_[i] for i in range(32)] + [bf_[i] for i in range(32)])
+        cs.create_gate("ECADD in acc", g_ea * (horner(ea_in) - p_in_acc))
+        cs.create_gate("ECADD out acc", g_ea * (horner(ea_out) - p_out_acc))
+
+        # ECMUL: a=x, b=y, c=k -> e=rx, f=ry
+        g_em, _, _ = precompile_skeleton("ECMUL", 7, 96, 64, 96 + 64 + 4)
+        em_in = ([ba[i] for i in range(32)] + [bb[i] for i in range(32)]
+                 + [bc[i] for i in range(32)])
+        cs.create_gate("ECMUL in acc", g_em * (horner(em_in) - p_in_acc))
+        cs.create_gate("ECMUL out acc", g_em * (horner(ea_out) - p_out_acc))
+        if self.ecc_table is not None:
+            from .ecc import TAG_ADD, TAG_MUL
+
+            x1l, x1h = be_halves(ba)
+            y1l, y1h = be_halves(bb)
+            x2l, x2h = be_halves(bc)
+            y2l, y2h = be_halves(bd)
+            rxl, rxh = be_halves(be_)
+            ryl, ryh = be_halves(bf_)
+            cs.lookup_logup(
+                "precompile ecc",
+                [
+                    [g_ea, g_ea * TAG_ADD, g_ea * x1l, g_ea * x1h,
+                     g_ea * y1l, g_ea * y1h, g_ea * x2l, g_ea * x2h,
+                     g_ea * y2l, g_ea * y2h, g_ea * rxl, g_ea * rxh,
+                     g_ea * ryl, g_ea * ryh],
+                    [g_em, g_em * TAG_MUL, g_em * x1l, g_em * x1h,
+                     g_em * y1l, g_em * y1h, g_em * x2l, g_em * x2h,
+                     g_em * 0, g_em * 0, g_em * rxl, g_em * rxh,
+                     g_em * ryl, g_em * ryh],
+                ],
+                self.ecc_table,
+            )
+
+        # IDENTITY: one memory->memory copy of min(argsLen, retLen)
+        id_len4 = [Advice(self.c_mem[i]) for i in range(4)]
+        id_rlen4 = [Advice(self.c_mem[8 + i]) for i in range(4)]
+        id_len_i = (id_len4[0] + id_len4[1] * 256 + id_len4[2] * 65536
+                    + id_len4[3] * 16777216)
+        id_len_r = (id_len4[0] + id_len4[1] * self.r_word
+                    + id_len4[2] * self.r_word * self.r_word
+                    + id_len4[3] * self.r_word * self.r_word * self.r_word)
+        id_rlen_i = (id_rlen4[0] + id_rlen4[1] * 256
+                     + id_rlen4[2] * 65536 + id_rlen4[3] * 16777216)
+        id_rlen_r = (id_rlen4[0] + id_rlen4[1] * self.r_word
+                     + id_rlen4[2] * self.r_word * self.r_word
+                     + id_rlen4[3] * self.r_word * self.r_word
+                     * self.r_word)
+        id_la4 = fold4_int(bd)
+        id_diff = (bg_[0] + bg_[1] * 256 + bg_[2] * 65536
+                   + bg_[3] * 16777216)
+        id_fmin = cr[24]
+        g_id = q * ind["IDENTITY"]
+        gn_id = q * q_n * ind["IDENTITY"]
+        cs.create_gate(
+            "IDENTITY variant one-hot", g_id * (pf1 + pfd + pfa - 1)
+        )
+        id_hv = pf1
+        id_npops = 6 + id_hv
+        cs.create_gate("IDENTITY pc", gn_id * (pc_n - pc - 1))
+        cs.create_gate("IDENTITY sp", gn_id * (sp_n - sp - id_npops + 1))
+        cs.create_gate(
+            "IDENTITY rwc",
+            gn_id * (rwc_n - rwc - id_npops - 2 * id_la4 - 4),
+        )
+        cs.create_gate("IDENTITY min bool", g_id * id_fmin * (id_fmin - 1))
+        cs.create_gate(
+            "IDENTITY min pick",
+            g_id * (id_la4 - id_fmin * id_len_i - (1 - id_fmin) * id_rlen_i),
+        )
+        cs.create_gate(
+            "IDENTITY min lo", g_id * id_fmin * (id_rlen_i - id_len_i - id_diff)
+        )
+        cs.create_gate(
+            "IDENTITY min hi",
+            g_id * (1 - id_fmin) * (id_len_i - id_rlen_i - id_diff),
+        )
+        id_laz = Advice(self.c_ez)
+        cs.create_gate("IDENTITY laz bool", g_id * id_laz * (id_laz - 1))
+        cs.create_gate("IDENTITY laz kill", g_id * id_laz * id_la4)
+        cs.create_gate(
+            "IDENTITY laz complete",
+            g_id * (1 - id_laz) * (id_la4 * inv - 1),
+        )
+        if self.copy_table is not None:
+            gidc = g_id * (1 - id_laz)
+            cs.lookup_logup(
+                "IDENTITY copy",
+                [[
+                    gidc, gidc * 0, gidc, gidc * 0, gidc * 0, gidc * 0,
+                    gidc * Advice(self.c_call_id), gidc * a_off_int,
+                    gidc * Advice(self.c_call_id), gidc * r_off_int,
+                    gidc * id_la4, gidc * (rwc + id_npops), gidc * 0,
+                ]],
+                self.copy_table,
+            )
+            # fixed precompiles: input read event + output write event
+            for gname in ("ECRECOVER", "ECADD", "ECMUL"):
+                g_, hv_, npops_, addrc, in_l, out_l = self._pc_skel[gname]
+                cs.lookup_logup(
+                    f"{gname} io copies",
+                    [
+                        [g_, g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0,
+                         g_ * Advice(self.c_call_id), g_ * a_off_int,
+                         g_ * 0, g_ * 0, g_ * in_l, g_ * (rwc + npops_),
+                         g_ * p_in_acc],
+                        [g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0, g_,
+                         g_ * 0, g_ * 0, g_ * Advice(self.c_call_id),
+                         g_ * r_off_int, g_ * out_l,
+                         g_ * (rwc + npops_ + in_l), g_ * p_out_acc],
+                    ],
+                    self.copy_table,
+                )
+
+        self._p_aoff_rlc = a_off_rlc
+        self._p_roff_rlc = r_off_rlc
+        self._id_la4 = id_la4
+        self._id_len_r = id_len_r
+        self._id_rlen_r = id_rlen_r
 
         # ---- block/tx context opcodes (reference execution/block_ctx.rs,
         # gasprice.rs, origin.rs): one stack push bound to the BlockTable
@@ -1563,8 +1793,13 @@ class EvmCircuit(Circuit):
                                  + fsa * 0xFA) \
                 + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD) \
                 + ind["LOG"] * (self._log_n + 0xA0)
+            pc_fam = (ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
+                      + ind["ECMUL"])
+            op_expr = op_expr + pc_fam * (
+                cr[20] * 0xF1 + cr[22] * 0xF4 + cr[23] * 0xFA
+            )
             g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"] + ind["CALL"] \
-                + ind["RET"] * (rtn + rvt) + ind["LOG"]
+                + ind["RET"] * (rtn + rvt) + ind["LOG"] + pc_fam
             for g, byte in OPCODE_BYTE.items():
                 op_expr = op_expr + ind[g] * byte
                 g_code = g_code + ind[g]
@@ -1862,6 +2097,54 @@ class EvmCircuit(Circuit):
                              field=int(CCF.LastCalleeReturnDataOffset)))
         inputs.append(access(grdc_b, 5, 0, 0, self._rdc_rdl4, tag=ctxtag,
                              field=int(CCF.LastCalleeReturnDataLength)))
+
+        # ---- precompile call accesses ------------------------------------
+        for gname, extra_in, extra_out in (
+            ("ECRECOVER", 128, 32), ("ECADD", 128, 64), ("ECMUL", 96, 64),
+            ("IDENTITY", None, None),
+        ):
+            gp_ = q * ind[gname]
+            hv_p = Advice(self.c_carry[20])
+            npp_p = 6 + hv_p
+            if gname == "IDENTITY":
+                in_out = 2 * self._id_la4
+                alen_val = self._id_len_r
+                rlen_val = self._id_rlen_r
+                rdlen_val = self._id_la4
+            else:
+                in_out = extra_in + extra_out
+                alen_val = extra_in
+                rlen_val = extra_out
+                rdlen_val = extra_out
+            addr_c = {"ECRECOVER": 1, "IDENTITY": 4, "ECADD": 6,
+                      "ECMUL": 7}[gname]
+            inputs.append(access(gp_, 0, 0, sp, va))
+            inputs.append(access(gp_, 1, 0, sp + 1, addr_c))
+            inputs.append(access(gp_ * hv_p, 2, 0, sp + 2, vc))
+            inputs.append(
+                access(gp_, 2 + hv_p, 0, sp + 2 + hv_p, self._p_aoff_rlc)
+            )
+            inputs.append(
+                access(gp_, 3 + hv_p, 0, sp + 3 + hv_p, alen_val)
+            )
+            inputs.append(
+                access(gp_, 4 + hv_p, 0, sp + 4 + hv_p, self._p_roff_rlc)
+            )
+            inputs.append(
+                access(gp_, 5 + hv_p, 0, sp + 5 + hv_p, rlen_val)
+            )
+            base_p = npp_p + in_out
+            inputs.append(access(gp_, base_p, 1, 0, 0, tag=ctxtag,
+                                 field=int(CCF.LastCalleeId)))
+            inputs.append(
+                access(gp_, base_p + 1, 1, 0, 0, tag=ctxtag,
+                       field=int(CCF.LastCalleeReturnDataOffset))
+            )
+            inputs.append(
+                access(gp_, base_p + 2, 1, 0, rdlen_val, tag=ctxtag,
+                       field=int(CCF.LastCalleeReturnDataLength))
+            )
+            inputs.append(access(gp_, base_p + 3, 1, sp + npp_p - 1, 1))
 
         # ---- BEGIN_TX: the 6 call-context reads (builder _begin_tx order:
         # TxId, CalleeAddress, CallerAddress, Value, IsRoot,
@@ -2379,6 +2662,56 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
+                    hv = int(s.op == OpcodeId.CALL)
+                    npp_ = 6 + hv
+                    flag_idx = {
+                        OpcodeId.CALL: 20, OpcodeId.DELEGATECALL: 22,
+                        OpcodeId.STATICCALL: 23,
+                    }[s.op]
+                    carries[flag_idx][si] = 1
+                    aoff = ops[npp_ - 4].value
+                    alen = ops[npp_ - 3].value
+                    roff = ops[npp_ - 2].value
+                    rlen = ops[npp_ - 1].value
+                    for i in range(4):
+                        addrbytes[i][si] = (aoff >> (8 * i)) & 0xFF
+                        membytes[4 + i][si] = (roff >> (8 * i)) & 0xFF
+                    if kind == "IDENTITY":
+                        la_v = min(alen, rlen)
+                        for i in range(4):
+                            membytes[i][si] = (alen >> (8 * i)) & 0xFF
+                            membytes[8 + i][si] = (rlen >> (8 * i)) & 0xFF
+                            byts["d"][i][si] = (la_v >> (8 * i)) & 0xFF
+                        carries[24][si] = int(alen < rlen)
+                        dv = rlen - alen if alen < rlen else alen - rlen
+                        for i in range(4):
+                            byts["g"][i][si] = (dv >> (8 * i)) & 0xFF
+                        ez_col[si] = int(la_v == 0)
+                    else:
+                        in_len = {"ECRECOVER": 128, "ECADD": 128,
+                                  "ECMUL": 96}[kind]
+                        ins = [ops[npp_ + i].value for i in range(in_len)]
+                        outs = [
+                            o.value for o in ops[npp_ + in_len : -4]
+                        ]
+                        if kind == "ECRECOVER":
+                            for i in range(32):
+                                byts["a"][i][si] = ins[i]
+                                byts["b"][i][si] = ins[64 + i]
+                                byts["c"][i][si] = ins[96 + i]
+                            byts["d"][0][si] = ins[63]
+                            for j in range(20):
+                                byts["e"][j][si] = outs[12 + j]
+                        else:
+                            for i in range(32):
+                                byts["a"][i][si] = ins[i]
+                                byts["b"][i][si] = ins[32 + i]
+                                byts["c"][i][si] = ins[64 + i]
+                                if kind == "ECADD":
+                                    byts["d"][i][si] = ins[96 + i]
+                                byts["e"][i][si] = outs[i]
+                                byts["f"][i][si] = outs[32 + i]
                 elif kind == "CODECOPY":
                     assert self.copy_table is not None or \
                         ops[2].value == 0, (
@@ -2575,7 +2908,24 @@ class EvmCircuit(Circuit):
             inv_of = 0
             inv2_of = 0
             acc_m = rpl_v = prl_v = 0
-            if kind == "LOG":
+            if kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
+                hv = int(s.op == OpcodeId.CALL)
+                npp_ = 6 + hv
+                va.append(rlc(ops[0]))
+                vb.append(0)
+                vc.append(rlc(ops[2]) if hv else 0)
+                if kind == "IDENTITY":
+                    alen = ops[npp_ - 3].value
+                    rlen = ops[npp_ - 1].value
+                    inv_of = min(alen, rlen) % R
+                else:
+                    in_len = {"ECRECOVER": 128, "ECADD": 128,
+                              "ECMUL": 96}[kind]
+                    for i in range(in_len):
+                        acc_m = (acc_m * r_int + ops[npp_ + i].value) % R
+                    for o in ops[npp_ + in_len : -4]:
+                        rpl_v = (rpl_v * r_int + o.value) % R
+            elif kind == "LOG":
                 ntop = s.op - 0xA0
                 va.append(rlc(ops[0]))
                 vb.append(rlc(ops[1]))

@@ -279,7 +279,9 @@ class StateCircuit(Circuit):
     def _target(self, n: int) -> int:
         from ..plonk.circuit import usable_rows
 
-        t = self.params.target_rows or usable_rows(n)
+        # default leaves a few q_row = 0 rows: gated-off logUp inputs
+        # against the exposed rw table need an all-zero table row
+        t = self.params.target_rows or (usable_rows(n) - 8)
         assert len(self.rows) <= t <= usable_rows(n)
         return t
 

@@ -50,8 +50,8 @@ from .tx import TxCircuit, TxParams
 class SuperParams:
     state: StateParams = dataclasses.field(
         default_factory=lambda: StateParams(
-            limb_bits=4, id_bits=8, addr_bits=160, key_bits=16, rwc_bits=12,
-            target_rows=360,
+            limb_bits=4, id_bits=8, addr_bits=160, key_bits=16, rwc_bits=16,
+            target_rows=0,  # fill usable rows
         )
     )
     evm: EvmParams = dataclasses.field(
@@ -60,7 +60,7 @@ class SuperParams:
     bytecode: BytecodeParams = dataclasses.field(default_factory=BytecodeParams)
     tx: TxParams = dataclasses.field(default_factory=TxParams)
     copy: CopyParams = dataclasses.field(
-        default_factory=lambda: CopyParams(target_rows=64)
+        default_factory=lambda: CopyParams(target_rows=0)
     )
     exp: ExpParams = dataclasses.field(
         default_factory=lambda: ExpParams(target_rows=64)
@@ -108,16 +108,16 @@ class SuperCircuit(Circuit):
         if builder.exp_events:
             self.exp = ExpCircuit(builder.exp_events, p.exp)
             self.subs.append(self.exp)
-        # Sig circuit (opt-in: ~258 sig rows + ~5400 MulMod rows per tx,
-        # needs K >= 13) — verifies every tx signature in-circuit and
-        # binds the recovered sender through the Tx circuit
+        # Sig circuit (opt-in for txs: ~258 sig rows + ~5400 MulMod rows
+        # per signature, needs K >= 13; auto-on when the block executed
+        # ECRECOVER) — verifies signatures in-circuit
         self.sig = None
         sig_mm_events: list = []
+        sig_events = list(builder.sig_events)
         if with_sig:
             from ..crypto import secp256k1 as secp
-            from .sig import SigCircuit, SigEvent
+            from .sig import SigEvent
 
-            sig_events = []
             for tx in txs:
                 digest = tx.sign_hash()
                 rec = (tx.v - 35 - 2 * tx.chain_id) & 1 if tx.v >= 35 \
@@ -127,16 +127,35 @@ class SuperCircuit(Circuit):
                     msg_hash=int.from_bytes(digest, "big"),
                     r=tx.r, s=tx.s, pubkey=pub,
                 ))
+        if sig_events:
+            from .sig import SigCircuit
+
             self.sig = SigCircuit(sig_events)
             self.subs.append(self.sig)
             for ev in sig_events:
                 sig_mm_events.extend(ev.mulmod_events())
+        self.with_sig_txs = with_sig
+
+        # ECC circuit (EcAdd/EcMul precompile events)
+        self.ecc = None
+        ecc_mm_events: list = []
+        if builder.ecadd_events or builder.ecmul_events:
+            from .ecc import EccCircuit
+
+            self.ecc = EccCircuit(
+                add_events=builder.ecadd_events,
+                mul_events=builder.ecmul_events,
+            )
+            self.subs.append(self.ecc)
+            for ev in builder.ecadd_events + builder.ecmul_events:
+                ecc_mm_events.extend(ev.mulmod_events())
 
         self.mulmod = None
-        if builder.mulmod_events or sig_mm_events:
+        if builder.mulmod_events or sig_mm_events or ecc_mm_events:
             from .mulmod import MulModCircuit, MulModParams
 
-            evs = list(builder.mulmod_events) + sig_mm_events
+            evs = (list(builder.mulmod_events) + sig_mm_events
+                   + ecc_mm_events)
             self.mulmod = MulModCircuit(
                 evs, MulModParams(target_rows=len(evs) + 1)
             )
@@ -202,10 +221,15 @@ class SuperCircuit(Circuit):
             rlp_table = self.rlp.rlp_table
             data_len_table = self.rlp.data_len_table
             sign_hash_table = self.rlp.sign_hash_table
+        ecc_table = None
+        if self.ecc is not None:
+            self.ecc.configure(cs, mulmod_table=self.mulmod.mulmod_table)
+            ecc_table = self.ecc.ecc_table
+        tx_sig_table = sig_table if self.with_sig_txs else None
         self.tx.configure(
             cs, challenge=r_word, rlp_table=rlp_table,
-            data_len_table=data_len_table, sig_table=sig_table,
-            sign_hash_table=sign_hash_table if sig_table is not None
+            data_len_table=data_len_table, sig_table=tx_sig_table,
+            sign_hash_table=sign_hash_table if tx_sig_table is not None
             else None,
         )
         if self.copy is not None:
@@ -237,6 +261,8 @@ class SuperCircuit(Circuit):
             block_table=(
                 self.block.block_table if self.block is not None else None
             ),
+            sig_table=sig_table,
+            ecc_table=ecc_table,
         )
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)

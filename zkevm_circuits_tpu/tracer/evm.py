@@ -130,6 +130,22 @@ class Frame:
 
 
 PRECOMPILE_RANGE = range(1, 10)
+
+
+def _bn254_point(d: bytes):
+    """64 input bytes -> affine point or None (infinity); raises
+    ValueError off-curve (the precompile reverts)."""
+    from ..crypto.params import FQ_MODULUS
+
+    x = int.from_bytes(d[:32], "big")
+    y = int.from_bytes(d[32:64], "big")
+    if x == 0 and y == 0:
+        return None
+    if x >= FQ_MODULUS or y >= FQ_MODULUS:
+        raise ValueError("coordinate out of range")
+    if (y * y - x * x * x - 3) % FQ_MODULUS != 0:
+        raise ValueError("point not on curve")
+    return (x, y)
 CREATE_CODE_DEPOSIT = 200
 MAX_CODE_SIZE = 24576
 MAX_INITCODE_SIZE = 2 * MAX_CODE_SIZE
@@ -294,6 +310,60 @@ class Interpreter:
             if gas < cost:
                 return False, b"", 0
             return True, hashlib.sha256(data).digest(), gas - cost
+        if addr == 1:  # ecrecover
+            cost = 3000
+            if gas < cost:
+                return False, b"", 0
+            d = data.ljust(128, b"\x00")[:128]
+            h, v = d[:32], int.from_bytes(d[32:64], "big")
+            r = int.from_bytes(d[64:96], "big")
+            s = int.from_bytes(d[96:128], "big")
+            from ..crypto import secp256k1 as secp
+
+            if v not in (27, 28) or not (0 < r < secp.N and 0 < s < secp.N):
+                return True, b"", gas - cost
+            try:
+                pub = secp.recover(h, r, s, v - 27)
+            except Exception:
+                return True, b"", gas - cost
+            if pub is None:
+                return True, b"", gas - cost
+            from ..crypto.keccak import keccak256
+
+            pb = pub[0].to_bytes(32, "big") + pub[1].to_bytes(32, "big")
+            out = b"\x00" * 12 + keccak256(pb)[12:]
+            return True, out, gas - cost
+        if addr == 6:  # BN254 add
+            cost = 150
+            if gas < cost:
+                return False, b"", 0
+            d = data.ljust(128, b"\x00")[:128]
+            try:
+                p, q = _bn254_point(d[:64]), _bn254_point(d[64:128])
+            except ValueError:
+                return False, b"", 0
+            from ..crypto.curve import host_g1_add
+
+            r_ = host_g1_add(p, q) if p and q else (p or q)
+            out = (b"\x00" * 64 if r_ is None else
+                   r_[0].to_bytes(32, "big") + r_[1].to_bytes(32, "big"))
+            return True, out, gas - cost
+        if addr == 7:  # BN254 scalar mul
+            cost = 6000
+            if gas < cost:
+                return False, b"", 0
+            d = data.ljust(96, b"\x00")[:96]
+            try:
+                p = _bn254_point(d[:64])
+            except ValueError:
+                return False, b"", 0
+            k = int.from_bytes(d[64:96], "big")
+            from ..crypto.curve import host_g1_mul
+
+            r_ = host_g1_mul(p, k) if p and k else None
+            out = (b"\x00" * 64 if r_ is None else
+                   r_[0].to_bytes(32, "big") + r_[1].to_bytes(32, "big"))
+            return True, out, gas - cost
         # other precompiles: flat stub cost, empty output (round-1 scope)
         cost = 100
         if gas < cost:

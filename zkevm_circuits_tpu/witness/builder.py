@@ -157,6 +157,9 @@ class CircuitInputBuilder:
         self.copy_events: list[CopyEvent] = []
         self.exp_events: list[ExpEvent] = []
         self.mulmod_events: list = []  # circuits.mulmod.MulModEvent
+        self.sig_events: list = []  # circuits.sig.SigEvent (ecrecover)
+        self.ecadd_events: list = []  # circuits.ecc.EcAddEvent
+        self.ecmul_events: list = []  # circuits.ecc.EcMulEvent
         self.sha3_inputs: list[bytes] = []  # keccak preimages (SHA3 opcode)
         self._next_call_id = 1
         self._tx_log_count = 0  # logs emitted in the current tx
@@ -197,10 +200,14 @@ class CircuitInputBuilder:
             op = step.op
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
+            elif op.is_call and not op == OpcodeId.CALLCODE and (
+                (step.stack[-2] & ((1 << 160) - 1)) in (1, 4, 6, 7)
+            ):
+                self._handle_precompile(fr, step, nxt)
             elif op.is_call or op.is_create:
                 raise NotImplementedError(
                     "calls that do not descend (empty accounts, "
-                    "precompiles) and CREATE land later"
+                    "unproven precompiles) and CREATE land later"
                 )
             elif len(frames) > 1 and (
                 op in (OpcodeId.STOP, OpcodeId.RETURN, OpcodeId.REVERT)
@@ -326,6 +333,142 @@ class CircuitInputBuilder:
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
         return new
+
+    def _handle_precompile(self, fr: TxContext, step: GethExecStep,
+                           nxt: GethExecStep | None):
+        """ECRECOVER (0x01), IDENTITY (0x04), ECADD (0x06), ECMUL (0x07)
+        called in-line (no frame descent): pops + fixed-shape input
+        memory reads + output writes + bookkeeping + success push, with
+        the semantic statement delegated to the Sig / Ecc / Copy
+        circuits (reference evm_circuit/execution/precompiles/)."""
+        op = step.op
+        call_id = fr.call_id
+        sp = STACK_BASE - len(step.stack)
+        has_value = op == OpcodeId.CALL
+        npops = 7 if has_value else 6
+        vals = [step.stack[-1 - i] for i in range(npops)]
+        addr = vals[1] & ((1 << 160) - 1)
+        args_off, args_len, ret_off, ret_len = vals[npops - 4 : npops]
+        success = nxt.stack[-1] if nxt is not None else 0
+        assert success == 1, "failed precompile calls land later"
+        data = bytes(step.memory[args_off : args_off + args_len]) \
+            .ljust(args_len, b"\x00")
+
+        names = {1: "ECRECOVER", 4: "IDENTITY", 6: "ECADD", 7: "ECMUL"}
+        in_fixed = {1: 128, 6: 128, 7: 96}
+        out_fixed = {1: 32, 6: 64, 7: 64}
+        if addr in in_fixed:
+            assert args_len == in_fixed[addr], (
+                f"precompile 0x{addr:x} needs exact-size args in round 1"
+            )
+            assert ret_len == out_fixed[addr], (
+                f"precompile 0x{addr:x} needs exact-size return in round 1"
+            )
+        es = ExecStep(
+            exec_state=names[addr], pc=step.pc, op=op, gas=step.gas,
+            gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
+        )
+        rws: list[Rw] = []
+        for i, v in enumerate(vals):
+            rws.append(self.rws.stack_read(call_id, sp + i, v))
+
+        # compute the output + record the statement event
+        if addr == 1:
+            from ..circuits.sig import SigEvent
+            from ..crypto import secp256k1 as secp
+            from ..crypto.keccak import keccak256
+
+            h, v = data[:32], int.from_bytes(data[32:64], "big")
+            r = int.from_bytes(data[64:96], "big")
+            s = int.from_bytes(data[96:128], "big")
+            pub = secp.recover(h, r, s, v - 27)
+            assert pub is not None, "unrecoverable sig lands later"
+            pb = pub[0].to_bytes(32, "big") + pub[1].to_bytes(32, "big")
+            out = b"\x00" * 12 + keccak256(pb)[12:]
+            self.sig_events.append(SigEvent(
+                msg_hash=int.from_bytes(h, "big"), r=r, s=s, pubkey=pub,
+            ))
+        elif addr == 4:
+            out = data[: min(args_len, ret_len)]
+        else:
+            from ..circuits.ecc import EcAddEvent, EcMulEvent
+            from ..tracer.evm import _bn254_point
+
+            if addr == 6:
+                p = _bn254_point(data[:64])
+                q_ = _bn254_point(data[64:128])
+                from ..crypto.curve import host_g1_add
+
+                r_pt = host_g1_add(p, q_)
+                aff = lambda x: (0, 0) if x is None else x
+                self.ecadd_events.append(
+                    EcAddEvent(p=aff(p), q=aff(q_), r=aff(r_pt))
+                )
+            else:
+                p = _bn254_point(data[:64])
+                k = int.from_bytes(data[64:96], "big")
+                from ..crypto.curve import host_g1_mul
+
+                r_pt = host_g1_mul(p, k) if p and k else None
+                aff = lambda x: (0, 0) if x is None else x
+                self.ecmul_events.append(
+                    EcMulEvent(p=aff(p), k=k, r=aff(r_pt))
+                )
+            r_aff = (0, 0) if r_pt is None else r_pt
+            out = r_aff[0].to_bytes(32, "big") + r_aff[1].to_bytes(32, "big")
+
+        if addr == 4:
+            la = min(args_len, ret_len)
+            ev = CopyEvent(
+                src_type="memory", src_id=call_id, src_addr=args_off,
+                dst_type="memory", dst_id=call_id, dst_addr=ret_off,
+                length=la, rw_counter_start=self.rws.counter + 1,
+                bytes_=out,
+            )
+            for j, byte in enumerate(out):
+                rws.append(self.rws.memory_read(call_id, args_off + j, byte))
+                rws.append(self.rws.memory_write(call_id, ret_off + j, byte))
+            if la:
+                self.copy_events.append(ev)
+        else:
+            self.copy_events.append(CopyEvent(
+                src_type="memory", src_id=call_id, src_addr=args_off,
+                dst_type="rlc", dst_id=0, dst_addr=0,
+                length=in_fixed[addr],
+                rw_counter_start=self.rws.counter + 1, bytes_=data,
+            ))
+            for j in range(in_fixed[addr]):
+                rws.append(
+                    self.rws.memory_read(call_id, args_off + j, data[j])
+                )
+            self.copy_events.append(CopyEvent(
+                src_type="rlc", src_id=0, src_addr=0,
+                dst_type="memory", dst_id=call_id, dst_addr=ret_off,
+                length=len(out),
+                rw_counter_start=self.rws.counter + 1, bytes_=out,
+            ))
+            for j, byte in enumerate(out):
+                rws.append(self.rws.memory_write(call_id, ret_off + j, byte))
+        CCF = CallContextField
+        w = self.rws.call_context_write
+        rws += [
+            w(call_id, CCF.LastCalleeId, 0),
+            w(call_id, CCF.LastCalleeReturnDataOffset, 0),
+            w(call_id, CCF.LastCalleeReturnDataLength, len(out)),
+        ]
+        # precompile return data is not re-readable via RETURNDATACOPY in
+        # round 1 (no callee memory space to read from)
+        fr.last_callee_id = 0
+        fr.last_ret_off = 0
+        fr.last_ret_data = b""
+        rws.append(
+            self.rws.stack_write(call_id, sp + npops - 1, success)
+        )
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
 
     def _handle_frame_end(self, fr: TxContext, parent: TxContext,
                           step: GethExecStep):
