@@ -588,3 +588,34 @@ def test_super_circuit_full_catches_copy_corruption():
 
     failures = MockProver(K, Corrupt(b, [code], txs)).verify()
     assert failures
+
+
+def test_super_circuit_sha256_precompile():
+    import hashlib
+
+    msg = bytes(range(40))  # 40-byte message crosses no block boundary
+    code = Bytecode()
+    for i in range(0, 40, 32):
+        chunk = int.from_bytes(msg[i:i + 32].ljust(32, b"\x00"), "big")
+        _mstore_word(code, i, chunk)
+    code.push(1, 32).push(2, 0x100)
+    code.push(1, 40).push(1, 0)
+    code.push(2, 2).push(2, 0xFFFF).op("STATICCALL").op("POP")
+    code.push(2, 0x100).op("MLOAD").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    assert b.sha256_inputs == [msg]
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.sha256 is not None
+    MockProver(10, circ).assert_satisfied()
+
+
+def test_super_circuit_sha256_empty_input():
+    import hashlib
+
+    code = Bytecode()
+    code.push(1, 32).push(2, 0x100)
+    code.push(1, 0).push(1, 0)
+    code.push(2, 2).push(2, 0xFFFF).op("STATICCALL").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    assert b.sha256_inputs == [b""]
+    MockProver(10, SuperCircuit(b, codes, txs)).assert_satisfied()

@@ -58,7 +58,7 @@ GADGETS = [
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
     "SDIV", "SMOD", "SIGNEXTEND", "SAR", "RETURNDATASIZE",
     "RETURNDATACOPY", "CODECOPY",
-    "ECRECOVER", "IDENTITY", "ECADD", "ECMUL",
+    "ECRECOVER", "IDENTITY", "ECADD", "ECMUL", "SHA256",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -76,7 +76,7 @@ OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
                  "CALL", "RET", "LOG", "ECRECOVER", "IDENTITY", "ECADD",
-                 "ECMUL")
+                 "ECMUL", "SHA256")
 }
 
 
@@ -103,7 +103,8 @@ class EvmCircuit(Circuit):
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
                   exp_table=None, copy_table=None, tx_table=None,
                   bytecode_table=None, mulmod_table=None, keccak_table=None,
-                  block_table=None, sig_table=None, ecc_table=None):
+                  block_table=None, sig_table=None, ecc_table=None,
+                  sha256_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -133,6 +134,7 @@ class EvmCircuit(Circuit):
         self.block_table = block_table
         self.sig_table = sig_table
         self.ecc_table = ecc_table
+        self.sha256_table = sha256_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -1702,6 +1704,98 @@ class EvmCircuit(Circuit):
                     self.copy_table,
                 )
 
+        # SHA256 precompile (0x02): dynamic-length input via the
+        # memory->RLC copy event, SHA-256 pad bridge (0x80 ‖ zeros ‖
+        # 64-bit BE bit length, total = 0 mod 64) using the shared
+        # challenge-power table, digest bound to the SHA256Table.
+        gs2 = q * ind["SHA256"]
+        gs2n = q * q_n * ind["SHA256"]
+        cs.create_gate("SHA256 variant one-hot", gs2 * (pf1 + pfd + pfa - 1))
+        s2_hv = pf1
+        s2_npops = 6 + s2_hv
+        s2_len4 = [Advice(self.c_mem[i]) for i in range(4)]
+        s2_len_i = (s2_len4[0] + s2_len4[1] * 256 + s2_len4[2] * 65536
+                    + s2_len4[3] * 16777216)
+        s2_len_r = (s2_len4[0] + s2_len4[1] * self.r_word
+                    + s2_len4[2] * self.r_word * self.r_word
+                    + s2_len4[3] * self.r_word * self.r_word * self.r_word)
+        s2_q64 = [Advice(self.c_mem[8 + i]) for i in range(4)]
+        s2_q64_i = (s2_q64[0] + s2_q64[1] * 256 + s2_q64[2] * 65536
+                    + s2_q64[3] * 16777216)
+        s2_p = Advice(self.c_push_len)
+        s2_rp1 = Advice(self.c_prl)
+        cs.create_gate("SHA256 pc", gs2n * (pc_n - pc - 1))
+        cs.create_gate("SHA256 sp", gs2n * (sp_n - sp - s2_npops + 1))
+        cs.create_gate(
+            "SHA256 rwc",
+            gs2n * (rwc_n - rwc - s2_npops - s2_len_i - 32 - 4),
+        )
+        cs.create_gate(
+            "SHA256 pad mod", gs2 * (s2_len_i + s2_p - 64 * s2_q64_i)
+        )
+        # 64-bit BE bit length (8 * msglen) in bytes_b[0:8]
+        s2_bits = None
+        for i in range(8):
+            term = bb[i] * (1 << (8 * (7 - i)))
+            s2_bits = term if s2_bits is None else s2_bits + term
+        cs.create_gate("SHA256 bit length", gs2 * (s2_bits - 8 * s2_len_i))
+        cs.lookup_logup(
+            "SHA256 pad power",
+            [[gs2, gs2 * s2_p, gs2 * s2_rp1 * self.r_word,
+              gs2 * (s2_rp1 + 128)]],
+            pad_table,
+        )
+        s2_tail = None
+        rp_t = None
+        for i in range(7, -1, -1):  # len8[i] * r^(7-i)
+            term = bb[i] if rp_t is None else bb[i] * rp_t
+            s2_tail = term if s2_tail is None else s2_tail + term
+            rp_t = self.r_word if rp_t is None else rp_t * self.r_word
+        s2_acc_pad = (p_in_acc * s2_rp1 * self.r_word + 128 * s2_rp1
+                      + s2_tail)
+        s2_ez = Advice(self.c_ez)
+        cs.create_gate("SHA256 ez bool", gs2 * s2_ez * (s2_ez - 1))
+        cs.create_gate("SHA256 ez kill", gs2 * s2_ez * s2_len_i)
+        cs.create_gate(
+            "SHA256 ez complete", gs2 * (1 - s2_ez) * (s2_len_i * inv - 1)
+        )
+        cs.create_gate("SHA256 empty acc", gs2 * s2_ez * p_in_acc)
+        s2_out_fold = None
+        rp_o = None
+        for i in range(32):
+            term = ba[i] if i == 0 else ba[i] * rp_o
+            s2_out_fold = term if s2_out_fold is None else s2_out_fold + term
+            rp_o = self.r_word if rp_o is None else rp_o * self.r_word
+        if self.sha256_table is not None:
+            cs.lookup_logup(
+                "SHA256 precompile",
+                [[gs2, gs2 * s2_acc_pad, gs2 * s2_out_fold]],
+                self.sha256_table,
+            )
+        cs.create_gate(
+            "SHA256 out acc", gs2 * (horner([ba[i] for i in range(32)])
+                                     - p_out_acc)
+        )
+        if self.copy_table is not None:
+            gin2 = gs2 * (1 - s2_ez)
+            cs.lookup_logup(
+                "SHA256 io copies",
+                [
+                    [gin2, gin2, gin2 * 0, gin2 * 0, gin2 * 0, gin2 * 0,
+                     gin2 * Advice(self.c_call_id), gin2 * a_off_int,
+                     gin2 * 0, gin2 * 0, gin2 * s2_len_i,
+                     gin2 * (rwc + s2_npops), gin2 * p_in_acc],
+                    [gs2, gs2 * 0, gs2 * 0, gs2 * 0, gs2 * 0, gs2,
+                     gs2 * 0, gs2 * 0, gs2 * Advice(self.c_call_id),
+                     gs2 * r_off_int, gs2 * 32,
+                     gs2 * (rwc + s2_npops + s2_len_i), gs2 * p_out_acc],
+                ],
+                self.copy_table,
+            )
+        self._s2_len_r = s2_len_r
+        self._s2_len_i = s2_len_i
+        self._s2_p = s2_p
+
         self._p_aoff_rlc = a_off_rlc
         self._p_roff_rlc = r_off_rlc
         self._id_la4 = id_la4
@@ -1794,7 +1888,7 @@ class EvmCircuit(Circuit):
                 + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD) \
                 + ind["LOG"] * (self._log_n + 0xA0)
             pc_fam = (ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
-                      + ind["ECMUL"])
+                      + ind["ECMUL"] + ind["SHA256"])
             op_expr = op_expr + pc_fam * (
                 cr[20] * 0xF1 + cr[22] * 0xF4 + cr[23] * 0xFA
             )
@@ -1839,6 +1933,9 @@ class EvmCircuit(Circuit):
         # SIGNEXTEND: 2*rest < 256 and the keep-all i >= 31 proof
         byte_inputs.append([gse * 2 * rest_se])
         byte_inputs.append([gse * m_bits[31] * sext_ez * (ba[0] - 31)])
+        # SHA256 pad length p in [9, 72]
+        byte_inputs.append([gs2 * (self._s2_p - 9)])
+        byte_inputs.append([gs2 * (72 - self._s2_p)])
         cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -2101,7 +2198,7 @@ class EvmCircuit(Circuit):
         # ---- precompile call accesses ------------------------------------
         for gname, extra_in, extra_out in (
             ("ECRECOVER", 128, 32), ("ECADD", 128, 64), ("ECMUL", 96, 64),
-            ("IDENTITY", None, None),
+            ("IDENTITY", None, None), ("SHA256", None, None),
         ):
             gp_ = q * ind[gname]
             hv_p = Advice(self.c_carry[20])
@@ -2111,13 +2208,18 @@ class EvmCircuit(Circuit):
                 alen_val = self._id_len_r
                 rlen_val = self._id_rlen_r
                 rdlen_val = self._id_la4
+            elif gname == "SHA256":
+                in_out = self._s2_len_i + 32
+                alen_val = self._s2_len_r
+                rlen_val = 32
+                rdlen_val = 32
             else:
                 in_out = extra_in + extra_out
                 alen_val = extra_in
                 rlen_val = extra_out
                 rdlen_val = extra_out
-            addr_c = {"ECRECOVER": 1, "IDENTITY": 4, "ECADD": 6,
-                      "ECMUL": 7}[gname]
+            addr_c = {"ECRECOVER": 1, "SHA256": 2, "IDENTITY": 4,
+                      "ECADD": 6, "ECMUL": 7}[gname]
             inputs.append(access(gp_, 0, 0, sp, va))
             inputs.append(access(gp_, 1, 0, sp + 1, addr_c))
             inputs.append(access(gp_ * hv_p, 2, 0, sp + 2, vc))
@@ -2662,6 +2764,38 @@ class EvmCircuit(Circuit):
                     assert ln < (1 << 32)
                     for i in range(4):
                         addrbytes[i][si] = (ln >> (8 * i)) & 0xFF
+                elif kind == "SHA256":
+                    hv = int(s.op == OpcodeId.CALL)
+                    npp_ = 6 + hv
+                    flag_idx = {
+                        OpcodeId.CALL: 20, OpcodeId.DELEGATECALL: 22,
+                        OpcodeId.STATICCALL: 23,
+                    }[s.op]
+                    carries[flag_idx][si] = 1
+                    aoff = ops[npp_ - 4].value
+                    alen = ops[npp_ - 3].value
+                    roff = ops[npp_ - 2].value
+                    for i in range(4):
+                        addrbytes[i][si] = (aoff >> (8 * i)) & 0xFF
+                        membytes[i][si] = (alen >> (8 * i)) & 0xFF
+                        membytes[4 + i][si] = (roff >> (8 * i)) & 0xFF
+                    # pad length incl. 0x80 and the 8-byte bit length
+                    pl = (-alen) % 64
+                    pl = pl if pl >= 9 else pl + 64
+                    plens[si] = pl
+                    q64v = (alen + pl) // 64
+                    assert (alen + pl) % 64 == 0
+                    for i in range(4):
+                        membytes[8 + i][si] = (q64v >> (8 * i)) & 0xFF
+                    bits = (8 * alen).to_bytes(8, "big")
+                    for i in range(8):
+                        byts["b"][i][si] = bits[i]
+                    digest = [
+                        o.value for o in ops[npp_ + alen : npp_ + alen + 32]
+                    ]
+                    for i in range(32):
+                        byts["a"][i][si] = digest[i]
+                    ez_col[si] = int(alen == 0)
                 elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
                     hv = int(s.op == OpcodeId.CALL)
                     npp_ = 6 + hv
@@ -2908,7 +3042,22 @@ class EvmCircuit(Circuit):
             inv_of = 0
             inv2_of = 0
             acc_m = rpl_v = prl_v = 0
-            if kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
+            if kind == "SHA256":
+                hv = int(s.op == OpcodeId.CALL)
+                npp_ = 6 + hv
+                va.append(rlc(ops[0]))
+                vb.append(0)
+                vc.append(rlc(ops[2]) if hv else 0)
+                alen = ops[npp_ - 3].value
+                inv_of = alen % R
+                for i in range(alen):
+                    acc_m = (acc_m * r_int + ops[npp_ + i].value) % R
+                for o in ops[npp_ + alen : npp_ + alen + 32]:
+                    rpl_v = (rpl_v * r_int + o.value) % R
+                pl = (-alen) % 64
+                pl = pl if pl >= 9 else pl + 64
+                prl_v = pow(r_int, pl - 1, R)
+            elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
                 hv = int(s.op == OpcodeId.CALL)
                 npp_ = 6 + hv
                 va.append(rlc(ops[0]))

@@ -136,6 +136,14 @@ class SuperCircuit(Circuit):
                 sig_mm_events.extend(ev.mulmod_events())
         self.with_sig_txs = with_sig
 
+        # SHA256 circuit (sha256 precompile inputs)
+        self.sha256 = None
+        if builder.sha256_inputs:
+            from .sha256 import Sha256Circuit
+
+            self.sha256 = Sha256Circuit(builder.sha256_inputs)
+            self.subs.append(self.sha256)
+
         # ECC circuit (EcAdd/EcMul precompile events)
         self.ecc = None
         ecc_mm_events: list = []
@@ -221,6 +229,10 @@ class SuperCircuit(Circuit):
             rlp_table = self.rlp.rlp_table
             data_len_table = self.rlp.data_len_table
             sign_hash_table = self.rlp.sign_hash_table
+        sha256_table = None
+        if self.sha256 is not None:
+            self.sha256.configure(cs, challenge=r_word)
+            sha256_table = self.sha256.sha256_table
         ecc_table = None
         if self.ecc is not None:
             self.ecc.configure(cs, mulmod_table=self.mulmod.mulmod_table)
@@ -263,6 +275,7 @@ class SuperCircuit(Circuit):
             ),
             sig_table=sig_table,
             ecc_table=ecc_table,
+            sha256_table=sha256_table,
         )
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)

@@ -161,6 +161,7 @@ class CircuitInputBuilder:
         self.ecadd_events: list = []  # circuits.ecc.EcAddEvent
         self.ecmul_events: list = []  # circuits.ecc.EcMulEvent
         self.sha3_inputs: list[bytes] = []  # keccak preimages (SHA3 opcode)
+        self.sha256_inputs: list[bytes] = []  # sha256 precompile inputs
         self._next_call_id = 1
         self._tx_log_count = 0  # logs emitted in the current tx
 
@@ -201,7 +202,7 @@ class CircuitInputBuilder:
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
             elif op.is_call and not op == OpcodeId.CALLCODE and (
-                (step.stack[-2] & ((1 << 160) - 1)) in (1, 4, 6, 7)
+                (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 6, 7)
             ):
                 self._handle_precompile(fr, step, nxt)
             elif op.is_call or op.is_create:
@@ -354,9 +355,12 @@ class CircuitInputBuilder:
         data = bytes(step.memory[args_off : args_off + args_len]) \
             .ljust(args_len, b"\x00")
 
-        names = {1: "ECRECOVER", 4: "IDENTITY", 6: "ECADD", 7: "ECMUL"}
+        names = {1: "ECRECOVER", 2: "SHA256", 4: "IDENTITY",
+                 6: "ECADD", 7: "ECMUL"}
         in_fixed = {1: 128, 6: 128, 7: 96}
         out_fixed = {1: 32, 6: 64, 7: 64}
+        if addr == 2:
+            assert ret_len == 32, "sha256 needs retLen 32 in round 1"
         if addr in in_fixed:
             assert args_len == in_fixed[addr], (
                 f"precompile 0x{addr:x} needs exact-size args in round 1"
@@ -391,6 +395,11 @@ class CircuitInputBuilder:
             self.sig_events.append(SigEvent(
                 msg_hash=int.from_bytes(h, "big"), r=r, s=s, pubkey=pub,
             ))
+        elif addr == 2:
+            import hashlib
+
+            out = hashlib.sha256(data).digest()
+            self.sha256_inputs.append(data)
         elif addr == 4:
             out = data[: min(args_len, ret_len)]
         else:
@@ -420,7 +429,26 @@ class CircuitInputBuilder:
             r_aff = (0, 0) if r_pt is None else r_pt
             out = r_aff[0].to_bytes(32, "big") + r_aff[1].to_bytes(32, "big")
 
-        if addr == 4:
+        if addr == 2:
+            if args_len:
+                self.copy_events.append(CopyEvent(
+                    src_type="memory", src_id=call_id, src_addr=args_off,
+                    dst_type="rlc", dst_id=0, dst_addr=0, length=args_len,
+                    rw_counter_start=self.rws.counter + 1, bytes_=data,
+                ))
+                for j in range(args_len):
+                    rws.append(
+                        self.rws.memory_read(call_id, args_off + j, data[j])
+                    )
+            self.copy_events.append(CopyEvent(
+                src_type="rlc", src_id=0, src_addr=0,
+                dst_type="memory", dst_id=call_id, dst_addr=ret_off,
+                length=32, rw_counter_start=self.rws.counter + 1,
+                bytes_=out,
+            ))
+            for j, byte in enumerate(out):
+                rws.append(self.rws.memory_write(call_id, ret_off + j, byte))
+        elif addr == 4:
             la = min(args_len, ret_len)
             ev = CopyEvent(
                 src_type="memory", src_id=call_id, src_addr=args_off,
