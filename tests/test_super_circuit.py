@@ -619,3 +619,23 @@ def test_super_circuit_sha256_empty_input():
     b, codes, txs = _witness(code)
     assert b.sha256_inputs == [b""]
     MockProver(10, SuperCircuit(b, codes, txs)).assert_satisfied()
+
+
+def test_super_circuit_modexp_precompile():
+    b_v, e_v, m_v = 0x1234, 0x1001, (1 << 200) + 7
+    code = Bytecode()
+    _mstore_word(code, 0, 32)
+    _mstore_word(code, 32, 32)
+    _mstore_word(code, 64, 32)
+    _mstore_word(code, 96, b_v)
+    _mstore_word(code, 128, e_v)
+    _mstore_word(code, 160, m_v)
+    code.push(1, 32).push(2, 0x200)
+    code.push(1, 192).push(1, 0)
+    code.push(2, 5).push(2, 0xFFFF).op("STATICCALL").op("POP")
+    code.push(2, 0x200).op("MLOAD").op("POP").op("STOP")
+    b, codes, txs = _witness(code)
+    assert b.modexp_events and b.modexp_events[0].result == pow(b_v, e_v, m_v)
+    circ = SuperCircuit(b, codes, txs)
+    assert circ.modexp is not None
+    MockProver(13, circ).assert_satisfied()

@@ -58,7 +58,7 @@ GADGETS = [
     "SHR", "MULMOD", "ADDMOD", "EXP", "CALLDATACOPY", "CALLDATALOAD",
     "SDIV", "SMOD", "SIGNEXTEND", "SAR", "RETURNDATASIZE",
     "RETURNDATACOPY", "CODECOPY",
-    "ECRECOVER", "IDENTITY", "ECADD", "ECMUL", "SHA256",
+    "ECRECOVER", "IDENTITY", "ECADD", "ECMUL", "SHA256", "MODEXP",
     "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
@@ -76,7 +76,7 @@ OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
                  "CALL", "RET", "LOG", "ECRECOVER", "IDENTITY", "ECADD",
-                 "ECMUL", "SHA256")
+                 "ECMUL", "SHA256", "MODEXP")
 }
 
 
@@ -104,7 +104,7 @@ class EvmCircuit(Circuit):
                   exp_table=None, copy_table=None, tx_table=None,
                   bytecode_table=None, mulmod_table=None, keccak_table=None,
                   block_table=None, sig_table=None, ecc_table=None,
-                  sha256_table=None):
+                  sha256_table=None, modexp_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -135,6 +135,7 @@ class EvmCircuit(Circuit):
         self.sig_table = sig_table
         self.ecc_table = ecc_table
         self.sha256_table = sha256_table
+        self.modexp_table = modexp_table
         self.q_step = cs.fixed_column()
         if self.standalone:
             self.q_rw = cs.fixed_column()
@@ -1686,23 +1687,6 @@ class EvmCircuit(Circuit):
                 ]],
                 self.copy_table,
             )
-            # fixed precompiles: input read event + output write event
-            for gname in ("ECRECOVER", "ECADD", "ECMUL"):
-                g_, hv_, npops_, addrc, in_l, out_l = self._pc_skel[gname]
-                cs.lookup_logup(
-                    f"{gname} io copies",
-                    [
-                        [g_, g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0,
-                         g_ * Advice(self.c_call_id), g_ * a_off_int,
-                         g_ * 0, g_ * 0, g_ * in_l, g_ * (rwc + npops_),
-                         g_ * p_in_acc],
-                        [g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0, g_,
-                         g_ * 0, g_ * 0, g_ * Advice(self.c_call_id),
-                         g_ * r_off_int, g_ * out_l,
-                         g_ * (rwc + npops_ + in_l), g_ * p_out_acc],
-                    ],
-                    self.copy_table,
-                )
 
         # SHA256 precompile (0x02): dynamic-length input via the
         # memory->RLC copy event, SHA-256 pad bridge (0x80 ‖ zeros ‖
@@ -1796,6 +1780,48 @@ class EvmCircuit(Circuit):
         self._s2_len_i = s2_len_i
         self._s2_p = s2_p
 
+        # MODEXP precompile (0x05), 32-byte operand scope: input is
+        # the fixed 192-byte stream (three 32-headers + B ‖ E ‖ M),
+        # statement binds to the ModExpTable
+        g_mx, _, _ = precompile_skeleton("MODEXP", 5, 192, 32, 192 + 32 + 4)
+        hdr32 = [0] * 31 + [32]
+        mx_in = (hdr32 + hdr32 + hdr32
+                 + [ba[i] for i in range(32)] + [bb[i] for i in range(32)]
+                 + [bc[i] for i in range(32)])
+        cs.create_gate("MODEXP in acc", g_mx * (horner(mx_in) - p_in_acc))
+        mx_out = [be_[i] for i in range(32)]
+        cs.create_gate("MODEXP out acc", g_mx * (horner(mx_out) - p_out_acc))
+        if self.modexp_table is not None:
+            bl_, bh_ = be_halves(ba)
+            el_, eh_ = be_halves(bb)
+            ml_, mh_ = be_halves(bc)
+            rl_, rh_ = be_halves(be_)
+            cs.lookup_logup(
+                "MODEXP statement",
+                [[g_mx, g_mx * bl_, g_mx * bh_, g_mx * el_, g_mx * eh_,
+                  g_mx * ml_, g_mx * mh_, g_mx * rl_, g_mx * rh_]],
+                self.modexp_table,
+            )
+
+        if self.copy_table is not None:
+            # fixed precompiles: input read event + output write event
+            for gname in ("ECRECOVER", "ECADD", "ECMUL", "MODEXP"):
+                g_, hv_, npops_, addrc, in_l, out_l = self._pc_skel[gname]
+                cs.lookup_logup(
+                    f"{gname} io copies",
+                    [
+                        [g_, g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0,
+                         g_ * Advice(self.c_call_id), g_ * a_off_int,
+                         g_ * 0, g_ * 0, g_ * in_l, g_ * (rwc + npops_),
+                         g_ * p_in_acc],
+                        [g_, g_ * 0, g_ * 0, g_ * 0, g_ * 0, g_,
+                         g_ * 0, g_ * 0, g_ * Advice(self.c_call_id),
+                         g_ * r_off_int, g_ * out_l,
+                         g_ * (rwc + npops_ + in_l), g_ * p_out_acc],
+                    ],
+                    self.copy_table,
+                )
+
         self._p_aoff_rlc = a_off_rlc
         self._p_roff_rlc = r_off_rlc
         self._id_la4 = id_la4
@@ -1888,7 +1914,7 @@ class EvmCircuit(Circuit):
                 + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD) \
                 + ind["LOG"] * (self._log_n + 0xA0)
             pc_fam = (ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
-                      + ind["ECMUL"] + ind["SHA256"])
+                      + ind["ECMUL"] + ind["SHA256"] + ind["MODEXP"])
             op_expr = op_expr + pc_fam * (
                 cr[20] * 0xF1 + cr[22] * 0xF4 + cr[23] * 0xFA
             )
@@ -2198,6 +2224,7 @@ class EvmCircuit(Circuit):
         # ---- precompile call accesses ------------------------------------
         for gname, extra_in, extra_out in (
             ("ECRECOVER", 128, 32), ("ECADD", 128, 64), ("ECMUL", 96, 64),
+            ("MODEXP", 192, 32),
             ("IDENTITY", None, None), ("SHA256", None, None),
         ):
             gp_ = q * ind[gname]
@@ -2219,7 +2246,7 @@ class EvmCircuit(Circuit):
                 rlen_val = extra_out
                 rdlen_val = extra_out
             addr_c = {"ECRECOVER": 1, "SHA256": 2, "IDENTITY": 4,
-                      "ECADD": 6, "ECMUL": 7}[gname]
+                      "MODEXP": 5, "ECADD": 6, "ECMUL": 7}[gname]
             inputs.append(access(gp_, 0, 0, sp, va))
             inputs.append(access(gp_, 1, 0, sp + 1, addr_c))
             inputs.append(access(gp_ * hv_p, 2, 0, sp + 2, vc))
@@ -2796,6 +2823,26 @@ class EvmCircuit(Circuit):
                     for i in range(32):
                         byts["a"][i][si] = digest[i]
                     ez_col[si] = int(alen == 0)
+                elif kind == "MODEXP":
+                    hv = int(s.op == OpcodeId.CALL)
+                    npp_ = 6 + hv
+                    flag_idx = {
+                        OpcodeId.CALL: 20, OpcodeId.DELEGATECALL: 22,
+                        OpcodeId.STATICCALL: 23,
+                    }[s.op]
+                    carries[flag_idx][si] = 1
+                    aoff = ops[npp_ - 4].value
+                    roff = ops[npp_ - 2].value
+                    for i in range(4):
+                        addrbytes[i][si] = (aoff >> (8 * i)) & 0xFF
+                        membytes[4 + i][si] = (roff >> (8 * i)) & 0xFF
+                    ins = [ops[npp_ + i].value for i in range(192)]
+                    outs = [o.value for o in ops[npp_ + 192 : -4]]
+                    for i in range(32):
+                        byts["a"][i][si] = ins[96 + i]
+                        byts["b"][i][si] = ins[128 + i]
+                        byts["c"][i][si] = ins[160 + i]
+                        byts["e"][i][si] = outs[i]
                 elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
                     hv = int(s.op == OpcodeId.CALL)
                     npp_ = 6 + hv
@@ -3057,7 +3104,8 @@ class EvmCircuit(Circuit):
                 pl = (-alen) % 64
                 pl = pl if pl >= 9 else pl + 64
                 prl_v = pow(r_int, pl - 1, R)
-            elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
+            elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY",
+                          "MODEXP"):
                 hv = int(s.op == OpcodeId.CALL)
                 npp_ = 6 + hv
                 va.append(rlc(ops[0]))
@@ -3069,7 +3117,7 @@ class EvmCircuit(Circuit):
                     inv_of = min(alen, rlen) % R
                 else:
                     in_len = {"ECRECOVER": 128, "ECADD": 128,
-                              "ECMUL": 96}[kind]
+                              "ECMUL": 96, "MODEXP": 192}[kind]
                     for i in range(in_len):
                         acc_m = (acc_m * r_int + ops[npp_ + i].value) % R
                     for o in ops[npp_ + in_len : -4]:

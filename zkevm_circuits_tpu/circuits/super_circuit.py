@@ -158,12 +158,24 @@ class SuperCircuit(Circuit):
             for ev in builder.ecadd_events + builder.ecmul_events:
                 ecc_mm_events.extend(ev.mulmod_events())
 
+        # ModExp circuit (modexp precompile events)
+        self.modexp = None
+        modexp_mm_events: list = []
+        if builder.modexp_events:
+            from .modexp import ModExpCircuit
+
+            self.modexp = ModExpCircuit(builder.modexp_events)
+            self.subs.append(self.modexp)
+            for ev in builder.modexp_events:
+                modexp_mm_events.extend(ev.mulmod_events())
+
         self.mulmod = None
-        if builder.mulmod_events or sig_mm_events or ecc_mm_events:
+        if (builder.mulmod_events or sig_mm_events or ecc_mm_events
+                or modexp_mm_events):
             from .mulmod import MulModCircuit, MulModParams
 
             evs = (list(builder.mulmod_events) + sig_mm_events
-                   + ecc_mm_events)
+                   + ecc_mm_events + modexp_mm_events)
             self.mulmod = MulModCircuit(
                 evs, MulModParams(target_rows=len(evs) + 1)
             )
@@ -237,6 +249,15 @@ class SuperCircuit(Circuit):
         if self.ecc is not None:
             self.ecc.configure(cs, mulmod_table=self.mulmod.mulmod_table)
             ecc_table = self.ecc.ecc_table
+        modexp_table = None
+        if self.modexp is not None:
+            from ..plonk.expression import Fixed as _FixedB
+
+            self.modexp.configure(
+                cs, mulmod_table=self.mulmod.mulmod_table,
+                byte_table=[_FixedB(self.bytecode.tbl_byte)],
+            )
+            modexp_table = self.modexp.modexp_table
         tx_sig_table = sig_table if self.with_sig_txs else None
         self.tx.configure(
             cs, challenge=r_word, rlp_table=rlp_table,
@@ -276,6 +297,7 @@ class SuperCircuit(Circuit):
             sig_table=sig_table,
             ecc_table=ecc_table,
             sha256_table=sha256_table,
+            modexp_table=modexp_table,
         )
         if self.pi is not None:
             self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)

@@ -364,6 +364,22 @@ class Interpreter:
             out = (b"\x00" * 64 if r_ is None else
                    r_[0].to_bytes(32, "big") + r_[1].to_bytes(32, "big"))
             return True, out, gas - cost
+        if addr == 5:  # modexp (32-byte operand scope)
+            cost = 200
+            if gas < cost:
+                return False, b"", 0
+            d = data.ljust(96, b"\x00")
+            bsize = int.from_bytes(d[:32], "big")
+            esize = int.from_bytes(d[32:64], "big")
+            msize = int.from_bytes(d[64:96], "big")
+            if max(bsize, esize, msize) > 32:
+                return True, b"", gas - cost  # beyond round-1 scope
+            body = data[96:].ljust(bsize + esize + msize, b"\x00")
+            b_ = int.from_bytes(body[:bsize], "big")
+            e_ = int.from_bytes(body[bsize : bsize + esize], "big")
+            m_ = int.from_bytes(body[bsize + esize :], "big")
+            out_v = pow(b_, e_, m_) if m_ else 0
+            return True, out_v.to_bytes(msize, "big"), gas - cost
         # other precompiles: flat stub cost, empty output (round-1 scope)
         cost = 100
         if gas < cost:

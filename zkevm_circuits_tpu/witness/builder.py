@@ -160,6 +160,7 @@ class CircuitInputBuilder:
         self.sig_events: list = []  # circuits.sig.SigEvent (ecrecover)
         self.ecadd_events: list = []  # circuits.ecc.EcAddEvent
         self.ecmul_events: list = []  # circuits.ecc.EcMulEvent
+        self.modexp_events: list = []  # circuits.modexp.ModExpEvent
         self.sha3_inputs: list[bytes] = []  # keccak preimages (SHA3 opcode)
         self.sha256_inputs: list[bytes] = []  # sha256 precompile inputs
         self._next_call_id = 1
@@ -202,7 +203,7 @@ class CircuitInputBuilder:
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
             elif op.is_call and not op == OpcodeId.CALLCODE and (
-                (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 6, 7)
+                (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 5, 6, 7)
             ):
                 self._handle_precompile(fr, step, nxt)
             elif op.is_call or op.is_create:
@@ -356,9 +357,9 @@ class CircuitInputBuilder:
             .ljust(args_len, b"\x00")
 
         names = {1: "ECRECOVER", 2: "SHA256", 4: "IDENTITY",
-                 6: "ECADD", 7: "ECMUL"}
-        in_fixed = {1: 128, 6: 128, 7: 96}
-        out_fixed = {1: 32, 6: 64, 7: 64}
+                 5: "MODEXP", 6: "ECADD", 7: "ECMUL"}
+        in_fixed = {1: 128, 5: 192, 6: 128, 7: 96}
+        out_fixed = {1: 32, 5: 32, 6: 64, 7: 64}
         if addr == 2:
             assert ret_len == 32, "sha256 needs retLen 32 in round 1"
         if addr in in_fixed:
@@ -400,6 +401,22 @@ class CircuitInputBuilder:
 
             out = hashlib.sha256(data).digest()
             self.sha256_inputs.append(data)
+        elif addr == 5:
+            from ..circuits.modexp import ModExpEvent
+
+            hdr = [int.from_bytes(data[i : i + 32], "big")
+                   for i in (0, 32, 64)]
+            assert hdr == [32, 32, 32], (
+                "modexp with non-32-byte operands lands later"
+            )
+            b_ = int.from_bytes(data[96:128], "big")
+            e_ = int.from_bytes(data[128:160], "big")
+            m_ = int.from_bytes(data[160:192], "big")
+            res = pow(b_, e_, m_) if m_ else 0
+            out = res.to_bytes(32, "big")
+            self.modexp_events.append(
+                ModExpEvent(base=b_, exponent=e_, modulus=m_, result=res)
+            )
         elif addr == 4:
             out = data[: min(args_len, ret_len)]
         else:
