@@ -150,6 +150,25 @@ class CircuitCapacityChecker:
         keccak_rows = sum(
             (ln // 136 + 1) * ROWS_PER_PERM for ln in keccak_msgs
         )
+        n_sigs = len(builder.sig_events)
+        sig_rows = n_sigs * 258
+        ecc_rows = (len(builder.ecadd_events)
+                    + len(builder.ecmul_events) * 258)
+        mulmod_rows = len(builder.mulmod_events)
+        for ev in (builder.sig_events + builder.ecadd_events
+                   + builder.ecmul_events + builder.modexp_events):
+            mulmod_rows += len(ev.mulmod_events())
+        modexp_rows = sum(
+            len(ev.steps()) for ev in builder.modexp_events
+        )
+        sha256_blocks = sum(
+            (ln + 8) // 64 + 1
+            for ln in map(len, builder.sha256_inputs)
+        )
+        keccak_rows += sum(
+            (len(m) // 136 + 1) * ROWS_PER_PERM
+            for m in builder.sha3_inputs
+        ) + n_sigs * ROWS_PER_PERM  # pubkey hashes
         rows = {
             "state": len(builder.rws.rws),
             "evm": len(builder.steps),
@@ -159,6 +178,11 @@ class CircuitCapacityChecker:
             "keccak": keccak_rows,
             "tx": (self.params.tx.max_txs * 12 + self.params.tx.max_calldata),
             "pi": max(136, 256),
+            "sig": sig_rows,
+            "ecc": ecc_rows,
+            "mulmod": mulmod_rows,
+            "modexp": modexp_rows,
+            "sha256": sha256_blocks * 72,
         }
         cap = usable_rows(1 << self.k)
         rows["fits"] = all(
