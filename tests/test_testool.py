@@ -108,3 +108,16 @@ def test_runner_cli(tmp_path, capsys):
     rc = main(["--path", str(f), "--level", "trace"])
     out = capsys.readouterr().out
     assert rc == 0 and "1 passed" in out
+
+
+def test_oneliner_precompile_identity_mock():
+    # store input, call identity (0x04), SSTORE the MLOADed result
+    spec = ("call 12;"
+            "PUSH1(0x2A),PUSH1(0),MSTORE,"          # mem[0:32] = 42
+            "PUSH1(32),PUSH1(64),PUSH1(32),PUSH1(0),PUSH1(0),PUSH1(4),"
+            "PUSH2(0xFFFF),CALL,POP,"
+            "PUSH1(64),MLOAD,PUSH1(0),SSTORE,STOP")
+    st = parse_oneliner(spec)
+    st.expect = {0x12: AccountState(storage={0: 0x2A})}
+    r = run_state_test(st, CircuitsConfig(level="mock", k=10))
+    assert r.ok and not r.skipped, r.reason
