@@ -24,6 +24,38 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# fast/slow tiers (reference analogue: `serial_`-prefixed `--ignored` heavy
+# tests, Makefile:20-21).  `pytest -m fast` is the <5-min smoke tier the
+# driver/CI can actually finish; everything else is `-m slow`.  Modules are
+# slow-listed from measured wall-clock on this box (1 CPU core); individual
+# tests can also self-mark with @pytest.mark.slow.
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_super_circuit",      # K=13 MockProver with full keccak: ~40 min
+    "test_evm_circuit",
+    "test_sig_circuit",
+    "test_keccak_circuit",
+    "test_sha256_circuit",
+    "test_testool",
+    "test_ecc_circuit",
+    "test_modexp_circuit",
+    "test_sharded_prove",      # 2 full proofs incl. mesh compile
+    "test_ntt3",               # ~2 min of fresh jit compiles
+    "test_tx_circuit",
+    "test_tx_rlp_binding",
+    "test_pi_circuit",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

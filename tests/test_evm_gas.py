@@ -1,0 +1,127 @@
+"""Gas accounting + error-state tests for the EVM circuit.
+
+Covers VERDICT.md round-1 Missing §2: the gas_left chain gate, per-gadget
+constant gas_cost constraints (reference execution/*.rs GasCost
+constants), and the ERR_STACK / ERR_OOG error states
+(error_stack.rs / error_oog_constant.rs).
+"""
+
+import numpy as np
+import pytest
+
+from zkevm_circuits_tpu.circuits.evm import EvmCircuit, EvmParams
+from zkevm_circuits_tpu.crypto.field import fr
+from zkevm_circuits_tpu.crypto.params import FR_MODULUS as R
+from zkevm_circuits_tpu.plonk.mock import MockProver
+from zkevm_circuits_tpu.tracer import Account, Interpreter, StateDB, Tx
+from zkevm_circuits_tpu.types import Bytecode
+from zkevm_circuits_tpu.witness.builder import CircuitInputBuilder
+
+F = fr()
+K = 9
+SENDER, CONTRACT = 0xCAFE, 0xC0DE
+PARAMS = EvmParams(target_steps=40, rw_target=256)
+
+
+def _witness(code: Bytecode, gas: int = 1_000_000, expect_fail: bool = False):
+    state = StateDB(
+        {SENDER: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(
+        Tx(from_addr=SENDER, to=CONTRACT, gas=gas)
+    )
+    assert tr.failed == expect_fail
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr
+    )
+    return b
+
+
+def _mont(v: int):
+    return F.from_int(v % R * F.R % R)
+
+
+def test_gas_chain_and_costs_satisfied():
+    b = _witness(
+        Bytecode().push(1, 5).push(2, 0x1234).op("ADD").op("POP").op("STOP")
+    )
+    # sanity on the witness itself: BEGIN_TX anchors the chain
+    begin = b.steps[0]
+    assert begin.gas_cost == 21000
+    assert begin.gas - begin.gas_cost == b.steps[1].gas
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_wrong_gas_cost_rejected():
+    b = _witness(Bytecode().push(1, 5).push(1, 2).op("ADD").op("POP").op("STOP"))
+    # claim the ADD step cost 0 gas
+    add_row = next(i for i, s in enumerate(b.steps) if s.exec_state == "ADD")
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                arr = np.asarray(cols[self.c_gas_cost]).copy()
+                arr[add_row] = _mont(0)
+                cols[self.c_gas_cost] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "zero-cost ADD must violate the ADD gas gate"
+
+
+def test_broken_gas_chain_rejected():
+    b = _witness(Bytecode().push(1, 5).push(1, 2).op("ADD").op("POP").op("STOP"))
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                arr = np.asarray(cols[self.c_gas_left]).copy()
+                arr[2] = _mont(12345678)  # free gas mid-chain
+                cols[self.c_gas_left] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "gas_left jump must violate the chain gate"
+
+
+def test_error_stack_underflow_proves():
+    # ADD on an empty stack: tx fails with ERR_STACK (underflow)
+    b = _witness(Bytecode().op("ADD"), expect_fail=True)
+    states = [s.exec_state for s in b.steps]
+    assert states == ["BeginTx", "ERR_STACK", "EndTx"]
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_oog_constant_proves():
+    # gas limit = intrinsic + 3: the first PUSH eats 3, the second is OOG
+    b = _witness(
+        Bytecode().push(1, 1).push(1, 2).op("ADD").op("STOP"),
+        gas=21_003, expect_fail=True,
+    )
+    states = [s.exec_state for s in b.steps]
+    assert states == ["BeginTx", "PUSH1", "ERR_OOG", "EndTx"]
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_state_must_match_witness():
+    # an ERR_STACK claim on a healthy step must fail the prover
+    b = _witness(Bytecode().op("ADD"), expect_fail=True)
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                # flip the underflow flag to overflow: sp != 0 kills it
+                arr = np.asarray(cols[self.c_carry[0]]).copy()
+                arr2 = np.asarray(cols[self.c_carry[1]]).copy()
+                arr[1], arr2[1] = _mont(0), _mont(1)
+                cols[self.c_carry[0]] = arr
+                cols[self.c_carry[1]] = arr2
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "mislabelled error kind must be rejected"

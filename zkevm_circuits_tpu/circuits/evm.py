@@ -41,9 +41,9 @@ from ..crypto.field import fr
 from ..crypto.params import FR_MODULUS as R
 from ..plonk.circuit import Circuit, ConstraintSystem, usable_rows
 from ..plonk.expression import Advice, Expression, Fixed
-from ..types.evm import OpcodeId
+from ..types.evm import OpcodeId, opcode_from_byte
 from ..witness.builder import ExecStep, STACK_BASE
-from ..witness.rw import CallContextField, Rw, RwTag
+from ..witness.rw import AccountField, CallContextField, Rw, RwTag
 from .state import rw_value_encoding, word_rlc
 
 F = fr()
@@ -64,6 +64,8 @@ GADGETS = [
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
+    "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
+    "ERR_STACK", "ERR_OOG",
     "STOP",
 ]
 
@@ -76,7 +78,7 @@ OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
                  "CALL", "RET", "LOG", "ECRECOVER", "IDENTITY", "ECADD",
-                 "ECMUL", "SHA256", "MODEXP")
+                 "ECMUL", "SHA256", "MODEXP", "ERR_STACK", "ERR_OOG")
 }
 
 
@@ -144,6 +146,8 @@ class EvmCircuit(Circuit):
         self.c_ind = {g: cs.advice_column() for g in GADGETS}
         self.c_pc = cs.advice_column()
         self.c_gas_cost = cs.advice_column()
+        self.c_gas_left = cs.advice_column()  # gas remaining BEFORE the step
+        self.c_gas_aux = cs.advice_column()  # gas helper (PUSH0 inverse etc.)
         self.c_rwc = cs.advice_column()  # rw_counter at step start
         self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
         self.c_call_id = cs.advice_column()
@@ -192,6 +196,13 @@ class EvmCircuit(Circuit):
         # 0/1 selector makes the gated-off (all-zero) input tuple a valid
         # row — unlike the byte/bitwise tables, pow2 has no natural zero
         # row (2^0 = 1)
+        # opcode-properties table: row i < 256 holds (pops, pushes,
+        # constant_gas) of opcode byte i (tbl_byte is the key column) —
+        # the reference's responsible-opcode/gas fixed tables
+        # (evm_circuit/table.rs FixedTableTag), backing the error states
+        self.tbl_op_pops = cs.fixed_column()
+        self.tbl_op_pushes = cs.fixed_column()
+        self.tbl_op_gas = cs.fixed_column()
         self.tbl_sel256 = cs.fixed_column()
         self.tbl_pow2_lo = cs.fixed_column()
         self.tbl_pow2_hi = cs.fixed_column()
@@ -338,6 +349,11 @@ class EvmCircuit(Circuit):
             transition(ind[g], 1, 1, -1)
         # SLOAD: key pop + storage read + value push; sp 0, rwc += 3
         transition(ind["SLOAD"], 1, 3, 0)
+        # account opcodes (reference execution/balance.rs, extcodesize.rs,
+        # extcodehash.rs, selfbalance.rs)
+        transition(ind["SELFBALANCE"], 1, 2, -1)
+        for g in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
+            transition(ind[g], 1, 4, 0)
         # SSTORE: key + value pops + storage write; sp += 2, rwc += 3
         transition(ind["SSTORE"], 1, 3, 2)
         # BEGIN_TX: 6 ctx reads; next row starts at pc 0, empty stack
@@ -351,9 +367,19 @@ class EvmCircuit(Circuit):
         cs.create_gate("BEGIN_TX sp empty", gbt * (sp - STACK_BASE))
         # root frames: call_id == tx_id (nested calls land with CALL*)
         cs.create_gate("BEGIN_TX cid", gbt * (Advice(self.c_call_id) - txid))
-        transition(bt, 0, 6, 0)
-        # END_TX: 1 ctx read (IsSuccess)
-        transition(et, 0, 1, 0)
+        # 6 ctx reads + 2 access-list warms + nonce bump + fee purchase +
+        # value-transfer pair + callee code-hash read (execution/begin_tx.rs)
+        transition(bt, 0, 13, 0)
+        # END_TX: IsSuccess read + TxRefund + caller gas refund + coinbase
+        # reward, plus rev reversion writes on failed txs (the count cell
+        # c_gas_aux; exact binding lands with the reversible-write counter)
+        get_n = q * q_n * et
+        rev_e = Advice(self.c_gas_aux)
+        cs.create_gate("END_TX pc", get_n * (pc_n - pc))
+        cs.create_gate("END_TX sp", get_n * (sp_n - sp))
+        cs.create_gate(
+            "END_TX rwc", get_n * (rwc_n - rwc - 4 - rev_e)
+        )
         # context continuity: tx_id / callee / call_id carry over unless
         # the NEXT row begins a new transaction or THIS row switches call
         # frames (CALL descends, RET returns)
@@ -374,6 +400,122 @@ class EvmCircuit(Circuit):
             "next tx id", q * q_n * et * bt_n * (txid_n - txid - 1)
         )
         # STOP: terminal — no transition constraints
+
+        # ---- gas accounting (reference evm_circuit/step.rs gas_left
+        # transition + per-gadget gas_cost, execution/*.rs) --------------
+        gas_e, gas_n = Advice(self.c_gas_left), Advice(self.c_gas_left, 1)
+        cost_e = Advice(self.c_gas_cost)
+        # universal chain: next gas = gas - cost.  Excluded transitions:
+        # into a new tx (BEGIN_TX resets to the next tx's limit) and out
+        # of frame switches (CALL allocates callee gas, RET restores the
+        # caller's — their exact 63/64ths gas rules land with the account
+        # state machine work).
+        g_gaschain = q * q_n * (1 - bt_n) * (1 - ind["CALL"] - ind["RET"])
+        cs.create_gate("gas chain", g_gaschain * (gas_n - gas_e + cost_e))
+        # constant-cost opcodes (reference eth-types GasCost constants;
+        # execution/error_oog_constant.rs pairs these with OOG checks)
+        GAS_CONST = {
+            "ADD": 3, "SUB": 3, "LT": 3, "GT": 3, "EQ": 3, "ISZERO": 3,
+            "NOT": 3, "AND": 3, "OR": 3, "XOR": 3, "BYTE": 3, "SHL": 3,
+            "SHR": 3, "CALLDATALOAD": 3, "MUL": 5, "DIV": 5, "MOD": 5,
+            "SDIV": 5, "SMOD": 5, "SIGNEXTEND": 5, "SAR": 3, "ADDMOD": 8,
+            "MULMOD": 8, "POP": 2, "PC": 2, "JUMPDEST": 1, "JUMP": 8,
+            "JUMPI": 10, "DUP": 3, "SWAP": 3, "CALLER": 2, "ADDRESS": 2,
+            "CALLVALUE": 2, "CALLDATASIZE": 2, "RETURNDATASIZE": 2,
+            "TIMESTAMP": 2, "NUMBER": 2, "COINBASE": 2, "GASLIMIT": 2,
+            "CHAINID": 2, "BASEFEE": 2, "DIFFICULTY": 2, "GASPRICE": 2,
+            "ORIGIN": 2, "STOP": 0, "END_TX": 0, "SELFBALANCE": 5,
+        }
+        for gname, c0 in GAS_CONST.items():
+            cs.create_gate(f"{gname} gas", q * ind[gname] * (cost_e - c0))
+        # PUSH: 3 gas, except PUSH0 (immediate length 0) costs 2.  With
+        # z := 3 - cost: z boolean, z = (plen == 0) via the inverse in
+        # c_gas_aux (IsZero pattern, reference gadgets is_zero.rs)
+        z_p = 3 - cost_e
+        inv_p = Advice(self.c_gas_aux)
+        g_pu = q * ind["PUSH"]
+        cs.create_gate("PUSH gas bool", g_pu * z_p * (z_p - 1))
+        cs.create_gate("PUSH gas zdef", g_pu * (plen * inv_p - (1 - z_p)))
+        cs.create_gate("PUSH gas zkill", g_pu * z_p * plen)
+        # EIP-2929 account access: warm 100 / cold 2600 (membership until
+        # the AL value_prev binding lands)
+        for gname in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
+            cs.create_gate(
+                f"{gname} gas",
+                q * ind[gname] * (cost_e - 100) * (cost_e - 2600),
+            )
+        # SLOAD: warm 100 / cold 2100 (EIP-2929; exact warm/cold binding
+        # lands with TxAccessList rows — membership constrains the claim
+        # to the legal set meanwhile)
+        cs.create_gate(
+            "SLOAD gas", q * ind["SLOAD"] * (cost_e - 100) * (cost_e - 2100)
+        )
+        # SSTORE: {no-op 100, reset 2900, set 20000} x {+0 warm, +2100 cold}
+        # (EIP-2929 + EIP-3529 values)
+        g_ss = q * ind["SSTORE"]
+        poly_ss = None
+        for v in (100, 2900, 20000, 2200, 5000, 22100):
+            term = cost_e - v
+            poly_ss = term if poly_ss is None else poly_ss * term
+        cs.create_gate("SSTORE gas", g_ss * poly_ss)
+
+        # ---- error states (reference execution/error_stack.rs,
+        # error_oog_constant.rs).  Cells on an error row: the failing
+        # opcode byte in c_depth_n, its (pops, pushes, constant_gas) in
+        # (c_ez, c_eo, c_push_len) — bound to the opcode-properties fixed
+        # table — plus per-kind witnesses below.  Error steps emit no RW
+        # rows, keep rw_counter, and must be followed by END_TX (root
+        # frames; nested-frame error unwinding lands with the account
+        # state machine). ------------------------------------------------
+        e_any = ind["ERR_STACK"] + ind["ERR_OOG"]
+        g_eany = q * e_any
+        opb_e = Advice(self.c_depth_n)
+        pops_e = Advice(self.c_ez)
+        pushes_e = Advice(self.c_eo)
+        g0_e = Advice(self.c_push_len)
+        cs.lookup_logup(
+            "opcode properties",
+            [[g_eany * opb_e, g_eany * pops_e, g_eany * pushes_e,
+              g_eany * g0_e]],
+            [Fixed(self.tbl_byte), Fixed(self.tbl_op_pops),
+             Fixed(self.tbl_op_pushes), Fixed(self.tbl_op_gas)],
+        )
+        # terminal: next row is END_TX; rw counter and gas carry over
+        # (the gas chain gate already covers gas; cost is forced 0 below)
+        et_n = Advice(self.c_ind["END_TX"], 1)
+        cs.create_gate("error then end_tx", q * q_n * e_any * (1 - et_n))
+        cs.create_gate("error rwc", q * q_n * e_any * (rwc_n - rwc))
+        cs.create_gate("error gas cost", g_eany * cost_e)
+        # ERR_STACK: underflow (sp + pops > 1024) or overflow (the net
+        # push exceeds free slots: pushes - pops > sp).  u/o flags live in
+        # carry bank cells 0/1 (free on error rows); the underflow
+        # distance sp + pops - 1025 in c_gas_aux is byte-range-checked
+        # (<= 16 genuinely; lookup added to the byte-ranges argument).
+        g_es = q * ind["ERR_STACK"]
+        u_e = Advice(self.c_carry[0])
+        o_e = Advice(self.c_carry[1])
+        cs.create_gate("ERR_STACK u bool", g_es * u_e * (u_e - 1))
+        cs.create_gate("ERR_STACK o bool", g_es * o_e * (o_e - 1))
+        cs.create_gate("ERR_STACK one kind", g_es * (u_e + o_e - 1))
+        cs.create_gate(
+            "ERR_STACK under dist",
+            g_es * u_e * (sp + pops_e - 1025 - Advice(self.c_gas_aux)),
+        )
+        cs.create_gate("ERR_STACK over sp", g_es * o_e * sp)
+        cs.create_gate(
+            "ERR_STACK over net", g_es * o_e * (pushes_e - pops_e - 1)
+        )
+        # ERR_OOG (constant-cost opcodes): gas_left < constant_gas, with
+        # constant_gas > 0 guaranteed by the 2-byte decomposition of
+        # g0 - gas - 1 in bytes_a[0..1] (dynamic-cost opcodes have g0 = 0
+        # in the table, which makes the decomposition unsatisfiable —
+        # their OOG gadgets land with the memory-expansion work)
+        g_eo2 = q * ind["ERR_OOG"]
+        cs.create_gate(
+            "ERR_OOG dist",
+            g_eo2 * (g0_e - gas_e - 1 - Advice(self.c_bytes_a[0])
+                     - 256 * Advice(self.c_bytes_a[1])),
+        )
 
         # ---- word-sum gadget (AddWords): x + y = z mod 2^256 over byte
         # cells, shared by ADD (va+vb=vc) and SUB (vc+vb=va) ----------------
@@ -1327,7 +1469,9 @@ class EvmCircuit(Circuit):
                 self.copy_table,
             )
         cs.create_gate(
-            "RET rwc", gretn * (rwc_n - rwc - npp - 2 * la4 - 11)
+            "RET rwc",
+            gretn * (rwc_n - rwc - npp - 2 * la4 - 11
+                     - Advice(self.c_gas_aux)),
         )
         self._ret_npp = npp
         self._ret_la4 = la4
@@ -1920,6 +2064,11 @@ class EvmCircuit(Circuit):
             )
             g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"] + ind["CALL"] \
                 + ind["RET"] * (rtn + rvt) + ind["LOG"] + pc_fam
+            # error rows: the failing opcode byte (c_depth_n) is the code
+            # byte at pc, like any executed opcode
+            err_any = ind["ERR_STACK"] + ind["ERR_OOG"]
+            op_expr = op_expr + err_any * nd_e
+            g_code = g_code + err_any
             for g, byte in OPCODE_BYTE.items():
                 op_expr = op_expr + ind[g] * byte
                 g_code = g_code + ind[g]
@@ -1962,6 +2111,9 @@ class EvmCircuit(Circuit):
         # SHA256 pad length p in [9, 72]
         byte_inputs.append([gs2 * (self._s2_p - 9)])
         byte_inputs.append([gs2 * (72 - self._s2_p)])
+        # ERR_STACK underflow distance sp + pops - 1025 (a byte; <= 16
+        # genuinely); 0 on overflow rows
+        byte_inputs.append([q * ind["ERR_STACK"] * Advice(self.c_gas_aux)])
         cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -2291,6 +2443,44 @@ class EvmCircuit(Circuit):
                              field=int(CCF.IsRoot)))
         inputs.append(access(gbt, 5, 0, 0, vc, tag=ctxtag,
                              field=int(CCF.CallDataLength)))
+        # account-machine rows (reference execution/begin_tx.rs):
+        # EIP-2929 warms, caller nonce bump, fee purchase, value transfer,
+        # callee code-hash read.  New values live in per-step cells
+        # (nonce_new: c_ez raw; the three balance word-RLCs: acc_m/rpl/prl;
+        # code hash: the step's own c_code_hash).  Arithmetic binding of
+        # fee/value (MulWordByU64 + AddWords over the banks) is staged
+        # behind the value_prev bus extension.
+        from ..witness.rw import AccountField as AF
+        altag = int(RwTag.TxAccessListAccount)
+        acctag = int(RwTag.Account)
+        nonce_new = Advice(self.c_ez)
+        bal_fee = Advice(self.c_acc_m)
+        bal_cval = Advice(self.c_rpl)
+        bal_eval = Advice(self.c_prl)
+        inputs.append(access(gbt, 6, 1, va, 1, tag=altag, id_expr=txid))
+        inputs.append(access(gbt, 7, 1, callee, 1, tag=altag, id_expr=txid))
+        inputs.append(access(gbt, 8, 1, va, nonce_new, tag=acctag,
+                             id_expr=0, field=int(AF.Nonce)))
+        inputs.append(access(gbt, 9, 1, va, bal_fee, tag=acctag,
+                             id_expr=0, field=int(AF.Balance)))
+        inputs.append(access(gbt, 10, 1, va, bal_cval, tag=acctag,
+                             id_expr=0, field=int(AF.Balance)))
+        inputs.append(access(gbt, 11, 1, callee, bal_eval, tag=acctag,
+                             id_expr=0, field=int(AF.Balance)))
+        inputs.append(access(gbt, 12, 0, callee, chash, tag=acctag,
+                             id_expr=0, field=int(AF.CodeHash)))
+        # END_TX rows (execution/end_tx.rs): refund counter (c_ez raw),
+        # caller gas refund + coinbase reward balances (acc_m / rpl RLCs);
+        # va = raw caller, vc = raw coinbase on END_TX rows
+        get = q * et
+        inputs.append(access(get, 0, 0, 0, Advice(self.c_prl),
+                             tag=ctxtag, field=int(CCF.IsSuccess)))
+        inputs.append(access(get, 1, 1, 0, Advice(self.c_ez),
+                             tag=int(RwTag.TxRefund), id_expr=txid))
+        inputs.append(access(get, 2, 1, va, Advice(self.c_acc_m),
+                             tag=acctag, id_expr=0, field=int(AF.Balance)))
+        inputs.append(access(get, 3, 1, vc, Advice(self.c_rpl),
+                             tag=acctag, id_expr=0, field=int(AF.Balance)))
         if self.tx_table is not None:
             # anchor the context to the TxTable (tx_id, tag, index, value)
             from .tx import TxFieldTag as TT
@@ -2305,6 +2495,13 @@ class EvmCircuit(Circuit):
                     [gbt * txid, gbt * int(TT.Value), gbt * 0, gbt * vb],
                     [gbt * txid, gbt * int(TT.CallDataLength), gbt * 0,
                      gbt * vc],
+                    # gas anchor: BEGIN_TX.gas is the tx gas limit; its
+                    # gas_cost is 21000 + calldata gas (the TxTable commits
+                    # CallDataGasCost, reference execution/begin_tx.rs)
+                    [gbt * txid, gbt * int(TT.Gas), gbt * 0,
+                     gbt * Advice(self.c_gas_left)],
+                    [gbt * txid, gbt * int(TT.CallDataGasCost), gbt * 0,
+                     gbt * (Advice(self.c_gas_cost) - 21000)],
                 ],
                 self.tx_table,
             )
@@ -2356,6 +2553,44 @@ class EvmCircuit(Circuit):
         inputs.append(access(gss, 2, 1, callee, vb, tag=storetag,
                              id_expr=txid, key=va))
 
+        # ---- account opcodes (reference execution/balance.rs,
+        # extcodesize.rs, extcodehash.rs, selfbalance.rs): pop the address
+        # word (bytes_a; low 20 bytes form the account key), warm it
+        # (TxAccessListAccount write), read the Account field, push.
+        af_bal = int(AccountField.Balance)
+        gsb = q * ind["SELFBALANCE"]
+        inputs.append(access(gsb, 0, 0, callee, vb, tag=acctag,
+                             id_expr=0, field=af_bal))
+        inputs.append(access(gsb, 1, 1, sp - 1, vb))
+        g_acct = q * (ind["BALANCE"] + ind["EXTCODESIZE"]
+                      + ind["EXTCODEHASH"])
+        cs.create_gate("acct addr rlc", g_acct * (rlc_expr(ba) - va))
+        inputs.append(access(g_acct, 0, 0, sp, va))
+        inputs.append(access(g_acct, 1, 1, addr_raw, 1, tag=altag,
+                             id_expr=txid))
+        inputs.append(access(g_acct, 3, 1, sp, vb))
+        gb2 = q * ind["BALANCE"]
+        inputs.append(access(gb2, 2, 0, addr_raw, vb, tag=acctag,
+                             id_expr=0, field=af_bal))
+        # EXTCODESIZE: raw size (c_addr 4 bytes) on the account row, its
+        # word-RLC on the stack
+        ges = q * ind["EXTCODESIZE"]
+        cs.create_gate("EXTCODESIZE size rlc", ges * (fold4_rlc(ab4) - vb))
+        inputs.append(access(ges, 2, 0, addr_raw, fold4_int(ab4),
+                             tag=acctag, id_expr=0,
+                             field=int(AccountField.CodeSize)))
+        # EXTCODEHASH: bytes_b holds the digest BIG-ENDIAN; the account
+        # row uses the keccak fold (BE byte 0 at r^0), the stack word its
+        # LE fold — both from the same cells
+        geh = q * ind["EXTCODEHASH"]
+        cs.create_gate(
+            "EXTCODEHASH word rlc",
+            geh * (rlc_expr(list(reversed(bb))) - vb),
+        )
+        inputs.append(access(geh, 2, 0, addr_raw, rlc_expr(bb),
+                             tag=acctag, id_expr=0,
+                             field=int(AccountField.CodeHash)))
+
         cs.lookup_logup("rw bus", inputs, table)
 
     # ------------------------------------------------------------------
@@ -2384,6 +2619,21 @@ class EvmCircuit(Circuit):
                 [nib(i, lambda x, y: x ^ y) for i in range(n)]
             ),
             self.tbl_sel256: mont([1 if i < 256 else 0 for i in range(n)]),
+            self.tbl_op_pops: mont([
+                op.pops if (i < 256 and (op := opcode_from_byte(i))
+                            is not None) else 0
+                for i in range(n)
+            ]),
+            self.tbl_op_pushes: mont([
+                op.pushes if (i < 256 and (op := opcode_from_byte(i))
+                              is not None) else 0
+                for i in range(n)
+            ]),
+            self.tbl_op_gas: mont([
+                op.constant_gas if (i < 256 and (op := opcode_from_byte(i))
+                                    is not None) else 0
+                for i in range(n)
+            ]),
             self.tbl_pow2_lo: mont(
                 [(1 << i) if i < 128 else 0 for i in range(n)]
             ),
@@ -2399,6 +2649,8 @@ class EvmCircuit(Circuit):
         return out
 
     def _classify(self, s: ExecStep) -> str:
+        if s.exec_state.startswith("ERR_"):
+            return s.exec_state
         if s.exec_state == "BeginTx":
             return "BEGIN_TX"
         if s.exec_state == "EndTx":
@@ -2446,6 +2698,18 @@ class EvmCircuit(Circuit):
             padded = lambda vals, key: mont(vals + [pads[key]] * pad_n)
             cols[self.c_pc] = padded([s.pc for s in steps], "pc")
             cols[self.c_gas_cost] = mont([s.gas_cost for s in steps])
+            # gas_left chain; padding STOP rows hold the final gas
+            pads["gas"] = (last.gas - last.gas_cost) if last else 0
+            cols[self.c_gas_left] = padded([s.gas for s in steps], "gas")
+            # PUSH0 IsZero inverse: 1/plen for PUSHn (n>=1); ERR_STACK rows
+            # overwrite theirs with the underflow distance in the loop
+            gas_aux = [
+                pow(s.op.push_len, -1, R)
+                if (s.op is not None and s.op.is_push and s.op.push_len
+                    and not s.exec_state.startswith("ERR_"))
+                else 0
+                for s in steps
+            ]
             cols[self.c_rwc] = padded(
                 [s.rw_counter_start for s in steps], "rwc"
             )
@@ -2464,7 +2728,8 @@ class EvmCircuit(Circuit):
             ]  # SHA3 rows overwrite theirs with the pad length below;
             # c_push_len is assigned after the per-step loop
             depth = [
-                (s.op - 0x7F) if (s.op is not None and s.op.is_dup)
+                int(s.op) if s.exec_state.startswith("ERR_")
+                else (s.op - 0x7F) if (s.op is not None and s.op.is_dup)
                 else (s.op - 0x8F) if (s.op is not None and s.op.is_swap)
                 else 0
                 for s in steps
@@ -2512,7 +2777,42 @@ class EvmCircuit(Circuit):
             for si, s in enumerate(steps):
                 kind = self._classify(s)
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
-                if kind == "PUSH":
+                if kind in ("BEGIN_TX", "END_TX"):
+                    if kind == "BEGIN_TX":
+                        ez_col[si] = ops[8].value  # caller nonce_new (raw)
+                    else:
+                        ez_col[si] = ops[1].value  # TxRefund counter (raw)
+                        gas_aux[si] = s.rev_count
+                elif kind in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
+                    set_word("a", si, ops[0].value)  # popped address word
+                    if kind == "EXTCODESIZE":
+                        size = ops[2].value
+                        for i in range(4):
+                            addrbytes[i][si] = (size >> (8 * i)) & 0xFF
+                    elif kind == "EXTCODEHASH":
+                        hb = ops[2].value.to_bytes(32, "big")
+                        for i in range(32):
+                            byts["b"][i][si] = hb[i]
+                elif kind in ("ERR_STACK", "ERR_OOG"):
+                    op = s.op
+                    ez_col[si] = op.pops
+                    eo_col[si] = op.pushes
+                    plens[si] = op.constant_gas
+                    if kind == "ERR_STACK":
+                        under = s.stack_pointer + op.pops > 1024
+                        carries[0][si] = int(under)
+                        carries[1][si] = int(not under)
+                        if under:
+                            gas_aux[si] = s.stack_pointer + op.pops - 1025
+                    else:  # ERR_OOG: gas_left < constant_gas
+                        # clamped, not asserted: an inconsistent claim
+                        # (gas >= cost) must fail at the GATE, not in
+                        # witness generation
+                        d2 = min(max(op.constant_gas - s.gas - 1, 0),
+                                 (1 << 16) - 1)
+                        byts["a"][0][si] = d2 & 0xFF
+                        byts["a"][1][si] = d2 >> 8
+                elif kind == "PUSH":
                     set_word("a", si, ops[0].value)
                     for i in range(s.op.push_len):
                         carries[i][si] = 1
@@ -2979,6 +3279,7 @@ class EvmCircuit(Circuit):
                         membytes[i][si] = cle[i]
                     ez_col[si] = ops[npp_ + 13].value  # IsStatic write
                 elif kind == "RET":
+                    gas_aux[si] = s.rev_count
                     op_ = s.op
                     flag_idx = {
                         OpcodeId.RETURN: 20, OpcodeId.STOP: 21,
@@ -2989,7 +3290,7 @@ class EvmCircuit(Circuit):
                     npp_ = 2 if has_d else 0
                     off_v = ops[0].value if has_d else 0
                     len_v = ops[1].value if has_d else 0
-                    nrw = len(ops)
+                    nrw = len(ops) - s.rev_count  # reversion rows trail
                     # tail: 7 ctx reads + 3 bookkeeping writes + success
                     base = nrw - 11
                     retoff_v = ops[base + 5].value
@@ -3033,6 +3334,7 @@ class EvmCircuit(Circuit):
                         byts["c"][i][si] = db[i]
                     ez_col[si] = int(size == 0)
             cols[self.c_push_len] = mont(plens)
+            cols[self.c_gas_aux] = mont(gas_aux)
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),
@@ -3057,7 +3359,10 @@ class EvmCircuit(Circuit):
                 rws = [
                     r for r in rws
                     if r.tag in (RwTag.Stack, RwTag.Memory, RwTag.Storage,
-                                 RwTag.CallContext, RwTag.TxLog)
+                                 RwTag.CallContext, RwTag.TxLog,
+                                 RwTag.Account, RwTag.TxAccessListAccount,
+                                 RwTag.TxAccessListAccountStorage,
+                                 RwTag.TxRefund)
                 ]
                 assert len(rws) <= self._rw_target(n), (
                     f"rw table overflow: {len(rws)} rows > rw_target "
@@ -3143,7 +3448,8 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0]) if has_d else 0)
                 vb.append(rlc(ops[1]) if has_d else 0)
                 vc.append(0)
-                la_v = min(ops[1].value, ops[len(ops) - 5].value) \
+                nrw_ = len(ops) - s.rev_count  # reversion rows trail
+                la_v = min(ops[1].value, ops[nrw_ - 5].value) \
                     if has_d else 0
                 inv_of = la_v % R
             elif kind in ("RETURN", "REVERT"):
@@ -3216,10 +3522,23 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
                 inv2_of = vb[-1]
             elif kind == "BEGIN_TX":
-                # builder order: TxId, Callee, Caller, Value, IsRoot, CDLen
+                # builder order: TxId, Callee, Caller, Value, IsRoot,
+                # CDLen, AL caller, AL callee, nonce, fee, caller-value,
+                # callee-value, code-hash read
                 va.append(ops[2].value % R)       # raw caller address
                 vb.append(rlc(ops[3]))            # value word RLC
                 vc.append(ops[5].value % R)       # raw calldata length
+                acc_m = rlc(ops[9])               # caller balance post-fee
+                rpl_v = rlc(ops[10])              # caller balance post-value
+                prl_v = rlc(ops[11])              # callee balance post-value
+            elif kind == "END_TX":
+                # IsSuccess, TxRefund, caller refund, coinbase reward
+                va.append(ops[2].address % R)     # raw caller address
+                vb.append(0)
+                vc.append(ops[3].address % R)     # raw coinbase address
+                acc_m = rlc(ops[2])               # caller balance
+                rpl_v = rlc(ops[3])               # coinbase balance
+                prl_v = ops[0].value % R          # IsSuccess flag
             elif kind in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE",
                           "RETURNDATASIZE"):
                 va.append(rlc(ops[1])); vb.append(0); vc.append(0)
@@ -3235,6 +3554,10 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
             elif kind == "SSTORE":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
+            elif kind == "SELFBALANCE":
+                va.append(0); vb.append(rlc(ops[1])); vc.append(0)
+            elif kind in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
+                va.append(rlc(ops[0])); vb.append(rlc(ops[3])); vc.append(0)
             elif kind == "DUP":
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SWAP":

@@ -95,8 +95,19 @@ def rw_value_encoding(r: Rw, r_chal: int) -> int:
     CallContext.Value), RAW field element for small fields (addresses,
     lengths, ids, flags) — so TxTable/BytecodeTable lookups compare raw
     integers while word lookups compare RLCs."""
-    if r.tag == RwTag.CallContext and r.field_tag in (
-        CallContextField.CodeHash, CallContextField.ParentCodeHash
+    from ..witness.rw import AccountField
+
+    if r.tag in (RwTag.TxAccessListAccount, RwTag.TxAccessListAccountStorage,
+                 RwTag.TxRefund):
+        return r.value % R  # raw small values (warm flag / refund counter)
+    if r.tag == RwTag.Account and r.field_tag in (
+        AccountField.Nonce, AccountField.CodeSize
+    ):
+        return r.value % R
+    if (r.tag == RwTag.Account and r.field_tag == AccountField.CodeHash) or (
+        r.tag == RwTag.CallContext and r.field_tag in (
+            CallContextField.CodeHash, CallContextField.ParentCodeHash
+        )
     ):
         # keccak digests use the BytecodeCircuit's fold (digest byte 0
         # takes r^0) so the EVM circuit's code-hash column feeds lookups
@@ -136,6 +147,11 @@ class StateCircuit(Circuit):
         self.col_inv_stack = cs.advice_column()
         self.col_is_mem = cs.advice_column()
         self.col_inv_mem = cs.advice_column()
+        # flag: tag carries value_prev semantics (Storage / Account /
+        # TxAccessList* / TxRefund — reference state_circuit
+        # constraint_builder.rs per-tag value_prev rules)
+        self.col_is_prevtag = cs.advice_column()
+        self.col_inv_prevtag = cs.advice_column()
 
         self.r_word = (
             challenge if challenge is not None else cs.challenge(phase=0)
@@ -206,6 +222,51 @@ class StateCircuit(Circuit):
         cs.create_gate(
             "memory first read zero",
             q_ord * first_access * Advice(self.col_is_mem) * (1 - iw) * val,
+        )
+        # value_prev chain (Storage/Account/TxAccessList*/TxRefund): the
+        # prev-tag flag f = (prod_{t in set}(tag - t) == 0) via IsZero
+        PREV_TAGS = (RwTag.Storage, RwTag.Account, RwTag.TxAccessListAccount,
+                     RwTag.TxAccessListAccountStorage, RwTag.TxRefund)
+        dprod: Expression | None = None
+        for tv in PREV_TAGS:
+            term = tag - int(tv)
+            dprod = term if dprod is None else dprod * term
+        fpt, ipt = Advice(self.col_is_prevtag), Advice(self.col_inv_prevtag)
+        cs.create_gate("prevtag flag def", q_row * (1 - fpt - dprod * ipt))
+        cs.create_gate("prevtag flag zero", q_row * fpt * dprod)
+        vprev = Advice(self.col_value_prev)
+        # within a group: this row's value_prev is the previous row's value
+        cs.create_gate(
+            "value_prev chain",
+            q_ord * not_first * fpt * (vprev - val_prev_row),
+        )
+        # reads leave value = value_prev (writes update it)
+        cs.create_gate(
+            "read keeps prev", q_row * fpt * (1 - iw) * (val - vprev)
+        )
+        # per-tx tags start fresh: first access of TxAccessList*/TxRefund
+        # groups has value_prev = 0 (Account/Storage first access reads the
+        # committed value — bound through MptTable when the coupling lands)
+        FRESH_TAGS = (RwTag.TxAccessListAccount,
+                      RwTag.TxAccessListAccountStorage, RwTag.TxRefund)
+        fprod: Expression | None = None
+        for tv in FRESH_TAGS:
+            term = tag - int(tv)
+            fprod = term if fprod is None else fprod * term
+        # gate by the zero-ness of fprod via the same flag pattern is
+        # overkill: fpt=1 together with (tag - Storage)(tag - Account) != 0
+        # identifies the fresh set, but a direct product gate is cheaper:
+        # fresh first access => value_prev * prod_{t in {Storage,Account}}
+        # (tag - t) = 0 is wrong (nonzero product for fresh tags).  Use an
+        # explicit IsZero-free form: for first access with fpt = 1, require
+        # value_prev * z = 0 where z kills Storage/Account rows:
+        # z = (tag - Storage)(tag - Account) is nonzero exactly on the
+        # fresh tags (within the fpt = 1 set), so the product forces
+        # value_prev = 0 there and nothing elsewhere.
+        zsa = (tag - int(RwTag.Storage)) * (tag - int(RwTag.Account))
+        cs.create_gate(
+            "fresh first prev zero",
+            q_ord * first_access * fpt * zsa * vprev,
         )
 
         # storage-key word-RLC binding: key_rlc = sum le_bytes(key) * r^i,
@@ -380,6 +441,18 @@ class StateCircuit(Circuit):
 
             cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
             cols[self.col_inv_mem] = mont(invs(int(RwTag.Memory)))
+            PREV_TAGS = (RwTag.Storage, RwTag.Account,
+                         RwTag.TxAccessListAccount,
+                         RwTag.TxAccessListAccountStorage, RwTag.TxRefund)
+            flags, pinvs = [], []
+            for r in rows:
+                d = 1
+                for tv in PREV_TAGS:
+                    d = d * (int(r.tag) - int(tv)) % R
+                flags.append(int(d == 0))
+                pinvs.append(pow(d, -1, R) if d else 0)
+            cols[self.col_is_prevtag] = mont(flags)
+            cols[self.col_inv_prevtag] = mont(pinvs)
             return cols
         # phase 1: value/key RLC columns under the phase-0 challenge
         r_chal = challenges[self.r_word.index]

@@ -60,8 +60,20 @@ MAX_RADIX_K = 10  # int32 accumulator exactness bound (r <= 1024)
 def _split_k(k: int) -> tuple[int, int]:
     k1 = k // 2
     k2 = k - k1
-    assert k2 <= MAX_RADIX_K, f"k={k} > {2 * MAX_RADIX_K} needs 3 passes (TODO)"
+    assert k2 <= MAX_RADIX_K, f"k={k} > {2 * MAX_RADIX_K}: use the 3-pass path"
     return k1, k2
+
+
+def _split_k3(k: int) -> tuple[int, int]:
+    """k > 2*MAX_RADIX_K: balanced (ka, kb) with the kb part handled by the
+    two-pass core — balanced keeps the DFT matrices small (k=22 as
+    (8,7,7) needs 132+33+33 MB vs (2,10,10)'s 2x2.1 GB)."""
+    ka = k // 3
+    kb = k - ka
+    assert ka <= MAX_RADIX_K and kb <= 2 * MAX_RADIX_K, (
+        f"k={k} > {3 * MAX_RADIX_K} needs 4 passes"
+    )
+    return ka, kb
 
 
 def _omega(k: int, inverse: bool) -> int:
@@ -171,8 +183,16 @@ def _use_pallas() -> bool:
 
     import jax as _jax
 
-    return (os.environ.get("ZKEVM_TPU_PALLAS", "1") != "0"
-            and _jax.default_backend() == "tpu")
+    if os.environ.get("ZKEVM_TPU_PALLAS", "1") == "0":
+        return False
+    try:
+        # "axon" is the remote-TPU tunnel backend: devices are real TPU
+        # chips (Mosaic works through remote_compile), so pallas stays on
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        # backend init failure (e.g. TPU tunnel down) must not propagate
+        # out of a capability probe — callers fall back to the jnp path
+        return False
 
 
 @functools.cache
@@ -205,30 +225,88 @@ def _dft_pass(x, what, pallas: bool):
 
 
 @functools.cache
+def _gens(k: int, inverse: bool, coset: bool) -> tuple[int, int, int]:
+    """(col_gen, row_gen, scale_all) folding coset + 1/n into the
+    constants: W_total[i,j] = w^{ij} col_gen^j row_gen^i scale_all."""
+    g_inv = pow(G_COSET, P - 2, P)
+    col_gen = G_COSET if (coset and not inverse) else 1
+    row_gen = g_inv if (coset and inverse) else 1
+    scale_all = pow(1 << k, P - 2, P) if inverse else 1
+    return col_gen, row_gen, scale_all
+
+
+def _consts2_np(k: int, inverse: bool, col_gen: int, row_gen: int,
+                scale_all: int):
+    """Two-pass constants for W[i,j] = w^{ij} col^j row^i scale (host)."""
+    k1, k2 = _split_k(k)
+    n1, n2 = 1 << k1, 1 << k2
+    w = _omega(k, inverse)
+    w1 = _pass_matrix(k1, pow(w, n2, P), pow(col_gen, n2, P), 1, 1)
+    tw = _twiddle_table(k, inverse, col_gen, row_gen)
+    w2 = _pass_matrix(k2, pow(w, n1, P), 1, pow(row_gen, n1, P), scale_all)
+    return w1, tw, w2
+
+
 def _device_consts(k: int, inverse: bool, coset: bool):
     """Upload the pass matrices + twiddle table once per config.  They are
     jit ARGUMENTS, not closure constants: baking ~0.5 GB of DFT matrix into
     the HLO blows up compile payloads (and recompiles per program)."""
-    k1, k2 = _split_k(k)
-    n1, n2 = 1 << k1, 1 << k2
-    w = _omega(k, inverse)
-    g_inv = pow(G_COSET, P - 2, P)
-    # fold scale factors into the constant matrices (see module docstring)
-    p1_col = pow(G_COSET, n2, P) if (coset and not inverse) else 1
-    tw_col = G_COSET if (coset and not inverse) else 1
-    tw_row = g_inv if (coset and inverse) else 1
-    p2_row = pow(g_inv, n1, P) if (coset and inverse) else 1
-    p2_all = pow(1 << k, P - 2, P) if inverse else 1
     import jax as _jax
 
-    w1 = _jax.device_put(_pass_matrix(k1, pow(w, n2, P), p1_col, 1, 1))
-    tw = _jax.device_put(_twiddle_table(k, inverse, tw_col, tw_row))
-    w2 = _jax.device_put(_pass_matrix(k2, pow(w, n1, P), 1, p2_row, p2_all))
-    return w1, tw, w2
+    col_gen, row_gen, scale_all = _gens(k, inverse, coset)
+    w1, tw, w2 = _consts2_np(k, inverse, col_gen, row_gen, scale_all)
+    return (_jax.device_put(w1), _jax.device_put(tw), _jax.device_put(w2))
+
+
+@functools.cache
+def _ab_tables(ka: int, kb: int, inverse: bool, col_gen: int, row_gen: int):
+    """Outer twiddle factors of the 3-pass path, factored small:
+    T[i1, j'] = row_gen^{i1} * b_{i1}^{j'} with b_{i1} = w^{i1} * col_gen,
+    split over j' = j1'*nb2 + j2' into Tb[i1, j1'] (carrying row_gen^{i1})
+    and Tc[i1, j2']."""
+    k = ka + kb
+    w = _omega(k, inverse)
+    kb1, kb2 = _split_k(kb)
+    na, nb1, nb2 = 1 << ka, 1 << kb1, 1 << kb2
+    tb = np.zeros((na, nb1, ND), np.uint8)
+    tc = np.zeros((na, nb2, ND), np.uint8)
+    R_ = F.R
+    for i1 in range(na):
+        b = pow(w, i1, P) * col_gen % P
+        bb = pow(b, nb2, P)
+        acc = pow(row_gen, i1, P)
+        for j in range(nb1):
+            tb[i1, j] = to_digits(acc * R_ % P)
+            acc = acc * bb % P
+        acc = 1
+        for j in range(nb2):
+            tc[i1, j] = to_digits(acc * R_ % P)
+            acc = acc * b % P
+    return tb, tc
+
+
+def _device_consts3(k: int, inverse: bool, coset: bool):
+    """3-pass (k > 2*MAX_RADIX_K) constants: outer DFT matrix + factored
+    outer twiddles + the inner two-pass set (w of order 2^kb is exactly
+    _omega(kb): w_global^{na} = root^(2^(S-k) * 2^ka))."""
+    import jax as _jax
+
+    ka, kb = _split_k3(k)
+    na = 1 << ka
+    col_gen, row_gen, scale_all = _gens(k, inverse, coset)
+    w = _omega(k, inverse)
+    wa = _pass_matrix(ka, pow(w, 1 << kb, P), pow(col_gen, 1 << kb, P), 1, 1)
+    tb, tc = _ab_tables(ka, kb, inverse, col_gen, row_gen)
+    w1, tw, w2 = _consts2_np(kb, inverse, 1, pow(row_gen, na, P), scale_all)
+    return tuple(_jax.device_put(a) for a in (wa, tb, tc, w1, tw, w2))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _ntt_mxu_jit(x, w1, tw, w2, k: int, pallas: bool = False):
+    return _two_pass_body(x, w1, tw, w2, k, pallas)
+
+
+def _two_pass_body(x, w1, tw, w2, k: int, pallas: bool = False):
     k1, k2 = _split_k(k)
     n1, n2 = 1 << k1, 1 << k2
     batch = x.shape[:-2]
@@ -257,9 +335,38 @@ def _ntt_mxu_jit(x, w1, tw, w2, k: int, pallas: bool = False):
     return jnp.transpose(y, (1, 0, 2, 3)).reshape(*batch, n1 * n2, ND)
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _ntt_mxu3_jit(x, wa, tb, tc, w1, tw, w2, k: int, pallas: bool = False):
+    """3-pass four-step: outer DFT_{na} + factored twiddles, then the
+    two-pass core over the trailing 2^kb axis (k up to 3*MAX_RADIX_K)."""
+    ka, kb = _split_k3(k)
+    kb1, kb2 = _split_k(kb)
+    na, nb = 1 << ka, 1 << kb
+    nb1, nb2 = 1 << kb1, 1 << kb2
+    batch = x.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    y = x.reshape(b, na, nb, ND)
+    # pass A: DFT_{na} over j1
+    y = jnp.transpose(y, (1, 0, 2, 3)).reshape(na, b * nb, ND)
+    y = _dft_pass(y, wa, pallas)
+    # outer twiddles T[i1, j'] = row^{i1} b_{i1}^{j'}, factored over
+    # (j1', j2') to keep the tables tiny
+    y = y.reshape(na, b, nb1, nb2, ND)
+    y = F._mul(y, tb[:, None, :, None, :])
+    y = F._mul(y, tc[:, None, None, :, :])
+    # inner two-pass over the trailing nb axis, batched over (na, b)
+    y = _two_pass_body(y.reshape(na, b, nb, ND), w1, tw, w2, kb, pallas)
+    # natural order: i = i1 + na*i' (i1 minor)
+    y = jnp.transpose(y, (1, 2, 0, 3))  # (b, nb, na, ND)
+    return y.reshape(*batch, na * nb, ND)
+
+
 def _ntt_mxu_impl(x, k: int, inverse: bool, coset: bool):
-    w1, tw, w2 = _device_consts(k, inverse, coset)
-    return _ntt_mxu_jit(x, w1, tw, w2, k, _use_pallas())
+    if k <= 2 * MAX_RADIX_K:
+        w1, tw, w2 = _device_consts(k, inverse, coset)
+        return _ntt_mxu_jit(x, w1, tw, w2, k, _use_pallas())
+    consts = _device_consts3(k, inverse, coset)
+    return _ntt_mxu3_jit(x, *consts, k, _use_pallas())
 
 
 # ---------------------------------------------------------------------------

@@ -452,7 +452,7 @@ class Interpreter:
         push = stack.append
         pop = stack.pop
 
-        if op.is_push_with_data:
+        if op.is_push:  # incl. PUSH0 (Shanghai): push_len 0 -> pushes 0
             self._use_gas(fr, op.constant_gas)
             n = op.push_len
             val = int.from_bytes(fr.code[fr.pc + 1 : fr.pc + 1 + n], "big")

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 
 from ..types.evm import OpcodeId
-from .rw import CallContextField, Rw, RwMap, RwTag
+from .rw import AccountField, CallContextField, Rw, RwMap, RwTag
 from .trace import GethExecStep, GethExecTrace
 
 STACK_BASE = 1024
@@ -44,6 +44,7 @@ class ExecStep:
     callee: int = 0  # executing contract address
     code_hash: int = 0  # keccak of the executing bytecode (big-endian int)
     log_id: int = 0  # logs emitted in this tx BEFORE this step
+    rev_count: int = 0  # reversion rows appended to this step's rws
 
 
 @dataclasses.dataclass
@@ -125,6 +126,9 @@ class TxContext:
     parent_code_hash: int = 0
     sstore_count: int = 0  # writes inside this frame (revert tracking)
     log_mark: int = 0  # tx log count at frame entry (revert tracking)
+    gas: int = 0  # root frames: the tx gas limit (0 = derive from trace)
+    gas_price: int = 0
+    journal_mark: int = 0  # reversible-write journal length at frame entry
     # last-callee return data bookkeeping (RETURNDATASIZE/COPY)
     last_callee_id: int = 0
     last_ret_off: int = 0
@@ -147,10 +151,33 @@ CONTEXT_OPS = {
 }
 
 
+@dataclasses.dataclass
+class AccountState:
+    """Mutable per-address account view the builder replays (reference
+    bus-mapping StateDB, state_db.rs:126).  All values are raw ints;
+    balance math wraps mod 2^256 (dev witnesses may start from zeros)."""
+
+    nonce: int = 0
+    balance: int = 0
+    code_hash: int = 0
+
+
 class CircuitInputBuilder:
     """Replays traces; accumulates the block-wide witness tables."""
 
-    def __init__(self):
+    def __init__(self, accounts: dict | None = None, coinbase: int = 0,
+                 base_fee: int = 7):
+        """accounts: {addr: AccountState | (nonce, balance, code_hash)}
+        pre-block state; missing addresses start zeroed.  coinbase /
+        base_fee mirror the tracer's BlockEnv defaults for the EndTx
+        reward row."""
+        self.accounts: dict[int, AccountState] = {}
+        for a, st in (accounts or {}).items():
+            self.accounts[a] = (
+                st if isinstance(st, AccountState) else AccountState(*st)
+            )
+        self.coinbase = coinbase
+        self.base_fee = base_fee
         self.rws = RwMap()
         self.steps: list[ExecStep] = []
         self.txs: list[TxContext] = []
@@ -165,6 +192,47 @@ class CircuitInputBuilder:
         self.sha256_inputs: list[bytes] = []  # sha256 precompile inputs
         self._next_call_id = 1
         self._tx_log_count = 0  # logs emitted in the current tx
+
+    def _acct(self, addr: int) -> AccountState:
+        if addr not in self.accounts:
+            self.accounts[addr] = AccountState()
+        return self.accounts[addr]
+
+    def _account_read_adopt(self, addr: int, field, traced_value: int):
+        """Account read whose value comes from the TRACE (the pushed
+        word).  Fresh addresses adopt it as the committed value; already-
+        tracked fields must agree — otherwise the caller forgot to seed
+        `CircuitInputBuilder(accounts=...)` with the pre-state."""
+        fresh = addr not in self.accounts
+        st = self._acct(addr)
+        if field == AccountField.Balance:
+            if fresh:
+                st.balance = traced_value
+            assert st.balance == traced_value, (
+                f"account 0x{addr:x} balance mismatch: builder has "
+                f"{st.balance}, trace pushed {traced_value} — seed "
+                "CircuitInputBuilder(accounts=...) with the pre-state"
+            )
+        elif field == AccountField.CodeHash:
+            if not st.code_hash:
+                st.code_hash = traced_value
+            assert st.code_hash == traced_value or traced_value == 0, (
+                f"account 0x{addr:x} code-hash mismatch"
+            )
+        # CodeSize: no running state; repeated reads chain in the state
+        # circuit (same group, consistent values by construction)
+        return self.rws.account_read(addr, field, traced_value)
+
+    def _balance_add(self, addr: int, delta: int, journal=None):
+        """Emit an Account.Balance write of +delta (mod 2^256)."""
+        st = self._acct(addr)
+        prev = st.balance
+        st.balance = (st.balance + delta) % M256
+        rw = self.rws.account_write(addr, AccountField.Balance,
+                                    st.balance, prev)
+        if journal is not None:
+            journal.append(rw)
+        return rw
 
     # ------------------------------------------------------------------
     def handle_tx(self, tx_ctx_args: dict, trace: GethExecTrace,
@@ -190,8 +258,31 @@ class CircuitInputBuilder:
         ctx.code = self._code_db.get(ctx.to_addr, b"")
         self._tx_log_count = 0
 
-        self._begin_tx(ctx)
         logs = trace.struct_logs
+        # resolve the tx gas limit BEFORE BeginTx: the fee-purchase
+        # Account row needs it.  The first traced step starts at
+        # limit - intrinsic (EIP-2028 calldata pricing).
+        intrinsic = 21000 + sum(4 if b == 0 else 16 for b in ctx.calldata)
+        if logs:
+            derived = logs[0].gas + intrinsic
+            if ctx.gas == 0:
+                ctx.gas = derived
+            else:
+                assert ctx.gas == derived, (
+                    "tx gas limit inconsistent with trace"
+                )
+        elif ctx.gas == 0:
+            ctx.gas = intrinsic
+        # reversible-write journal (reference bus-mapping reversion
+        # groups, operation.rs:113): entries are undone — inverse writes
+        # emitted, internal state restored — when a frame reverts/errors
+        # or the whole tx fails
+        self._tx_journal: list = []
+        self._storage = storage
+        # EIP-2929 warm-address set (builder view: origin + callee warm
+        # from BeginTx; coinbase warmth is the tracer's, unbound here)
+        self._warm_addrs = {ctx.from_addr, ctx.to_addr}
+        self._begin_tx(ctx, intrinsic)
         frames = [ctx]
         for i, step in enumerate(logs):
             fr = frames[-1]
@@ -200,6 +291,16 @@ class CircuitInputBuilder:
             )
             nxt = logs[i + 1] if i + 1 < len(logs) else None
             op = step.op
+            if step.error is not None and step.error != "revert":
+                # errored step: terminal for its frame (reference
+                # bus-mapping error_* opcode modules); v1 covers root
+                # frames — the error gadgets force END_TX as successor
+                if len(frames) > 1:
+                    raise NotImplementedError(
+                        "nested-frame error unwinding pending"
+                    )
+                self._handle_error_step(fr, step)
+                continue
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
             elif op.is_call and not op == OpcodeId.CALLCODE and (
@@ -221,10 +322,15 @@ class CircuitInputBuilder:
                 self._handle_step(fr, step, nxt, storage)
         self._end_tx(ctx, trace)
 
-    def _begin_tx(self, ctx: TxContext):
+    def _begin_tx(self, ctx: TxContext, intrinsic: int):
+        """BeginTx rows (reference execution/begin_tx.rs): 6 call-context
+        reads, EIP-2929 access-list warming of caller + callee, the
+        caller nonce bump, gas fee purchase, the value transfer pair
+        (reversible), and the callee code-hash read."""
         start = self.rws.counter + 1
         es = ExecStep(
-            exec_state="BeginTx", pc=0, op=None, gas=0, gas_cost=0,
+            exec_state="BeginTx", pc=0, op=None, gas=ctx.gas,
+            gas_cost=intrinsic,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
             rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
             code_hash=ctx.code_hash, log_id=self._tx_log_count,
@@ -245,21 +351,120 @@ class CircuitInputBuilder:
                 ctx.call_id, CallContextField.CallDataLength, len(ctx.calldata)
             ),
         ]
+        # EIP-2929: tx origin + callee start warm (per-tx set => prev 0)
+        rws.append(self.rws.access_list_account_write(
+            ctx.tx_id, ctx.from_addr, 1, 0
+        ))
+        rws.append(self.rws.access_list_account_write(
+            ctx.tx_id, ctx.to_addr, 1, 0
+        ))
+        # caller nonce bump (not reversible)
+        caller = self._acct(ctx.from_addr)
+        rws.append(self.rws.account_write(
+            ctx.from_addr, AccountField.Nonce, caller.nonce + 1,
+            caller.nonce,
+        ))
+        caller.nonce += 1
+        # gas fee purchase (not reversible)
+        rws.append(self._balance_add(
+            ctx.from_addr, -(ctx.gas * ctx.gas_price)
+        ))
+        # value transfer (reversible)
+        rws.append(self._balance_add(
+            ctx.from_addr, -ctx.value, journal=None
+        ))
+        self._tx_journal.append(("balance", ctx.from_addr, -ctx.value))
+        rws.append(self._balance_add(ctx.to_addr, ctx.value))
+        self._tx_journal.append(("balance", ctx.to_addr, ctx.value))
+        # callee code binding
+        callee = self._acct(ctx.to_addr)
+        if ctx.code_hash and not callee.code_hash:
+            callee.code_hash = ctx.code_hash
+        rws.append(self.rws.account_read(
+            ctx.to_addr, AccountField.CodeHash, callee.code_hash
+        ))
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
-    def _end_tx(self, ctx: TxContext, trace: GethExecTrace):
-        start = self.rws.counter + 1
+    # tracer VmError name -> circuit execution state (reference
+    # evm_circuit/step.rs error states; v1 covers the stack family and
+    # constant-cost OOG, error_stack.rs / error_oog_constant.rs)
+    ERROR_STATES = {
+        "stack underflow": "ERR_STACK",
+        "stack overflow": "ERR_STACK",
+        "out of gas": "ERR_OOG",
+    }
+
+    def _handle_error_step(self, fr: TxContext, step: GethExecStep):
+        state = self.ERROR_STATES.get(step.error)
+        if state is None:
+            raise NotImplementedError(f"error state {step.error!r} pending")
+        if state == "ERR_OOG" and step.gas >= step.op.constant_gas:
+            # dynamic-cost OOG (memory expansion etc.): gadget pending
+            raise NotImplementedError("dynamic-cost OOG gadget pending")
         es = ExecStep(
-            exec_state="EndTx", pc=0, op=None, gas=0, gas_cost=0,
+            exec_state=state, pc=step.pc, op=step.op, gas=step.gas,
+            gas_cost=0, call_id=fr.call_id,
+            stack_pointer=STACK_BASE - len(step.stack),
+            rw_counter_start=self.rws.counter + 1, tx_id=fr.tx_id,
+            callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count, error=step.error,
+        )
+        self.steps.append(es)
+
+    def _undo_journal(self, mark: int) -> list[Rw]:
+        """Emit inverse writes for journal entries past `mark`, newest
+        first (reference bus-mapping reversion groups)."""
+        out = []
+        while len(self._tx_journal) > mark:
+            kind, *rest = self._tx_journal.pop()
+            if kind == "balance":
+                addr, delta = rest
+                out.append(self._balance_add(addr, -delta))
+            elif kind == "storage":
+                tx_id, addr, key, old, new = rest
+                out.append(
+                    self.rws.storage_write(tx_id, addr, key, old, new)
+                )
+                self._storage[(addr, key)] = old
+            else:  # pragma: no cover
+                raise AssertionError(f"unknown journal entry {kind}")
+        return out
+
+    def _end_tx(self, ctx: TxContext, trace: GethExecTrace):
+        """EndTx rows (reference execution/end_tx.rs): IsSuccess read,
+        refund counter, unused-gas refund to the caller, coinbase reward —
+        then (failed txs) the reversion writes undoing the journal."""
+        start = self.rws.counter + 1
+        # gas left after the terminal step: the chain gate constrains
+        # END_TX.gas = prev.gas - prev.gas_cost
+        prev = self.steps[-1]
+        es = ExecStep(
+            exec_state="EndTx", pc=0, op=None,
+            gas=prev.gas - prev.gas_cost, gas_cost=0,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
             rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
             code_hash=ctx.code_hash, log_id=self._tx_log_count,
         )
-        r = self.rws.call_context_read(
+        rws = [self.rws.call_context_read(
             ctx.call_id, CallContextField.IsSuccess, int(not trace.failed)
-        )
-        es.rw_indices = [r.rw_counter]
+        )]
+        gas_left = prev.gas - prev.gas_cost
+        refund = (ctx.gas - trace.gas) - gas_left  # EIP-3529-capped counter
+        rws.append(self.rws.tx_refund_write(ctx.tx_id, refund, 0))
+        # unused gas (incl. refund) back to the caller; coinbase tip
+        rws.append(self._balance_add(
+            ctx.from_addr, (ctx.gas - trace.gas) * ctx.gas_price
+        ))
+        tip = max(0, ctx.gas_price - self.base_fee)
+        rws.append(self._balance_add(self.coinbase, trace.gas * tip))
+        if trace.failed:
+            undo = self._undo_journal(0)
+            es.rev_count = len(undo)
+            rws += undo
+        else:
+            self._tx_journal.clear()
+        es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
     # ------------------------------------------------------------------
@@ -311,6 +516,7 @@ class CircuitInputBuilder:
             ret_sp=sp + npops - 1, ret_offset=ret_off, ret_length=ret_len,
             parent_callee=fr.to_addr, parent_code_hash=fr.code_hash,
             log_mark=self._tx_log_count,
+            journal_mark=len(self._tx_journal),
         )
         self._next_call_id = max(self._next_call_id, new_id + 1)
         CCF = CallContextField
@@ -531,12 +737,9 @@ class CircuitInputBuilder:
         )
         rws: list[Rw] = []
         success = int(op != OpcodeId.REVERT and not step.error)
-        if op == OpcodeId.REVERT and (
-            fr.sstore_count or self._tx_log_count > fr.log_mark
-        ):
+        if not success and self._tx_log_count > fr.log_mark:
             raise NotImplementedError(
-                "reverting frames with storage writes or logs need "
-                "reversible-write bookkeeping"
+                "reverting frames with logs need TxLog reversion rows"
             )
         if op in (OpcodeId.RETURN, OpcodeId.REVERT):
             off, length = step.stack[-1], step.stack[-2]
@@ -588,6 +791,14 @@ class CircuitInputBuilder:
         rws.append(
             self.rws.stack_write(parent.call_id, fr.ret_sp, success)
         )
+        if not success:
+            # undo this frame's reversible writes (storage / balances):
+            # inverse writes restore the pre-frame values (reference
+            # bus-mapping reversion groups, operation.rs:113).  Appended
+            # LAST so the RET gadget's fixed bus indices stay stable.
+            undo = self._undo_journal(fr.journal_mark)
+            es.rev_count = len(undo)
+            rws += undo
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
@@ -650,6 +861,35 @@ class CircuitInputBuilder:
                 )
             )
             rws.append(self.rws.stack_write(call_id, sp, val))
+        elif op == OpcodeId.SELFBALANCE:
+            # Account.Balance read of the executing address (reference
+            # bus-mapping opcodes/selfbalance.rs)
+            val = nxt.stack[-1] if nxt and not step.error else 0
+            rws.append(self._account_read_adopt(
+                ctx.to_addr, AccountField.Balance, val
+            ))
+            rws.append(self.rws.stack_write(call_id, sp - 1, val))
+        elif op in (OpcodeId.BALANCE, OpcodeId.EXTCODESIZE,
+                    OpcodeId.EXTCODEHASH):
+            # pop address; EIP-2929 warm write; Account field read; push
+            # (reference bus-mapping opcodes/balance.rs, extcodesize.rs,
+            # extcodehash.rs)
+            addr_w = stack_val(0)
+            addr = addr_w & ((1 << 160) - 1)
+            rws.append(self.rws.stack_read(call_id, sp, addr_w))
+            warm = addr in self._warm_addrs
+            self._warm_addrs.add(addr)
+            rws.append(self.rws.access_list_account_write(
+                ctx.tx_id, addr, 1, int(warm)
+            ))
+            val = nxt.stack[-1] if nxt and not step.error else 0
+            fld = {
+                OpcodeId.BALANCE: AccountField.Balance,
+                OpcodeId.EXTCODESIZE: AccountField.CodeSize,
+                OpcodeId.EXTCODEHASH: AccountField.CodeHash,
+            }[op]
+            rws.append(self._account_read_adopt(addr, fld, val))
+            rws.append(self.rws.stack_write(call_id, sp, val))
         elif op == OpcodeId.SSTORE:
             key, val = stack_val(0), stack_val(1)
             rws.append(self.rws.stack_read(call_id, sp, key))
@@ -659,6 +899,9 @@ class CircuitInputBuilder:
                 self.rws.storage_write(ctx.tx_id, ctx.to_addr, key, val, prev)
             )
             storage[(ctx.to_addr, key)] = val
+            self._tx_journal.append(
+                ("storage", ctx.tx_id, ctx.to_addr, key, prev, val)
+            )
             ctx.sstore_count += 1
         elif op in (OpcodeId.CALLDATALOAD, OpcodeId.CALLDATACOPY) \
                 and not ctx.is_root:

@@ -62,6 +62,7 @@ class AccountField(enum.IntEnum):
     Nonce = 1
     Balance = 2
     CodeHash = 3
+    CodeSize = 4
 
 
 class TxLogField(enum.IntEnum):
@@ -135,6 +136,35 @@ class RwMap:
         packed = index + (int(field) << 32) + (log_id << 48)
         return self.push(is_write=True, tag=RwTag.TxLog, id=tx_id,
                          address=packed, value=value)
+
+    def account_read(self, addr, field, value):
+        """Account row (reference operation.rs AccountOp): id unused,
+        address = account, field_tag = AccountField, committed read."""
+        return self.push(is_write=False, tag=RwTag.Account, address=addr,
+                         field_tag=field, value=value, value_prev=value)
+
+    def account_write(self, addr, field, value, value_prev):
+        return self.push(is_write=True, tag=RwTag.Account, address=addr,
+                         field_tag=field, value=value,
+                         value_prev=value_prev)
+
+    def access_list_account_write(self, tx_id, addr, value, value_prev):
+        """EIP-2929 warm-address set (reference TxAccessListAccountOp):
+        value 1 = warm; value_prev carries the previous warmth so reverts
+        can restore it."""
+        return self.push(is_write=True, tag=RwTag.TxAccessListAccount,
+                         id=tx_id, address=addr, value=value,
+                         value_prev=value_prev)
+
+    def access_list_storage_write(self, tx_id, addr, key, value, value_prev):
+        return self.push(is_write=True,
+                         tag=RwTag.TxAccessListAccountStorage, id=tx_id,
+                         address=addr, storage_key=key, value=value,
+                         value_prev=value_prev)
+
+    def tx_refund_write(self, tx_id, value, value_prev):
+        return self.push(is_write=True, tag=RwTag.TxRefund, id=tx_id,
+                         value=value, value_prev=value_prev)
 
     def call_context_read(self, call_id, field, value):
         return self.push(is_write=False, tag=RwTag.CallContext, id=call_id,
