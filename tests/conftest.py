@@ -42,6 +42,9 @@ SLOW_MODULES = {
     "test_modexp_circuit",
     "test_sharded_prove",      # 2 full proofs incl. mesh compile
     "test_ntt3",               # ~2 min of fresh jit compiles
+    "test_poseidon_transcript",  # two full proves
+    "test_compression",        # inner prove + compression prove (~8 min)
+    "test_service_prover",     # variadic real proofs
     "test_tx_circuit",
     "test_tx_rlp_binding",
     "test_pi_circuit",

@@ -96,10 +96,12 @@ def _permuted_lookup_columns(a_host: list[int], s_host: list[int], u: int, n: in
     return a_pad, s_pad
 
 
-def _compress(exprs, theta: int, ev: Evaluator, shape):
-    """Horner fold acc = acc * theta + expr over the expression list."""
+def _compress(exprs, theta, ev: Evaluator, shape):
+    """Horner fold acc = acc * theta + expr over the expression list.
+    `theta` is an int challenge or an already-Montgomery digit array
+    (the jitted quotient body passes the traced array)."""
     acc = jnp.zeros(shape, jnp.uint8)
-    th = _mont_scalar(theta)
+    th = theta if hasattr(theta, "shape") else _mont_scalar(theta)
     for e in exprs:
         v = ev.eval(e)
         if v.ndim < len(shape):
@@ -131,7 +133,15 @@ def prove(
     srs: Srs,
     transcript: Blake2bTranscript | None = None,
     rng: np.random.Generator | None = None,
+    mesh=None,
+    mesh_axis: str = "rows",
 ) -> bytes:
+    """When `mesh` (a jax.sharding.Mesh) is given, every hot polynomial
+    pass — iNTT/coset NTT, column commitments (MSM), grand-product scans —
+    runs row-sharded over `mesh[mesh_axis]` via ICI collectives
+    (parallel/sharding.ProverMesh).  The proof bytes are identical to the
+    single-device path for the same rng (exact field arithmetic; asserted
+    by tests/test_sharded_prove.py)."""
     cs: ConstraintSystem = pk.vk.cs
     # (re)configure the instance so its column-index attributes exist;
     # configure must be deterministic, pk.vk.cs stays authoritative
@@ -148,6 +158,44 @@ def prove(
     )
     blind = _make_blinder(u, n, rng)
 
+    # optional stage tracing: ZKEVM_PROVE_TRACE=1 prints wall-clock per
+    # prover phase (the reference wraps phases in ark-std timers,
+    # circuit-benchmarks/src/evm_circuit.rs:67-120)
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("ZKEVM_PROVE_TRACE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str):
+        nonlocal _t0
+        if _trace:
+            now = _time.perf_counter()
+            print(f"[prove] {stage}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
+    # hot-op bundle: single-device defaults, or mesh-sharded versions
+    if mesh is not None:
+        from ..parallel.sharding import ProverMesh
+
+        pm = ProverMesh(mesh, mesh_axis, k, k_ext, srs)
+        intt_k = pm.intt
+        commit = pm.commit_affine
+        coset_ntt_ext = pm.coset_ntt_ext
+        coset_intt_ext = pm.coset_intt_ext
+        prefix_prod = pm.exclusive_prefix_product
+        prefix_sum = pm.exclusive_prefix_sum
+    else:
+        intt_k = lambda x: intt(x, k)  # noqa: E731
+        commit = srs.commit_affine
+        coset_ntt_ext = lambda x: coset_ntt(x, k_ext)  # noqa: E731
+        coset_intt_ext = lambda x: coset_intt(x, k_ext)  # noqa: E731
+        prefix_prod = _exclusive_prefix_product
+
+        def prefix_sum(delta):
+            incl = jax.lax.associative_scan(F._add, delta, axis=0)
+            return jnp.concatenate([F.zeros((1,)), incl[:-1]], axis=0)
+
     # ---- instances ---------------------------------------------------------
     for col in instances:
         for v in col:
@@ -159,7 +207,7 @@ def prove(
     if not inst_cols:
         inst_cols = [np.zeros((n, 32), np.uint8)]
     instance_evals = jnp.asarray(np.stack(inst_cols))
-    instance_coeffs = intt(instance_evals, k)
+    instance_coeffs = intt_k(instance_evals)
 
     # ---- phased advice synthesis + commitment -----------------------------------
     num_adv = max(cs.num_advice, 1)
@@ -174,8 +222,8 @@ def prove(
         )
         for ci in phase_cols:
             advice_evals[ci] = np.asarray(blind(cols[ci]))
-            coeffs = intt(jnp.asarray(advice_evals[ci]), k)
-            comm = srs.commit_affine(coeffs)
+            coeffs = intt_k(jnp.asarray(advice_evals[ci]))
+            comm = commit(coeffs)
             t.write_point(comm)
         for idx, ph in enumerate(cs.challenge_phases):
             if ph == phase:
@@ -183,7 +231,8 @@ def prove(
                 challenge_ints[idx] = c
                 challenges[idx] = _mont_scalar(c)
     advice_evals = jnp.asarray(advice_evals)
-    advice_coeffs = intt(advice_evals, k)
+    advice_coeffs = intt_k(advice_evals)
+    _mark("advice synth+commit")
 
     tables_h = {
         "fixed": pk.fixed_evals,
@@ -203,10 +252,10 @@ def prove(
         ap_host, sp_host = _permuted_lookup_columns(a_host, s_host, u, n)
         ap = blind(F.from_ints([v * F.R % R for v in ap_host]))
         sp = blind(F.from_ints([v * F.R % R for v in sp_host]))
-        ap_coeffs = intt(ap, k)
-        sp_coeffs = intt(sp, k)
-        t.write_point(srs.commit_affine(ap_coeffs))
-        t.write_point(srs.commit_affine(sp_coeffs))
+        ap_coeffs = intt_k(ap)
+        sp_coeffs = intt_k(sp)
+        t.write_point(commit(ap_coeffs))
+        t.write_point(commit(sp_coeffs))
         lookup_data.append(
             dict(
                 a=a_evals, s=s_evals, ap=ap, sp=sp,
@@ -233,12 +282,13 @@ def prove(
                     )
                 mult[idx] += 1
         m_col = blind(F.from_ints([v * F.R % R for v in mult]))
-        m_coeffs = intt(m_col, k)
-        t.write_point(srs.commit_affine(m_coeffs))
+        m_coeffs = intt_k(m_col)
+        t.write_point(commit(m_coeffs))
         logup_data.append(
             dict(a=a_list, t=t_evals, m=m_col, m_coeffs=m_coeffs)
         )
 
+    _mark("lookup permuted cols")
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
     beta_m, gamma_m = _mont_scalar(beta), _mont_scalar(gamma)
@@ -263,19 +313,19 @@ def prove(
             sig = pk.sigma_evals[ci]
             den = F.mul(den, F.add(v, F.add(F.mul(beta_m, sig), gamma_m)))
         ratio = F.mul(num, F.batch_inv(den, axis=0))
-        z_perm = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
-        z_perm_coeffs = intt(z_perm, k)
-        t.write_point(srs.commit_affine(z_perm_coeffs))
+        z_perm = blind(prefix_prod(ratio, u, n), u + 1)
+        z_perm_coeffs = intt_k(z_perm)
+        t.write_point(commit(z_perm_coeffs))
 
     # ---- lookup grand products ---------------------------------------------------
     for ld in lookup_data:
         num = F.mul(F.add(ld["a"], beta_m), F.add(ld["s"], gamma_m))
         den = F.mul(F.add(ld["ap"], beta_m), F.add(ld["sp"], gamma_m))
         ratio = F.mul(num, F.batch_inv(den, axis=0))
-        z = blind(_exclusive_prefix_product(ratio, u, n), u + 1)
+        z = blind(prefix_prod(ratio, u, n), u + 1)
         ld["z"] = z
-        ld["z_coeffs"] = intt(z, k)
-        t.write_point(srs.commit_affine(ld["z_coeffs"]))
+        ld["z_coeffs"] = intt_k(z)
+        t.write_point(commit(ld["z_coeffs"]))
 
     # ---- logup helper columns + running sums -------------------------------
     row_lt_u = jnp.arange(n) < u
@@ -292,136 +342,188 @@ def prove(
         for h in hs:
             delta = F.add(delta, h)
         delta = F.sub(delta, h_t)
-        incl = jax.lax.associative_scan(F._add, delta, axis=0)
-        phi = jnp.concatenate([F.zeros((1,)), incl[:-1]], axis=0)
+        phi = prefix_sum(delta)
         hs = [blind(h) for h in hs]
         h_t = blind(h_t)
         phi = blind(phi, u + 1)
         ld["hs"] = hs
         ld["h_t"] = h_t
         ld["phi"] = phi
-        ld["h_coeffs"] = [intt(h, k) for h in hs]
-        ld["h_t_coeffs"] = intt(h_t, k)
-        ld["phi_coeffs"] = intt(phi, k)
+        ld["h_coeffs"] = [intt_k(h) for h in hs]
+        ld["h_t_coeffs"] = intt_k(h_t)
+        ld["phi_coeffs"] = intt_k(phi)
         for c in ld["h_coeffs"]:
-            t.write_point(srs.commit_affine(c))
-        t.write_point(srs.commit_affine(ld["h_t_coeffs"]))
-        t.write_point(srs.commit_affine(ld["phi_coeffs"]))
+            t.write_point(commit(c))
+        t.write_point(commit(ld["h_t_coeffs"]))
+        t.write_point(commit(ld["phi_coeffs"]))
 
+    _mark("grand products")
     y = t.squeeze_challenge()
     y_m = _mont_scalar(y)
 
     # ---- quotient on the extended coset -------------------------------------------
     def to_ext(coeffs):
         pad_shape = coeffs.shape[:-2] + (n_ext - n, 32)
-        return coset_ntt(
-            jnp.concatenate([coeffs, jnp.zeros(pad_shape, jnp.uint8)], axis=-2),
-            k_ext,
+        return coset_ntt_ext(
+            jnp.concatenate([coeffs, jnp.zeros(pad_shape, jnp.uint8)], axis=-2)
         )
 
     advice_ext = to_ext(advice_coeffs)
     instance_ext = to_ext(instance_coeffs)
-    tables_e = {
+
+    # ---- whole quotient as ONE jit: the y-combined constraint fold over
+    # gates + permutation + lookups + logUps is hundreds of elementwise
+    # field ops; fused they are a handful of HBM passes (and one compile)
+    # instead of per-op dispatches — essential on TPU and for the mesh
+    # path, where each eager op on sharded arrays would compile its own SPMD
+    # executable.  Transforms (coset NTTs) stay outside; only elementwise
+    # math and rolls live in the body.
+    qin = {
         "fixed": pk.fixed_ext,
         "advice": advice_ext,
         "instance": instance_ext,
+        "challenges": dict(challenges),
+        "theta": _mont_scalar(theta),
+        "beta": beta_m,
+        "gamma": gamma_m,
+        "y": y_m,
+        "l0": pk.l0_ext,
+        "llast": pk.llast_ext,
+        "lactive": pk.lactive_ext,
+        "x_ext": pk.x_ext,
+        "sigma": list(pk.sigma_ext),
+        "t_inv": pk.t_inv_ext,
+        "z_perm": to_ext(z_perm_coeffs) if perm_cols else [],
+        "lookups": [
+            {
+                "ap": to_ext(ld["ap_coeffs"]),
+                "sp": to_ext(ld["sp_coeffs"]),
+                "z": to_ext(ld["z_coeffs"]),
+            }
+            for ld in lookup_data
+        ],
+        "logups": [
+            {
+                "hs": [to_ext(c) for c in ld["h_coeffs"]],
+                "ht": to_ext(ld["h_t_coeffs"]),
+                "m": to_ext(ld["m_coeffs"]),
+                "phi": to_ext(ld["phi_coeffs"]),
+            }
+            for ld in logup_data
+        ],
     }
-    ev_e = Evaluator(tables_e, challenges, rot_scale=rot_scale)
+    delta_m = [_mont_scalar(d) for d in pk.delta_pows]
 
-    acc = jnp.zeros((n_ext, 32), jnp.uint8)
-    first = True
-
-    def add_constraint(cvals):
-        nonlocal acc, first
-        if cvals.ndim == 1:
-            cvals = jnp.broadcast_to(cvals, (n_ext, 32))
-        acc = cvals if first else F.add(F.mul(acc, y_m), cvals)
-        first = False
-
-    for g in cs.gates:
-        for p in g.polys:
-            add_constraint(ev_e.eval(p))
-
-    one_ext = F.ones_mont((n_ext,))
-    if perm_cols:
-        z_ext = to_ext(z_perm_coeffs)
-        z_w = jnp.roll(z_ext, -rot_scale, axis=0)
-        add_constraint(F.mul(pk.l0_ext, F.sub(z_ext, one_ext)))
-        add_constraint(
-            F.mul(pk.llast_ext, F.sub(F.mul(z_ext, z_ext), z_ext))
+    def _quotient_body(qi):
+        ev_e = Evaluator(
+            {"fixed": qi["fixed"], "advice": qi["advice"],
+             "instance": qi["instance"]},
+            qi["challenges"], rot_scale=rot_scale,
         )
-        numx = one_ext
-        denx = one_ext
-        col_ext_tables = {"advice": advice_ext, "fixed": pk.fixed_ext,
-                          "instance": instance_ext}
-        for ci, (kind, col) in enumerate(perm_cols):
-            v = col_ext_tables[kind][col]
-            idt = F.mul(pk.x_ext, _mont_scalar(pk.delta_pows[ci]))
-            numx = F.mul(numx, F.add(v, F.add(F.mul(beta_m, idt), gamma_m)))
-            denx = F.mul(denx, F.add(v, F.add(F.mul(beta_m, pk.sigma_ext[ci]), gamma_m)))
-        add_constraint(
-            F.mul(pk.lactive_ext, F.sub(F.mul(z_w, denx), F.mul(z_ext, numx)))
-        )
+        th, be, ga, yv = qi["theta"], qi["beta"], qi["gamma"], qi["y"]
+        acc = jnp.zeros((n_ext, 32), jnp.uint8)
+        first = True
 
-    for lk, ld in zip(cs.lookups, lookup_data):
-        a_ext = _compress(lk.inputs, theta, ev_e, (n_ext, 32))
-        s_ext = _compress(lk.tables, theta, ev_e, (n_ext, 32))
-        ap_ext = to_ext(ld["ap_coeffs"])
-        sp_ext = to_ext(ld["sp_coeffs"])
-        z_ext = to_ext(ld["z_coeffs"])
-        z_w = jnp.roll(z_ext, -rot_scale, axis=0)
-        ap_prev = jnp.roll(ap_ext, rot_scale, axis=0)
-        add_constraint(F.mul(pk.l0_ext, F.sub(z_ext, one_ext)))
-        add_constraint(F.mul(pk.llast_ext, F.sub(F.mul(z_ext, z_ext), z_ext)))
-        lhs = F.mul(z_w, F.mul(F.add(ap_ext, beta_m), F.add(sp_ext, gamma_m)))
-        rhs = F.mul(z_ext, F.mul(F.add(a_ext, beta_m), F.add(s_ext, gamma_m)))
-        add_constraint(F.mul(pk.lactive_ext, F.sub(lhs, rhs)))
-        add_constraint(F.mul(pk.l0_ext, F.sub(ap_ext, sp_ext)))
-        add_constraint(
-            F.mul(
-                pk.lactive_ext,
-                F.mul(F.sub(ap_ext, sp_ext), F.sub(ap_ext, ap_prev)),
+        def add_constraint(cvals):
+            nonlocal acc, first
+            if cvals.ndim == 1:
+                cvals = jnp.broadcast_to(cvals, (n_ext, 32))
+            acc = cvals if first else F.add(F.mul(acc, yv), cvals)
+            first = False
+
+        for g in cs.gates:
+            for p_ in g.polys:
+                add_constraint(ev_e.eval(p_))
+
+        one_s = F.ones_mont(())  # scalar; broadcasts (no big jit constant)
+        if perm_cols:
+            z_ext = qi["z_perm"]
+            z_w = jnp.roll(z_ext, -rot_scale, axis=0)
+            add_constraint(F.mul(qi["l0"], F.sub(z_ext, one_s)))
+            add_constraint(
+                F.mul(qi["llast"], F.sub(F.mul(z_ext, z_ext), z_ext))
             )
-        )
+            numx = None
+            denx = None
+            col_ext_tables = {"advice": qi["advice"], "fixed": qi["fixed"],
+                              "instance": qi["instance"]}
+            for ci, (kind, col) in enumerate(perm_cols):
+                v = col_ext_tables[kind][col]
+                idt = F.mul(qi["x_ext"], delta_m[ci])
+                nt = F.add(v, F.add(F.mul(be, idt), ga))
+                dt_ = F.add(v, F.add(F.mul(be, qi["sigma"][ci]), ga))
+                numx = nt if numx is None else F.mul(numx, nt)
+                denx = dt_ if denx is None else F.mul(denx, dt_)
+            add_constraint(
+                F.mul(qi["lactive"],
+                      F.sub(F.mul(z_w, denx), F.mul(z_ext, numx)))
+            )
 
-    for lg, ld in zip(cs.logups, logup_data):
-        a_exts = [_compress(tup, theta, ev_e, (n_ext, 32)) for tup in lg.inputs]
-        t_ext = _compress(lg.table, theta, ev_e, (n_ext, 32))
-        h_exts = [to_ext(c) for c in ld["h_coeffs"]]
-        ht_ext = to_ext(ld["h_t_coeffs"])
-        m_ext = to_ext(ld["m_coeffs"])
-        phi_ext = to_ext(ld["phi_coeffs"])
-        phi_w = jnp.roll(phi_ext, -rot_scale, axis=0)
-        add_constraint(F.mul(pk.l0_ext, phi_ext))
-        add_constraint(F.mul(pk.llast_ext, phi_ext))
-        for h_ext_j, a_ext_j in zip(h_exts, a_exts):
+        for lk, lde in zip(cs.lookups, qi["lookups"]):
+            a_ext = _compress(lk.inputs, th, ev_e, (n_ext, 32))
+            s_ext = _compress(lk.tables, th, ev_e, (n_ext, 32))
+            ap_ext, sp_ext, z_ext = lde["ap"], lde["sp"], lde["z"]
+            z_w = jnp.roll(z_ext, -rot_scale, axis=0)
+            ap_prev = jnp.roll(ap_ext, rot_scale, axis=0)
+            add_constraint(F.mul(qi["l0"], F.sub(z_ext, one_s)))
+            add_constraint(
+                F.mul(qi["llast"], F.sub(F.mul(z_ext, z_ext), z_ext))
+            )
+            lhs = F.mul(z_w, F.mul(F.add(ap_ext, be), F.add(sp_ext, ga)))
+            rhs = F.mul(z_ext, F.mul(F.add(a_ext, be), F.add(s_ext, ga)))
+            add_constraint(F.mul(qi["lactive"], F.sub(lhs, rhs)))
+            add_constraint(F.mul(qi["l0"], F.sub(ap_ext, sp_ext)))
             add_constraint(
                 F.mul(
-                    pk.lactive_ext,
-                    F.sub(F.mul(h_ext_j, F.add(a_ext_j, beta_m)), one_ext),
+                    qi["lactive"],
+                    F.mul(F.sub(ap_ext, sp_ext), F.sub(ap_ext, ap_prev)),
                 )
             )
-        add_constraint(
-            F.mul(
-                pk.lactive_ext,
-                F.sub(F.mul(ht_ext, F.add(t_ext, beta_m)), m_ext),
-            )
-        )
-        dsum = F.zeros((n_ext, 32))
-        for h_ext_j in h_exts:
-            dsum = F.add(dsum, h_ext_j)
-        dsum = F.sub(dsum, ht_ext)
-        add_constraint(
-            F.mul(pk.lactive_ext, F.sub(F.sub(phi_w, phi_ext), dsum))
-        )
 
-    h_ext = F.mul(acc, pk.t_inv_ext)
-    h_coeffs = coset_intt(h_ext, k_ext)
+        for lg, lde in zip(cs.logups, qi["logups"]):
+            a_exts = [
+                _compress(tup, th, ev_e, (n_ext, 32)) for tup in lg.inputs
+            ]
+            t_ext = _compress(lg.table, th, ev_e, (n_ext, 32))
+            h_exts = lde["hs"]
+            ht_ext, m_ext, phi_ext = lde["ht"], lde["m"], lde["phi"]
+            phi_w = jnp.roll(phi_ext, -rot_scale, axis=0)
+            add_constraint(F.mul(qi["l0"], phi_ext))
+            add_constraint(F.mul(qi["llast"], phi_ext))
+            for h_ext_j, a_ext_j in zip(h_exts, a_exts):
+                add_constraint(
+                    F.mul(
+                        qi["lactive"],
+                        F.sub(F.mul(h_ext_j, F.add(a_ext_j, be)), one_s),
+                    )
+                )
+            add_constraint(
+                F.mul(
+                    qi["lactive"],
+                    F.sub(F.mul(ht_ext, F.add(t_ext, be)), m_ext),
+                )
+            )
+            dsum = None
+            for h_ext_j in h_exts:
+                dsum = h_ext_j if dsum is None else F.add(dsum, h_ext_j)
+            dsum = F.sub(dsum, ht_ext)
+            add_constraint(
+                F.mul(qi["lactive"], F.sub(F.sub(phi_w, phi_ext), dsum))
+            )
+
+        return F.mul(acc, qi["t_inv"])
+
+    _mark("ext transforms")
+    h_ext = jax.jit(_quotient_body)(qin)
+    h_ext.block_until_ready()
+    _mark("quotient jit")
+    h_coeffs = coset_intt_ext(h_ext)
     n_pieces = n_ext // n
     h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(n_pieces)]
     for piece in h_pieces:
-        t.write_point(srs.commit_affine(piece))
+        t.write_point(commit(piece))
 
+    _mark("h commit")
     x = t.squeeze_challenge()
 
     # ---- evaluations ------------------------------------------------------------
@@ -495,5 +597,7 @@ def prove(
 
     from ..poly.kzg import shplonk_open
 
+    _mark("evaluations")
     shplonk_open(srs, queries, t)
+    _mark("shplonk open")
     return bytes(t.proof)

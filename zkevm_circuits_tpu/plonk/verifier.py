@@ -36,13 +36,17 @@ def _eval_expr(e, getq, ch):
     raise TypeError(type(e))
 
 
-def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes) -> bool:
+def verify(vk: VerifyingKey, instances: list[list[int]], proof: bytes,
+           transcript=None) -> bool:
+    """`transcript`: optional reader instance (default Blake2bReader);
+    pass poly.transcript.PoseidonReader(proof) to verify proofs produced
+    with the recursion-path PoseidonTranscript."""
     cs = vk.cs
     k, n = vk.k, vk.n
     u = usable_rows(n)
     dom = domain(k)
     omega = dom.omega
-    rd = Blake2bReader(proof)
+    rd = transcript if transcript is not None else Blake2bReader(proof)
 
     for col in instances:
         for v in col:
