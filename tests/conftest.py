@@ -44,6 +44,7 @@ SLOW_MODULES = {
     "test_ntt3",               # ~2 min of fresh jit compiles
     "test_poseidon_transcript",  # two full proves
     "test_compression",        # inner prove + compression prove (~8 min)
+    "test_aggregation",        # multi-proof fold + layer pipeline (~5 min)
     "test_service_prover",     # variadic real proofs
     "test_tx_circuit",
     "test_tx_rlp_binding",

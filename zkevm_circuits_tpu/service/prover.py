@@ -115,7 +115,13 @@ class ChunkProver:
         circuit = SuperCircuit(builder, bytecodes, txs, self.super_params)
         pk, vk = self.keys(circuit)
         with timer("prove chunk"):
-            proof = prove(pk, circuit, [], self.srs())
+            # Poseidon transcript: chunk proofs feed the recursion layers
+            # (reference inner proofs hash with Poseidon via
+            # snark-verifier-sdk, prover/src/common/prover/utils.rs:24)
+            from ..poly.transcript import PoseidonTranscript
+
+            proof = prove(pk, circuit, [], self.srs(),
+                          transcript=PoseidonTranscript())
         out = Proof(proof=proof, instances=[], k=self.k)
         if cache:
             with open(cache, "w") as f:
@@ -125,7 +131,10 @@ class ChunkProver:
     def verify_chunk_proof(self, proof: Proof) -> bool:
         assert self._keys is not None, "keys not generated yet"
         _, vk = self._keys
-        return verify(vk, proof.instances, proof.proof)
+        from ..poly.transcript import PoseidonReader
+
+        return verify(vk, proof.instances, proof.proof,
+                      transcript=PoseidonReader(proof.proof))
 
 
 class CircuitCapacityChecker:
@@ -189,3 +198,95 @@ class CircuitCapacityChecker:
             v <= cap for key, v in rows.items() if key != "fits"
         )
         return rows
+
+
+class LayerProver:
+    """Recursion layers over inner proofs (reference 5-layer pipeline
+    Inner -> Layer1/2 (compression) -> Layer3 (aggregation) -> Layer4,
+    prover/src/config.rs:36-48; common/prover/compression.rs).
+
+    Layer1 here: CompressionCircuit — the inner proof's scalar
+    verification proven in-circuit, elliptic claim deferred
+    (recursion/compression.py).  Artifacts are load-or-gen cached like
+    every reference layer."""
+
+    def __init__(self, params_dir: str, output_dir: str | None = None):
+        self.params_dir = params_dir
+        self.output_dir = output_dir
+        os.makedirs(params_dir, exist_ok=True)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        self._srs: dict[int, Srs] = {}
+        self._keys: dict[str, tuple] = {}
+
+    def srs(self, k: int) -> Srs:
+        if k not in self._srs:
+            path = os.path.join(self.params_dir, f"srs_k{k}.pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    self._srs[k] = pickle.load(f)
+            else:
+                with timer(f"SRS setup k={k}"):
+                    self._srs[k] = Srs.unsafe_setup(k)
+                with open(path, "wb") as f:
+                    pickle.dump(self._srs[k], f)
+        return self._srs[k]
+
+    def gen_compression_proof(self, vk_inner, inner: Proof,
+                              name: str = "layer1"):
+        """Inner proof (PoseidonTranscript) -> compression proof +
+        (claim, instances) for the aggregation layer.  Returns
+        (Proof, CompressionCircuit)."""
+        from ..recursion.compression import CompressionCircuit
+
+        comp = CompressionCircuit(vk_inner, inner.proof, inner.instances)
+        kc = comp.min_k()
+        insts = comp.instances()
+        digest = hashlib.sha256(inner.proof).hexdigest()[:16]
+        cache = (
+            os.path.join(self.output_dir, f"proof_{name}_{digest}.json")
+            if self.output_dir else None
+        )
+        if cache and os.path.exists(cache):
+            return Proof.from_json(open(cache).read()), comp
+        srs = self.srs(kc)
+        key = f"{name}_k{kc}"
+        if key not in self._keys:
+            with timer(f"keygen {key}"):
+                self._keys[key] = keygen(comp, kc, srs)
+        pk, vk_c = self._keys[key]
+        with timer(f"prove {name}"):
+            proof = prove(pk, comp, insts, srs)
+        out = Proof(proof=proof, instances=insts, k=kc)
+        if cache:
+            with open(cache, "w") as f:
+                f.write(out.to_json())
+        return out, comp
+
+    def verify_compression_proof(self, name_k: str, proof: Proof) -> bool:
+        _, vk_c = self._keys[name_k]
+        return verify(vk_c, proof.instances, proof.proof)
+
+
+class BatchProver:
+    """Layer3 batching (reference aggregator::Prover::gen_agg_evm_proof,
+    prover/src/aggregator/prover.rs:69): check the chunks' deferred
+    claims with ONE folded pairing and commit the batch statement
+    (BatchHash over the chunk pi hashes).  The in-circuit aggregation
+    (verifying the compression proofs inside one circuit) stacks on the
+    same tape machinery next."""
+
+    def gen_batch(self, items, chunk_hashes) -> dict:
+        """items: [(vk_inner, DeferredClaim, instance_values)];
+        chunk_hashes: [recursion.aggregation.ChunkHash]."""
+        from ..recursion.aggregation import (
+            BatchHash, fold_and_verify_claims,
+        )
+
+        assert fold_and_verify_claims(items), "deferred claim fold failed"
+        batch = BatchHash(chunk_hashes)
+        return {
+            "batch_pi_hash": hex(batch.pi_hash()),
+            "n_chunks": len(chunk_hashes),
+            "chunk_pi_hashes": [hex(c.pi_hash()) for c in chunk_hashes],
+        }
