@@ -41,17 +41,35 @@ class MptParams:
 
 
 class MptCircuit(Circuit):
-    def __init__(self, updates: list[MptUpdate], params: MptParams | None = None):
-        self.updates = updates
+    def __init__(self, updates: list[MptUpdate] | None = None,
+                 params: MptParams | None = None, storage=None):
+        """`storage`: list[witness.mpt.StorageUpdate] — enables the
+        storage-schema bridges: each update's trie key is re-derived
+        in-circuit from (addr, slot) and its leaf values from the raw
+        256-bit words (poseidon + byte-RLC bindings), and the circuit
+        exposes `storage_table` = (enable, addr, key_rlc, old_rlc,
+        new_rlc) for the State circuit's storage-group lookups
+        (reference state_circuit.rs:66-72 MptTable coupling)."""
+        self.storage = storage
+        if storage is not None:
+            updates = [su.mpt for su in storage]
+        self.updates = updates or []
         self.params = params or MptParams()
 
     # ------------------------------------------------------------------
-    def configure(self, cs: ConstraintSystem, poseidon_table=None):
+    def configure(self, cs: ConstraintSystem, poseidon_table=None,
+                  challenge=None):
         """`poseidon_table`: (enable, domain, in0, in1, out) exprs from the
-        Poseidon circuit; standalone mode carries witness columns."""
+        Poseidon circuit; standalone mode carries witness columns.
+        `challenge`: the shared word-RLC challenge (storage mode)."""
         self.standalone = poseidon_table is None
         self.q_mpt = cs.fixed_column()
         self.q_row0 = cs.fixed_column()
+        self.q_chain = cs.fixed_column()  # 1 on REAL (non-pad) rows
+        if self.storage is not None:
+            self._shared_challenge = (
+                challenge if challenge is not None else cs.challenge(phase=0)
+            )
 
         self.c_first = cs.advice_column()
         self.c_last = cs.advice_column()
@@ -176,6 +194,105 @@ class MptCircuit(Circuit):
             poseidon_table,
         )
 
+        # chained blocks: the next REAL update starts from this one's new
+        # root (pad blocks are independent empty-slot inserts)
+        q_ch = Fixed(self.q_chain)
+        q_ch_n = Fixed(self.q_chain, 1)
+        cs.create_gate(
+            "mpt root chain",
+            q_ch * last * q_ch_n * (Advice(self.c_old_root, 1) - new_root),
+        )
+
+        # ---- storage-schema bridges (storage mode): on each update's
+        # LEAF row, re-derive the trie key from (addr, slot) and the leaf
+        # values from the raw words (witness/mpt.py conventions) ---------
+        if self.storage is not None:
+            from ..witness.mpt import DOM_SKEY, DOM_SVAL
+
+            self.tbl_byte = cs.fixed_column()
+            self.s_addr = cs.advice_column()
+            self.s_inner = cs.advice_column()  # H(DOM_SKEY, k_lo, k_hi)
+            self.s_nz = cs.advice_column()  # new word nonzero flag
+            self.kb = [cs.advice_column() for _ in range(32)]
+            self.ob = [cs.advice_column() for _ in range(32)]
+            self.nb = [cs.advice_column() for _ in range(32)]
+            self.s_key_rlc = cs.advice_column(phase=1)
+            self.s_old_rlc = cs.advice_column(phase=1)
+            self.s_new_rlc = cs.advice_column(phase=1)
+            r_word = self._shared_challenge
+            gf2 = q * first * Fixed(self.q_chain)  # real leaf rows only
+            kb = [Advice(c) for c in self.kb]
+            ob = [Advice(c) for c in self.ob]
+            nb = [Advice(c) for c in self.nb]
+
+            def lohi(bs):
+                lo = None
+                hi = None
+                for i in range(16):
+                    tl = bs[i] * (1 << (8 * i))
+                    th = bs[16 + i] * (1 << (8 * i))
+                    lo = tl if lo is None else lo + tl
+                    hi = th if hi is None else hi + th
+                return lo, hi
+
+            def rlc_of(bs):
+                expr = None
+                rpow = None
+                for i, b in enumerate(bs):
+                    term = b if i == 0 else b * rpow
+                    expr = term if expr is None else expr + term
+                    rpow = r_word if rpow is None else rpow * r_word
+                return expr
+
+            k_lo, k_hi = lohi(kb)
+            ov_lo, ov_hi = lohi(ob)
+            nv_lo, nv_hi = lohi(nb)
+            cs.create_gate(
+                "stor key rlc", gf2 * (Advice(self.s_key_rlc) - rlc_of(kb))
+            )
+            cs.create_gate(
+                "stor old rlc", gf2 * (Advice(self.s_old_rlc) - rlc_of(ob))
+            )
+            cs.create_gate(
+                "stor new rlc", gf2 * (Advice(self.s_new_rlc) - rlc_of(nb))
+            )
+            g_oldv = gf2 * (1 - emp)  # empty old slot has no leaf value
+            # zero new word stores leaf value 0 (delete-on-zero pending):
+            # nz gates the packing bridge and pins everything to 0 off it
+            nz = Advice(self.s_nz)
+            g_newv = gf2 * nz
+            cs.create_gate("stor nz bool", gf2 * nz * (nz - 1))
+            cs.create_gate("stor zero new leaf", gf2 * (1 - nz) * new_v)
+            for i, b in enumerate(nb):
+                cs.create_gate(f"stor zero new byte {i}",
+                               gf2 * (1 - nz) * b)
+            cs.lookup_logup(
+                "stor poseidon bridges",
+                [
+                    [gf2, gf2 * DOM_SKEY, gf2 * k_lo, gf2 * k_hi,
+                     gf2 * Advice(self.s_inner)],
+                    [gf2, gf2 * DOM_SKEY, gf2 * Advice(self.s_addr),
+                     gf2 * Advice(self.s_inner), gf2 * key],
+                    [g_oldv, g_oldv * DOM_SVAL, g_oldv * ov_lo,
+                     g_oldv * ov_hi, g_oldv * old_v],
+                    [g_newv, g_newv * DOM_SVAL, g_newv * nv_lo,
+                     g_newv * nv_hi, g_newv * new_v],
+                ],
+                poseidon_table,
+            )
+            byte_inputs = [[gf2 * b] for b in kb + ob + nb]
+            cs.lookup_logup(
+                "stor byte ranges", byte_inputs, [Fixed(self.tbl_byte)]
+            )
+            # zero old word <=> empty old slot (the bridge is gated off
+            # for empty slots, so pin the bytes to zero there)
+            for i, b in enumerate(ob):
+                cs.create_gate(f"stor empty old byte {i}", gf2 * emp * b)
+            self.storage_table = [
+                gf2, gf2 * Advice(self.s_addr), gf2 * Advice(self.s_key_rlc),
+                gf2 * Advice(self.s_old_rlc), gf2 * Advice(self.s_new_rlc),
+            ]
+
         # exposed MptTable (reference table.rs:748) on root rows
         self.mpt_table = [
             gl, gl * key, gl * old_v, gl * new_v, gl * old_root,
@@ -223,12 +340,20 @@ class MptCircuit(Circuit):
     def fixed_columns(self, n: int):
         t = self._target(n)
         mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        n_real = sum(u.depth + 1 for u in self.updates)
         out = {
             self.q_mpt: mont([1 if i < t else 0 for i in range(n)]),
             self.q_row0: mont([1 if i == 0 else 0 for i in range(n)]),
+            self.q_chain: mont([1 if i < n_real else 0 for i in range(n)]),
         }
+        if self.storage is not None:
+            out[self.tbl_byte] = mont(
+                [i if i < 256 else 0 for i in range(n)]
+            )
+            assert n >= 256, "storage mode needs the byte range table"
         if self.standalone:
-            n_evs = len(self._poseidon_rows())
+            n_evs = len(self._poseidon_rows()) \
+                + len(self._storage_bridge_rows())
             if t > sum(u.depth + 1 for u in self.updates):
                 n_evs += 1  # pad-block leaf hash row (see synthesize)
             out[self.t_en] = mont(
@@ -245,7 +370,74 @@ class MptCircuit(Circuit):
             for ev in mpt_poseidon_events(self.updates)
         ]
 
+    def _storage_bridge_rows(self):
+        """Extra poseidon permutations backing the storage-schema bridges
+        (key derivation + value packing), for the standalone witness table
+        and composed-mode PoseidonEvents."""
+        if self.storage is None:
+            return []
+        from ..witness.mpt import DOM_SKEY, DOM_SVAL
+        from ..trie.zktrie import hash2_domain as h2
+
+        HALF = (1 << 128) - 1
+        out = []
+        for su in self.storage:
+            k_lo, k_hi = su.key & HALF, su.key >> 128
+            inner = h2(DOM_SKEY, k_lo, k_hi)
+            out.append((DOM_SKEY, k_lo, k_hi, inner))
+            out.append((DOM_SKEY, su.addr, inner,
+                        h2(DOM_SKEY, su.addr, inner)))
+            if su.old_word:
+                out.append((DOM_SVAL, su.old_word & HALF,
+                            su.old_word >> 128,
+                            h2(DOM_SVAL, su.old_word & HALF,
+                               su.old_word >> 128)))
+            if su.new_word:
+                out.append((DOM_SVAL, su.new_word & HALF,
+                            su.new_word >> 128,
+                            h2(DOM_SVAL, su.new_word & HALF,
+                               su.new_word >> 128)))
+        return out
+
+    def poseidon_events(self):
+        """Composed mode: every permutation this circuit looks up
+        (paths + storage bridges) as PoseidonEvents."""
+        from ..circuits.poseidon import PoseidonEvent
+        from ..witness.mpt import mpt_poseidon_events
+
+        evs = list(mpt_poseidon_events(self.updates))
+        for (dom, a, b, _) in self._storage_bridge_rows():
+            evs.append(PoseidonEvent(domain=dom, in0=a, in1=b))
+        return evs
+
+    def _leaf_row_positions(self):
+        pos, out = 0, []
+        for u in self.updates:
+            out.append(pos)
+            pos += u.depth + 1
+        return out
+
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
+        if phase == 1 and self.storage is not None:
+            import numpy as np
+
+            r_chal = challenges[self._shared_challenge.index]
+            r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
+            from ..circuits.state import word_rlc
+
+            key_rlc = [0] * n
+            old_rlc = [0] * n
+            new_rlc = [0] * n
+            for su, pos in zip(self.storage, self._leaf_row_positions()):
+                key_rlc[pos] = word_rlc(su.key, r_int)
+                old_rlc[pos] = word_rlc(su.old_word, r_int)
+                new_rlc[pos] = word_rlc(su.new_word, r_int)
+            mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+            return {
+                self.s_key_rlc: mont(key_rlc),
+                self.s_old_rlc: mont(old_rlc),
+                self.s_new_rlc: mont(new_rlc),
+            }
         if phase != 0:
             return {}
         rows = self._rows()
@@ -271,8 +463,37 @@ class MptCircuit(Circuit):
             (self.c_ext, 12), (self.c_k1, 13), (self.c_v1, 14),
         ):
             cols[ci] = mont([r[idx] for r in rows])
+        if self.storage is not None:
+            from ..witness.mpt import DOM_SKEY
+            from ..trie.zktrie import hash2_domain as h2
+
+            HALF = (1 << 128) - 1
+            addr_c = [0] * n
+            inner_c = [0] * n
+            kb = [[0] * n for _ in range(32)]
+            ob = [[0] * n for _ in range(32)]
+            nb = [[0] * n for _ in range(32)]
+            for su, pos in zip(self.storage, self._leaf_row_positions()):
+                addr_c[pos] = su.addr
+                inner_c[pos] = h2(DOM_SKEY, su.key & HALF, su.key >> 128)
+                for i, b in enumerate(su.key.to_bytes(32, "little")):
+                    kb[i][pos] = b
+                for i, b in enumerate(su.old_word.to_bytes(32, "little")):
+                    ob[i][pos] = b
+                for i, b in enumerate(su.new_word.to_bytes(32, "little")):
+                    nb[i][pos] = b
+            cols[self.s_addr] = mont(addr_c)
+            cols[self.s_inner] = mont(inner_c)
+            nz_c = [0] * n
+            for su, pos in zip(self.storage, self._leaf_row_positions()):
+                nz_c[pos] = int(su.new_word != 0)
+            cols[self.s_nz] = mont(nz_c)
+            for i in range(32):
+                cols[self.kb[i]] = mont(kb[i])
+                cols[self.ob[i]] = mont(ob[i])
+                cols[self.nb[i]] = mont(nb[i])
         if self.standalone:
-            evs = self._poseidon_rows()
+            evs = self._poseidon_rows() + self._storage_bridge_rows()
             if t > n_real:
                 evs = evs + [(DOM_LEAF, 0, 0, pad_hash)]
             cols[self.t_dom] = mont([e[0] for e in evs])

@@ -128,7 +128,12 @@ class StateCircuit(Circuit):
         self.rows = rows
 
     # ------------------------------------------------------------------
-    def configure(self, cs: ConstraintSystem, challenge=None):
+    def configure(self, cs: ConstraintSystem, challenge=None,
+                  mpt_storage_table=None):
+        """`mpt_storage_table`: the MptCircuit's (enable, addr, key_rlc,
+        old_rlc, new_rlc) exprs — when given, every Storage group's
+        (committed -> final) transition is looked up against a proven
+        trie update (reference state_circuit.rs:66-72)."""
         p = self.params
         self.q_row = cs.fixed_column()  # 1 on all table rows
         self.q_ord = cs.fixed_column()  # 1 on rows 1..target-1 (has a prev)
@@ -147,11 +152,15 @@ class StateCircuit(Circuit):
         self.col_inv_stack = cs.advice_column()
         self.col_is_mem = cs.advice_column()
         self.col_inv_mem = cs.advice_column()
+        self.col_is_stor = cs.advice_column()
+        self.col_inv_stor = cs.advice_column()
         # flag: tag carries value_prev semantics (Storage / Account /
         # TxAccessList* / TxRefund — reference state_circuit
         # constraint_builder.rs per-tag value_prev rules)
         self.col_is_prevtag = cs.advice_column()
         self.col_inv_prevtag = cs.advice_column()
+        # committed (pre-block) value of the group, carried to every row
+        self.col_init_val = cs.advice_column(phase=1)
 
         self.r_word = (
             challenge if challenge is not None else cs.challenge(phase=0)
@@ -196,6 +205,7 @@ class StateCircuit(Circuit):
         for flag_col, inv_col, tag_val in (
             (self.col_is_stack, self.col_inv_stack, int(RwTag.Stack)),
             (self.col_is_mem, self.col_inv_mem, int(RwTag.Memory)),
+            (self.col_is_stor, self.col_inv_stor, int(RwTag.Storage)),
         ):
             fl, inv = Advice(flag_col), Advice(inv_col)
             d = tag - tag_val
@@ -299,6 +309,48 @@ class StateCircuit(Circuit):
                 expr = term if expr is None else expr + term
             cs.create_gate(
                 "key rlc binding", q_row * (Advice(self.col_key_rlc) - expr)
+            )
+
+        # init_val: committed value of the access group — equals
+        # value_prev at the first access (prev-tag rows), constant within
+        # the group (reference state_circuit initial_value column)
+        init_v = Advice(self.col_init_val)
+        cs.create_gate(
+            "init val first",
+            q_ord * first_access * fpt * (init_v - vprev),
+        )
+        cs.create_gate(
+            "init val carry",
+            q_ord * not_first * (init_v - Advice(self.col_init_val, -1)),
+        )
+        if mpt_storage_table is not None:
+            # last-of-group Storage rows: the (addr, key, committed ->
+            # final) transition must be a proven trie update.  A row is
+            # last-of-group when the NEXT row starts a new group (its
+            # first-diff one-hot fires in a group limb); the final padding
+            # row's successor is all-zero => gated off.
+            first_next: Expression | None = None
+            for c in self.e_cols[: p.group_limbs]:
+                e_n = Advice(c, 1)
+                first_next = e_n if first_next is None else first_next + e_n
+            counts = p.limb_counts()
+            addr_cnt = dict(counts)["address"]
+            addr_off = sum(
+                c for nme, c in
+                counts[: [n_ for n_, _ in counts].index("address")]
+            )
+            addr_expr: Expression | None = None
+            for i in range(addr_cnt):
+                term = limbs[addr_off + i] * (
+                    1 << (p.limb_bits * (addr_cnt - 1 - i))
+                )
+                addr_expr = term if addr_expr is None else addr_expr + term
+            g_mpt = q_row * Advice(self.col_is_stor) * first_next
+            cs.lookup_logup(
+                "storage mpt",
+                [[g_mpt, g_mpt * addr_expr, g_mpt * Advice(self.col_key_rlc),
+                  g_mpt * init_v, g_mpt * Advice(self.col_value)]],
+                mpt_storage_table,
             )
 
         # single logUp argument: every limb + diff-1 into the range table
@@ -431,6 +483,9 @@ class StateCircuit(Circuit):
             cols[self.col_is_mem] = mont(
                 [int(r.tag == RwTag.Memory) for r in rows]
             )
+            cols[self.col_is_stor] = mont(
+                [int(r.tag == RwTag.Storage) for r in rows]
+            )
 
             def invs(tag_val):
                 out = []
@@ -441,6 +496,7 @@ class StateCircuit(Circuit):
 
             cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
             cols[self.col_inv_mem] = mont(invs(int(RwTag.Memory)))
+            cols[self.col_inv_stor] = mont(invs(int(RwTag.Storage)))
             PREV_TAGS = (RwTag.Storage, RwTag.Account,
                          RwTag.TxAccessListAccount,
                          RwTag.TxAccessListAccountStorage, RwTag.TxRefund)
@@ -465,8 +521,18 @@ class StateCircuit(Circuit):
             for r in rows
         ]
         keys = [word_rlc(r.storage_key, r_int) for r in rows]
+        inits = []
+        prev_group = None
+        cur_init = 0
+        for r, pv in zip(rows, prevs):
+            group = (r.tag, r.id, r.address, r.field_tag, r.storage_key)
+            if group != prev_group:
+                cur_init = pv  # committed value = first access's prev
+                prev_group = group
+            inits.append(cur_init)
         return {
             self.col_value: mont(vals),
             self.col_value_prev: mont(prevs),
             self.col_key_rlc: mont(keys),
+            self.col_init_val: mont(inits),
         }

@@ -139,3 +139,80 @@ def mpt_poseidon_events(updates: list[MptUpdate]):
             emit(u, u.old_value, skip_leaf=u.was_empty)
         emit(u, u.new_value, skip_leaf=False)
     return events
+
+
+# ---------------------------------------------------------------------------
+# storage <-> trie schema (reference zktrie/src/state/builder.rs:80,167 uses
+# the two-level account/storage layout; v1 here derives flat trie keys —
+# the two-level split lands with account-trie work).  Conventions:
+#   trie_key(addr, key) = H(DOM_SKEY, addr, H(DOM_SKEY, key_lo, key_hi))
+#   leaf value         = H(DOM_SVAL, value_lo, value_hi)
+# with 128-bit lo/hi halves — everything a circuit can rebind through
+# PoseidonTable lookups (circuits/mpt.py key/value bridges).
+# ---------------------------------------------------------------------------
+DOM_SKEY = 3
+DOM_SVAL = 4
+_HALF = (1 << 128) - 1
+
+
+def storage_trie_key(addr: int, key: int) -> int:
+    inner = hash2_domain(DOM_SKEY, key & _HALF, key >> 128)
+    return hash2_domain(DOM_SKEY, addr % P, inner)
+
+
+def storage_leaf_value(value: int) -> int:
+    if value == 0:
+        return 0  # empty slot convention (delete-on-zero pending)
+    return hash2_domain(DOM_SVAL, value & _HALF, value >> 128)
+
+
+@dataclasses.dataclass
+class StorageUpdate:
+    """One per-(addr, key) storage transition of a block: committed ->
+    final value, with the raw words the circuits' RLC bridges bind."""
+
+    addr: int
+    key: int  # 256-bit storage slot
+    old_word: int
+    new_word: int
+    mpt: MptUpdate
+
+
+def storage_updates_from_rws(rws, trie: ZkTrie | None = None):
+    """Group the RW table's Storage rows by (addr, key); one trie write
+    per touched slot: committed value (first value_prev) -> final value
+    (last value) — the reference's MptUpdates::from_rws shape
+    (zkevm-circuits/src/witness/mpt.rs:93)."""
+    from .rw import RwTag
+
+    groups: dict[tuple[int, int], list] = {}
+    order: list[tuple[int, int]] = []
+    for r in rws:
+        if r.tag != RwTag.Storage:
+            continue
+        g = (r.address, r.storage_key)
+        if g not in groups:
+            groups[g] = []
+            order.append(g)
+        groups[g].append(r)
+    ups = MptUpdates(trie)
+    out: list[StorageUpdate] = []
+    for g in order:
+        rows = sorted(groups[g], key=lambda r: r.rw_counter)
+        committed = rows[0].value_prev
+        final = rows[-1].value
+        addr, key = g
+        # seed the committed value, then apply the block's transition
+        if committed:
+            ups.trie.update(storage_trie_key(addr, key),
+                            storage_leaf_value(committed))
+    for g in order:
+        rows = sorted(groups[g], key=lambda r: r.rw_counter)
+        committed = rows[0].value_prev
+        final = rows[-1].value
+        addr, key = g
+        upd = ups.write(storage_trie_key(addr, key),
+                        storage_leaf_value(final))
+        out.append(StorageUpdate(addr=addr, key=key, old_word=committed,
+                                 new_word=final, mpt=upd))
+    return out, ups
