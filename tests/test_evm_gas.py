@@ -125,3 +125,38 @@ def test_error_state_must_match_witness():
 
     failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "mislabelled error kind must be rejected"
+
+
+def test_memory_expansion_gas():
+    # MSTORE at a high address: cost = 3 + 3*d_words + quadratic term
+    # (reference memory_gadget.rs MemoryExpansionGadget)
+    b = _witness(
+        Bytecode()
+        .push(2, 0xAAAA).push(2, 0x1000).op("MSTORE")   # expand to 0x1020
+        .push(2, 0x20).op("MLOAD").op("POP")            # no expansion
+        .op("STOP")
+    )
+    ms = next(s for s in b.steps if s.exec_state == "MSTORE")
+    new_words = (0x1000 + 32 + 31) // 32
+    assert ms.gas_cost == 3 + 3 * new_words + new_words * new_words // 512
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_memory_expansion_wrong_cost_rejected():
+    b = _witness(
+        Bytecode().push(2, 0xAAAA).push(2, 0x1000).op("MSTORE").op("STOP")
+    )
+    row = next(i for i, s in enumerate(b.steps)
+               if s.exec_state == "MSTORE")
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                arr = np.asarray(cols[self.c_gas_cost]).copy()
+                arr[row] = _mont(3)  # claim no expansion charge
+                cols[self.c_gas_cost] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "underpaying memory expansion must fail"

@@ -148,6 +148,10 @@ class EvmCircuit(Circuit):
         self.c_gas_cost = cs.advice_column()
         self.c_gas_left = cs.advice_column()  # gas remaining BEFORE the step
         self.c_gas_aux = cs.advice_column()  # gas helper (PUSH0 inverse etc.)
+        self.c_mw = cs.advice_column()  # memory words BEFORE the step
+        # memory-expansion gas cells (reference memory_gadget.rs):
+        # [m, rem, e, d0..d3, t_new, s0, s1, t_old, so0, so1]
+        self.c_gx = [cs.advice_column() for _ in range(13)]
         self.c_rwc = cs.advice_column()  # rw_counter at step start
         self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
         self.c_call_id = cs.advice_column()
@@ -458,6 +462,64 @@ class EvmCircuit(Circuit):
             term = cost_e - v
             poly_ss = term if poly_ss is None else poly_ss * term
         cs.create_gate("SSTORE gas", g_ss * poly_ss)
+
+        # ---- memory-expansion gas (reference memory_gadget.rs
+        # MemoryExpansionGadget): MLOAD/MSTORE/MSTORE8 track the memory
+        # word size and charge 3 + 3*(mw' - mw) + (mw'^2 - mw^2)/512 -----
+        mw_e, mw_n = Advice(self.c_mw), Advice(self.c_mw, 1)
+        gx = [Advice(c) for c in self.c_gx]
+        (m_e, rem_e, e_fl, d0, d1, d2, d3, t_new, s0, s1,
+         t_old, so0, so1) = gx
+        mem_ops = ind["MLOAD"] + ind["MSTORE"] + ind["MSTORE8"]
+        g3 = q * mem_ops
+        g3n = q * q_n * mem_ops
+        width = 32 * (ind["MLOAD"] + ind["MSTORE"]) + ind["MSTORE8"]
+        addr_e = None
+        for i in range(4):
+            term = Advice(self.c_addr[i]) * (1 << (8 * i))
+            addr_e = term if addr_e is None else addr_e + term
+        # m = ceil((addr + width) / 32): 32m = addr + width + rem, rem < 32
+        cs.create_gate("memgas m def",
+                       g3 * (32 * m_e - addr_e - width - rem_e))
+        # mw' = max(mw, m): flag e + ranged distance d
+        d_e = d0 + 256 * d1 + 65536 * d2 + 16777216 * d3
+        cs.create_gate("memgas e bool", g3 * e_fl * (e_fl - 1))
+        cs.create_gate("memgas next hi", g3n * e_fl * (mw_n - m_e))
+        cs.create_gate("memgas next lo", g3n * (1 - e_fl) * (mw_n - mw_e))
+        cs.create_gate(
+            "memgas order",
+            g3 * (e_fl * (m_e - mw_e - d_e)
+                  + (1 - e_fl) * (mw_e - m_e - 1 - d_e)),
+        )
+        # quadratic terms: mw^2 = 512 t + s, s < 512 (byte + bit)
+        cs.create_gate("memgas s1 bool", g3 * s1 * (s1 - 1))
+        cs.create_gate("memgas so1 bool", g3 * so1 * (so1 - 1))
+        cs.create_gate(
+            "memgas quad new",
+            g3n * (mw_n * mw_n - 512 * t_new - s0 - 256 * s1),
+        )
+        cs.create_gate(
+            "memgas quad old",
+            g3 * (mw_e * mw_e - 512 * t_old - so0 - 256 * so1),
+        )
+        cs.create_gate(
+            "memgas cost",
+            g3n * (cost_e - 3 - 3 * (mw_n - mw_e) - (t_new - t_old)),
+        )
+        # memory size continuity: carries across steps except memory-
+        # touching ops (their own rules; the not-yet-constrained movers
+        # keep witness tracking only) and frame switches / tx boundaries
+        movers = (mem_ops + ind["SHA3"] + ind["CALLDATACOPY"]
+                  + ind["CODECOPY"] + ind["RETURNDATACOPY"] + ind["RETURN"]
+                  + ind["REVERT"] + ind["LOG"] + ind["CALL"] + ind["RET"]
+                  + ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
+                  + ind["ECMUL"] + ind["SHA256"] + ind["MODEXP"])
+        cs.create_gate(
+            "mw continuity",
+            q * q_n * (1 - bt_n) * (1 - movers) * (mw_n - mw_e),
+        )
+        # a fresh frame starts with empty memory
+        cs.create_gate("mw tx start", q * q_n * bt * mw_n)
 
         # ---- error states (reference execution/error_stack.rs,
         # error_oog_constant.rs).  Cells on an error row: the failing
@@ -2114,6 +2176,12 @@ class EvmCircuit(Circuit):
         # ERR_STACK underflow distance sp + pops - 1025 (a byte; <= 16
         # genuinely); 0 on overflow rows
         byte_inputs.append([q * ind["ERR_STACK"] * Advice(self.c_gas_aux)])
+        # memory-expansion gas cells: rem < 32 (8*rem is a byte), the
+        # max-distance bytes, and the quadratic remainders' low bytes
+        g_mem3 = q * (ind["MLOAD"] + ind["MSTORE"] + ind["MSTORE8"])
+        byte_inputs.append([g_mem3 * 8 * Advice(self.c_gx[1])])
+        for ci in (3, 4, 5, 6, 8, 11):
+            byte_inputs.append([g_mem3 * Advice(self.c_gx[ci])])
         cs.lookup_logup("byte ranges", byte_inputs, [Fixed(self.tbl_byte)])
 
         # ---- bus accesses via one logUp into the rw table -----------------
@@ -2701,6 +2769,8 @@ class EvmCircuit(Circuit):
             # gas_left chain; padding STOP rows hold the final gas
             pads["gas"] = (last.gas - last.gas_cost) if last else 0
             cols[self.c_gas_left] = padded([s.gas for s in steps], "gas")
+            pads["mw"] = last.mem_words if last else 0
+            cols[self.c_mw] = padded([s.mem_words for s in steps], "mw")
             # PUSH0 IsZero inverse: 1/plen for PUSHn (n>=1); ERR_STACK rows
             # overwrite theirs with the underflow distance in the loop
             gas_aux = [
@@ -2774,9 +2844,29 @@ class EvmCircuit(Circuit):
                 if bor is not None:
                     carries[18][si] = bor
 
+            gx_cols = [[0] * n_steps for _ in range(13)]
             for si, s in enumerate(steps):
                 kind = self._classify(s)
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
+                if kind in ("MLOAD", "MSTORE", "MSTORE8"):
+                    # memory-expansion gas cells (gates above)
+                    width = 1 if kind == "MSTORE8" else 32
+                    addr_v = ops[0].value
+                    m_v = (addr_v + width + 31) // 32
+                    mw_v = s.mem_words
+                    mwn_v = max(mw_v, m_v)
+                    e_v = int(m_v >= mw_v)
+                    d_v = (m_v - mw_v) if e_v else (mw_v - m_v - 1)
+                    qn_, sn_ = divmod(mwn_v * mwn_v, 512)
+                    qo_, so_ = divmod(mw_v * mw_v, 512)
+                    vals = [
+                        m_v, 32 * m_v - addr_v - width, e_v,
+                        d_v & 0xFF, (d_v >> 8) & 0xFF, (d_v >> 16) & 0xFF,
+                        (d_v >> 24) & 0xFF, qn_, sn_ & 0xFF, sn_ >> 8,
+                        qo_, so_ & 0xFF, so_ >> 8,
+                    ]
+                    for ci2, v2 in enumerate(vals):
+                        gx_cols[ci2][si] = v2
                 if kind in ("BEGIN_TX", "END_TX"):
                     if kind == "BEGIN_TX":
                         ez_col[si] = ops[8].value  # caller nonce_new (raw)
@@ -3335,6 +3425,8 @@ class EvmCircuit(Circuit):
                     ez_col[si] = int(size == 0)
             cols[self.c_push_len] = mont(plens)
             cols[self.c_gas_aux] = mont(gas_aux)
+            for ci2, colvals in enumerate(gx_cols):
+                cols[self.c_gx[ci2]] = mont(colvals)
             for key, colset in (
                 ("a", self.c_bytes_a), ("b", self.c_bytes_b),
                 ("c", self.c_bytes_c), ("d", self.c_bytes_d),

@@ -45,6 +45,7 @@ class ExecStep:
     code_hash: int = 0  # keccak of the executing bytecode (big-endian int)
     log_id: int = 0  # logs emitted in this tx BEFORE this step
     rev_count: int = 0  # reversion rows appended to this step's rws
+    mem_words: int = 0  # memory size in 32-byte words BEFORE this step
 
 
 @dataclasses.dataclass
@@ -406,6 +407,7 @@ class CircuitInputBuilder:
             exec_state=state, pc=step.pc, op=step.op, gas=step.gas,
             gas_cost=0, call_id=fr.call_id,
             stack_pointer=STACK_BASE - len(step.stack),
+            mem_words=len(step.memory) // 32,
             rw_counter_start=self.rws.counter + 1, tx_id=fr.tx_id,
             callee=fr.to_addr, code_hash=fr.code_hash,
             log_id=self._tx_log_count, error=step.error,
@@ -442,6 +444,7 @@ class CircuitInputBuilder:
         es = ExecStep(
             exec_state="EndTx", pc=0, op=None,
             gas=prev.gas - prev.gas_cost, gas_cost=0,
+            mem_words=prev.mem_words,
             call_id=ctx.call_id, stack_pointer=STACK_BASE,
             rw_counter_start=start, tx_id=ctx.tx_id, callee=ctx.to_addr,
             code_hash=ctx.code_hash, log_id=self._tx_log_count,
@@ -479,6 +482,7 @@ class CircuitInputBuilder:
         sp = STACK_BASE - len(step.stack)
         es = ExecStep(
             exec_state="CALL", pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
@@ -577,6 +581,7 @@ class CircuitInputBuilder:
             )
         es = ExecStep(
             exec_state=names[addr], pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
@@ -730,6 +735,7 @@ class CircuitInputBuilder:
         sp = STACK_BASE - len(step.stack)
         es = ExecStep(
             exec_state="RET", pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
             gas_cost=step.gas_cost, call_id=fr.call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
@@ -810,6 +816,7 @@ class CircuitInputBuilder:
         sp = STACK_BASE - len(step.stack)
         es = ExecStep(
             exec_state=op.name, pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
             gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
             rw_counter_start=self.rws.counter + 1, error=step.error,
             tx_id=ctx.tx_id, callee=ctx.to_addr, code_hash=ctx.code_hash,
