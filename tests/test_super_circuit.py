@@ -639,3 +639,31 @@ def test_super_circuit_modexp_precompile():
     circ = SuperCircuit(b, codes, txs)
     assert circ.modexp is not None
     MockProver(13, circ).assert_satisfied()
+
+
+def test_super_circuit_create_keccak_bound():
+    """CREATE at super-circuit level: the derived address's keccak
+    preimage (rlp([sender, nonce])) is looked up LIVE in the composed
+    KeccakTable, the init frame executes against the Bytecode table,
+    and the code deposit lands (reference execution/create.rs)."""
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    deployed = bytes([0x60, 0x01, 0x50, 0x00])  # PUSH1 1; POP; STOP
+    init = Bytecode()
+    init.push(32, int.from_bytes(deployed.ljust(32, b"\x00"), "big"))
+    init.push(1, 0).op("MSTORE")
+    init.push(1, len(deployed)).push(1, 0).op("RETURN")
+    initb = init.to_bytes()
+    creator = Bytecode()
+    for i in range(0, len(initb), 32):
+        chunk = initb[i : i + 32].ljust(32, b"\x00")
+        creator.push(32, int.from_bytes(chunk, "big")).push(1, i)
+        creator.op("MSTORE")
+    creator.push(1, len(initb)).push(1, 0).push(1, 0).op("CREATE")
+    creator.op("POP").op("STOP")
+    b, codes, txs = _witness(creator)
+    assert any(len(p) == 23 for p in b.sha3_inputs)
+    # the init code must be registered so the frame's opcode binding holds
+    circ = SuperCircuit(b, codes + [init], txs)
+    assert circ.keccak is not None  # auto-enabled by sha3_inputs
+    MockProver(13, circ).assert_satisfied()

@@ -59,7 +59,7 @@ GADGETS = [
     "SDIV", "SMOD", "SIGNEXTEND", "SAR", "RETURNDATASIZE",
     "RETURNDATACOPY", "CODECOPY",
     "ECRECOVER", "IDENTITY", "ECADD", "ECMUL", "SHA256", "MODEXP",
-    "SHA3", "CALL", "RET", "RETURN", "REVERT", "LOG",
+    "SHA3", "CALL", "CREATE", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
@@ -77,8 +77,9 @@ GADGETS = [
 OPCODE_BYTE = {
     g: int(OpcodeId[g]) for g in GADGETS
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
-                 "CALL", "RET", "LOG", "ECRECOVER", "IDENTITY", "ECADD",
-                 "ECMUL", "SHA256", "MODEXP", "ERR_STACK", "ERR_OOG")
+                 "CALL", "CREATE", "RET", "LOG", "ECRECOVER", "IDENTITY",
+                 "ECADD", "ECMUL", "SHA256", "MODEXP", "ERR_STACK",
+                 "ERR_OOG")
 }
 
 
@@ -388,7 +389,7 @@ class EvmCircuit(Circuit):
         # the NEXT row begins a new transaction or THIS row switches call
         # frames (CALL descends, RET returns)
         g_cont = q * q_n * (1 - bt_n)
-        g_frame = g_cont * (1 - ind["CALL"] - ind["RET"])
+        g_frame = g_cont * (1 - ind["CALL"] - ind["CREATE"] - ind["RET"])
         cs.create_gate("tx id continuity", g_cont * (txid_n - txid))
         cs.create_gate("callee continuity", g_frame * (callee_n - callee))
         cs.create_gate(
@@ -414,7 +415,8 @@ class EvmCircuit(Circuit):
         # of frame switches (CALL allocates callee gas, RET restores the
         # caller's — their exact 63/64ths gas rules land with the account
         # state machine work).
-        g_gaschain = q * q_n * (1 - bt_n) * (1 - ind["CALL"] - ind["RET"])
+        g_gaschain = q * q_n * (1 - bt_n) \
+            * (1 - ind["CALL"] - ind["CREATE"] - ind["RET"])
         cs.create_gate("gas chain", g_gaschain * (gas_n - gas_e + cost_e))
         # constant-cost opcodes (reference eth-types GasCost constants;
         # execution/error_oog_constant.rs pairs these with OOG checks)
@@ -511,7 +513,8 @@ class EvmCircuit(Circuit):
         # keep witness tracking only) and frame switches / tx boundaries
         movers = (mem_ops + ind["SHA3"] + ind["CALLDATACOPY"]
                   + ind["CODECOPY"] + ind["RETURNDATACOPY"] + ind["RETURN"]
-                  + ind["REVERT"] + ind["LOG"] + ind["CALL"] + ind["RET"]
+                  + ind["REVERT"] + ind["LOG"] + ind["CALL"]
+                  + ind["CREATE"] + ind["RET"]
                   + ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
                   + ind["ECMUL"] + ind["SHA256"] + ind["MODEXP"])
         cs.create_gate(
@@ -1471,6 +1474,104 @@ class EvmCircuit(Circuit):
         self._call_npops = npops
         self._call_new_id = new_id
 
+        # ---- CREATE / CREATE2 (reference execution/create.rs, heavily
+        # restructured): pops (value, offset, size[, salt]), bumps the
+        # creator nonce, warms + endows the created account, initializes
+        # its nonce to 1 (EIP-161), writes the init frame's CallContext
+        # rows, and hands control to the init code.  The created address
+        # is DERIVED IN-CIRCUIT: the keccak preimage — rlp([sender,
+        # nonce]) for CREATE (23 bytes, nonce <= 0x7f v1 scope) or
+        # 0xff ++ sender ++ salt ++ keccak(init) for CREATE2 (85 bytes) —
+        # is folded from constrained byte cells and looked up in the
+        # KeccakTable with the digest whose low 20 bytes become the
+        # callee.  Cells: fc2 (is-CREATE2) cr[20], nonce-zero flag fz
+        # cr[21], creator nonce byte bytes_f[0], sender LE bytes
+        # c_mem[0:20], salt LE bytes bank d, init-code-hash BE bytes
+        # bank e, address-digest BE bytes bank c, pad length c_push_len.
+        gcr = q * ind["CREATE"]
+        gcrn = q * q_n * ind["CREATE"]
+        fc2, fz = cr[20], cr[21]
+        nz_c = bf_[0]
+        cs.create_gate("CREATE fc2 bool", gcr * fc2 * (fc2 - 1))
+        cs.create_gate("CREATE fz bool", gcr * fz * (fz - 1))
+        cs.create_gate("CREATE fz kill", gcr * fz * nz_c)
+        npe = 3 + fc2
+        # sender bytes bind to the executing address
+        sender_sum = None
+        for i in range(20):
+            term = mem_c[i] * (1 << (8 * i))
+            sender_sum = term if sender_sum is None else sender_sum + term
+        cs.create_gate("CREATE sender bytes", gcr * (sender_sum - callee))
+        sender_be = [mem_c[19 - j] for j in range(20)]
+        # CREATE preimage: 0xd6 0x94 ++ sender ++ rlp(nonce) (single byte)
+        last_byte = fz * 0x80 + nz_c
+        acc1 = None
+        for b_e in [0xd6, 0x94] + sender_be + [last_byte]:
+            acc1 = b_e if acc1 is None else acc1 * self.r_word + b_e
+        # CREATE2 preimage: 0xff ++ sender ++ salt(be) ++ keccak(init)
+        salt_be = [bd[31 - j] for j in range(32)]
+        kec_init = [be_[i] for i in range(32)]
+        acc2 = None
+        for b_e in [0xff] + sender_be + salt_be + kec_init:
+            acc2 = b_e if acc2 is None else acc2 * self.r_word + b_e
+        # the init-code hash bytes ARE the child frame's code hash (next
+        # row / ctx CodeHash write): BE byte i takes r^i in the encoding
+        cs.create_gate(
+            "CREATE2 init hash bytes", gcrn * fc2 * (rlc_expr(be_) - chash_n)
+        )
+        # pad-power read: fixed pad lengths 113 (23-byte msg) / 51 (85)
+        pl_c = Advice(self.c_push_len)
+        rpl_c, prl_c = Advice(self.c_rpl), Advice(self.c_prl)
+        cs.create_gate("CREATE pad len", gcr * (pl_c - 113 + fc2 * 62))
+        cs.lookup_logup(
+            "CREATE pad powers",
+            [[gcr, gcr * pl_c, gcr * rpl_c, gcr * prl_c]],
+            pad_table,
+        )
+        acc_sel = acc1 + fc2 * (acc2 - acc1)
+        acc_pad_c = acc_sel * rpl_c + prl_c
+        if self.keccak_table is not None:
+            cs.lookup_logup(
+                "CREATE keccak address",
+                [[gcr, gcr * acc_pad_c, gcr * rlc_expr(bc)]],
+                self.keccak_table,
+            )
+        # created address = low 20 bytes of the digest (big-endian)
+        create_addr = None
+        for i in range(12, 32):
+            term = bc[i] * (1 << (8 * (31 - i)))
+            create_addr = term if create_addr is None \
+                else create_addr + term
+        # next row enters the init frame
+        new_id_c = rwc + npe + 5
+        cs.create_gate("CREATE callee pc0", gcrn * pc_n)
+        cs.create_gate("CREATE callee sp", gcrn * (sp_n - STACK_BASE))
+        cs.create_gate("CREATE callee id", gcrn * (cid_n - new_id_c))
+        cs.create_gate("CREATE rwc", gcrn * (rwc_n - rwc - npe - 20))
+        cs.create_gate("CREATE callee addr", gcrn * (callee_n - create_addr))
+        self._create_ctx_writes = [
+            (int(CallContextField.CallerId), Advice(self.c_call_id)),
+            (int(CallContextField.ReturnPc), pc + 1),
+            (int(CallContextField.ReturnSp), sp + npe - 1),
+            (int(CallContextField.RetOffset), 0),
+            (int(CallContextField.RetLength), 0),
+            (int(CallContextField.ParentCalleeAddress), callee),
+            (int(CallContextField.ParentCodeHash), chash),
+            (int(CallContextField.TxId), txid),
+            (int(CallContextField.CalleeAddress), create_addr),
+            (int(CallContextField.CallerAddress), callee),
+            (int(CallContextField.Value), va),
+            (int(CallContextField.CallDataLength), 0),
+            (int(CallContextField.CodeHash), chash_n),
+            (int(CallContextField.IsStatic), 0),
+            (int(CallContextField.IsRoot), 0),
+        ]
+        self._create_npops = npe
+        self._create_new_id = new_id_c
+        self._create_addr = create_addr
+        self._create_fc2 = fc2
+        self._create_nz = nz_c
+
         # ---- RET: nested STOP / RETURN / REVERT (reference
         # execution/return_revert.rs): copy return data into the caller's
         # memory (min(len, declared)), restore the caller frame from the
@@ -1480,6 +1581,27 @@ class EvmCircuit(Circuit):
         gretn = q * q_n * ind["RET"]
         rtn, stp, rvt, fmin = cr[20], cr[21], cr[22], cr[23]
         cs.create_gate("RET variant one-hot", gret * (rtn + stp + rvt - 1))
+        # init-frame return flag (create path of return_revert.rs): the
+        # parent receives the created ADDRESS (success) / 0 (revert)
+        # instead of a success bit, successful creates expose no return
+        # data, and a RETURN deposits the code (CodeHash account write).
+        # The created address = this frame's own callee, decomposed into
+        # bank c (LE).
+        fcr = cr[24]
+        cs.create_gate("RET fcr bool", gret * fcr * (fcr - 1))
+        caddr_sum = None
+        caddr_rlc = None
+        rpow_c = None
+        for i in range(20):
+            term = bc[i] * (1 << (8 * i))
+            caddr_sum = term if caddr_sum is None else caddr_sum + term
+            t2 = bc[i] if i == 0 else bc[i] * rpow_c
+            caddr_rlc = t2 if caddr_rlc is None else caddr_rlc + t2
+            rpow_c = self.r_word if rpow_c is None \
+                else rpow_c * self.r_word
+        cs.create_gate(
+            "RET create addr bytes", gret * fcr * (caddr_sum - callee)
+        )
         has_data = rtn + rvt
         npp = 2 * has_data
         off4 = fold4_int(ab4)
@@ -1532,7 +1654,7 @@ class EvmCircuit(Circuit):
             )
         cs.create_gate(
             "RET rwc",
-            gretn * (rwc_n - rwc - npp - 2 * la4 - 11
+            gretn * (rwc_n - rwc - npp - 2 * la4 - 11 - fcr * rtn
                      - Advice(self.c_gas_aux)),
         )
         self._ret_npp = npp
@@ -1542,6 +1664,8 @@ class EvmCircuit(Circuit):
         self._ret_flags = (rtn, stp, rvt)
         self._ret_retoff4 = retoff4
         self._ret_retlen4 = retlen4
+        self._ret_fcr = fcr
+        self._ret_caddr_rlc = caddr_rlc
 
         # ---- LOG0..LOG4 (reference execution/logs.rs): pops (offset,
         # size, topics); TxLog rows for the address + topics; a memory->
@@ -2117,6 +2241,7 @@ class EvmCircuit(Circuit):
                 + ind["SWAP"] * (nd_e + 0x8F) \
                 + ind["CALL"] * (f1 * 0xF1 + f2 * 0xF2 + fdg * 0xF4
                                  + fsa * 0xFA) \
+                + ind["CREATE"] * (0xF0 + self._create_fc2 * 5) \
                 + ind["RET"] * (rtn * 0xF3 + rvt * 0xFD) \
                 + ind["LOG"] * (self._log_n + 0xA0)
             pc_fam = (ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
@@ -2125,7 +2250,8 @@ class EvmCircuit(Circuit):
                 cr[20] * 0xF1 + cr[22] * 0xF4 + cr[23] * 0xFA
             )
             g_code = ind["PUSH"] + ind["DUP"] + ind["SWAP"] + ind["CALL"] \
-                + ind["RET"] * (rtn + rvt) + ind["LOG"] + pc_fam
+                + ind["CREATE"] + ind["RET"] * (rtn + rvt) + ind["LOG"] \
+                + pc_fam
             # error rows: the failing opcode byte (c_depth_n) is the code
             # byte at pc, like any executed opcode
             err_any = ind["ERR_STACK"] + ind["ERR_OOG"]
@@ -2176,6 +2302,10 @@ class EvmCircuit(Circuit):
         # ERR_STACK underflow distance sp + pops - 1025 (a byte; <= 16
         # genuinely); 0 on overflow rows
         byte_inputs.append([q * ind["ERR_STACK"] * Advice(self.c_gas_aux)])
+        # CREATE: the single-byte RLP nonce stays < 128
+        byte_inputs.append([
+            q * ind["CREATE"] * (1 - self._create_fc2) * 2 * self._create_nz
+        ])
         # memory-expansion gas cells: rem < 32 (8*rem is a byte), the
         # max-distance bytes, and the quadratic remainders' low bytes
         g_mem3 = q * (ind["MLOAD"] + ind["MSTORE"] + ind["MSTORE8"])
@@ -2295,6 +2425,48 @@ class EvmCircuit(Circuit):
                 access(gcall_b, call_npops + k, 1, 0, val, tag=ctxtag,
                        id_expr=self._call_new_id, field=field)
             )
+        # ---- CREATE accesses: pops + account machine + ctx writes --------
+        gcr_b = q * ind["CREATE"]
+        cr_np = self._create_npops
+        cr_fc2 = self._create_fc2
+        cr_addr = self._create_addr
+        from ..witness.rw import AccountField as _AF
+        _acctag = int(RwTag.Account)
+        _altag = int(RwTag.TxAccessListAccount)
+        inputs.append(access(gcr_b, 0, 0, sp, va))            # value
+        inputs.append(access(gcr_b, 1, 0, sp + 1, vb))        # offset
+        inputs.append(access(gcr_b, 2, 0, sp + 2, vc))        # size
+        salt_rlc = None
+        rp_s = None
+        for i in range(32):
+            bdi = Advice(self.c_bytes_d[i])
+            t_s = bdi if i == 0 else bdi * rp_s
+            salt_rlc = t_s if salt_rlc is None else salt_rlc + t_s
+            rp_s = self.r_word if rp_s is None else rp_s * self.r_word
+        inputs.append(access(gcr_b * cr_fc2, 3, 0, sp + 3, salt_rlc))
+        # creator nonce bump: write value = nonce byte + 1
+        inputs.append(access(gcr_b, cr_np, 1, callee,
+                             self._create_nz + 1, tag=_acctag,
+                             id_expr=0, field=int(_AF.Nonce)))
+        # created address warmed (EIP-2929)
+        inputs.append(access(gcr_b, cr_np + 1, 1, cr_addr, 1, tag=_altag,
+                             id_expr=txid))
+        # endowment transfer (post-balances witness-carried in
+        # c_acc_m / c_inv; arithmetic binding staged behind value_prev)
+        inputs.append(access(gcr_b, cr_np + 2, 1, callee,
+                             Advice(self.c_acc_m), tag=_acctag,
+                             id_expr=0, field=int(_AF.Balance)))
+        inputs.append(access(gcr_b, cr_np + 3, 1, cr_addr,
+                             Advice(self.c_inv), tag=_acctag,
+                             id_expr=0, field=int(_AF.Balance)))
+        # created account nonce init (EIP-161)
+        inputs.append(access(gcr_b, cr_np + 4, 1, cr_addr, 1, tag=_acctag,
+                             id_expr=0, field=int(_AF.Nonce)))
+        for k, (field, val) in enumerate(self._create_ctx_writes):
+            inputs.append(
+                access(gcr_b, cr_np + 5 + k, 1, 0, val, tag=ctxtag,
+                       id_expr=self._create_new_id, field=field)
+            )
         # ---- RET accesses: pops + restoration reads + success write ------
         gret_b = q * ind["RET"]
         rtn_b, stp_b, rvt_b = self._ret_flags
@@ -2318,22 +2490,40 @@ class EvmCircuit(Circuit):
                 access(gret_b, ret_base + k, 0, 0, val, tag=ctxtag,
                        field=field)
             )
-        # last-callee bookkeeping written to the CALLER's context
+        # last-callee bookkeeping written to the CALLER's context.
+        # Successful creates (fcr * (rtn+stp)) expose NO return data.
+        fcr_b = self._ret_fcr
+        ret_ok = rtn_b + stp_b
+        hide = fcr_b * ret_ok
         ret_writes = [
             (int(CallContextField.LastCalleeId), Advice(self.c_call_id)),
             (int(CallContextField.LastCalleeReturnDataOffset),
-             self._ret_off4),
+             self._ret_off4 * (1 - hide)),
             (int(CallContextField.LastCalleeReturnDataLength),
-             self._ret_len4),
+             self._ret_len4 * (1 - hide)),
         ]
         for k, (field, valw) in enumerate(ret_writes):
             inputs.append(
                 access(gret_b, ret_base + 7 + k, 1, 0, valw, tag=ctxtag,
                        id_expr=cid_n, field=field)
             )
+        # pushed word: success bit, or the created address / 0 for
+        # init-frame returns
+        push_val = (1 - fcr_b) * ret_ok \
+            + fcr_b * ret_ok * self._ret_caddr_rlc
         inputs.append(
-            access(gret_b, ret_base + 10, 1, sp_n, rtn_b + stp_b,
+            access(gret_b, ret_base + 10, 1, sp_n, push_val,
                    id_expr=cid_n)
+        )
+        # code deposit: RETURN from an init frame writes the account's
+        # code hash (value witness-carried in c_acc_m; its binding to
+        # keccak(returned bytes) lands with the memory->bytecode copy
+        # kind — reference CopyDataType::Bytecode)
+        gdep = gret_b * fcr_b * rtn_b
+        inputs.append(
+            access(gdep, ret_base + 11, 1, callee, Advice(self.c_acc_m),
+                   tag=int(RwTag.Account), id_expr=0,
+                   field=int(AccountField.CodeHash))
         )
         # ---- LOG accesses: pops + TxLog address/topic writes -------------
         glog_b = q * ind["LOG"]
@@ -3368,6 +3558,37 @@ class EvmCircuit(Circuit):
                     for i in range(20):
                         membytes[i][si] = cle[i]
                     ez_col[si] = ops[npp_ + 13].value  # IsStatic write
+                elif kind == "CREATE":
+                    from ..crypto.keccak import keccak256 as _kec
+                    from ..types import rlp as _rlp
+
+                    is2 = int(s.op == OpcodeId.CREATE2)
+                    carries[20][si] = is2
+                    npe_ = 3 + is2
+                    cle = s.callee.to_bytes(20, "little")
+                    for i in range(20):
+                        membytes[i][si] = cle[i]
+                    nonce_v = ops[npe_].value - 1  # bump write = nonce+1
+                    if is2:
+                        salt_le = ops[3].value.to_bytes(32, "little")
+                        for i in range(32):
+                            byts["d"][i][si] = salt_le[i]
+                        ihb = ops[npe_ + 5 + 12].value.to_bytes(32, "big")
+                        for i in range(32):
+                            byts["e"][i][si] = ihb[i]
+                        preimage = (b"\xff" + s.callee.to_bytes(20, "big")
+                                    + ops[3].value.to_bytes(32, "big") + ihb)
+                        plens[si] = 51
+                    else:
+                        byts["f"][0][si] = nonce_v
+                        carries[21][si] = int(nonce_v == 0)
+                        preimage = _rlp.encode(
+                            [s.callee.to_bytes(20, "big"), nonce_v]
+                        )
+                        plens[si] = 113
+                    dgst = _kec(preimage)
+                    for i in range(32):
+                        byts["c"][i][si] = dgst[i]
                 elif kind == "RET":
                     gas_aux[si] = s.rev_count
                     op_ = s.op
@@ -3376,17 +3597,24 @@ class EvmCircuit(Circuit):
                         OpcodeId.REVERT: 22,
                     }[op_]
                     carries[flag_idx][si] = 1
+                    dep_ = int(s.is_create_ret and op_ == OpcodeId.RETURN)
+                    if s.is_create_ret:
+                        carries[24][si] = 1
+                        cle = s.callee.to_bytes(20, "little")
+                        for i in range(20):
+                            byts["c"][i][si] = cle[i]
                     has_d = op_ != OpcodeId.STOP
                     npp_ = 2 if has_d else 0
                     off_v = ops[0].value if has_d else 0
                     len_v = ops[1].value if has_d else 0
                     nrw = len(ops) - s.rev_count  # reversion rows trail
                     # tail: 7 ctx reads + 3 bookkeeping writes + success
-                    base = nrw - 11
+                    # push (+ the code-deposit write on create RETURNs)
+                    base = nrw - 11 - dep_
                     retoff_v = ops[base + 5].value
                     retlen_v = ops[base + 6].value
                     la_v = min(len_v, retlen_v)
-                    assert (nrw - npp_ - 11) == 2 * la_v
+                    assert (nrw - npp_ - 11 - dep_) == 2 * la_v
                     if has_d:
                         carries[23][si] = int(len_v < retlen_v)
                         diff_v = (retlen_v - len_v if len_v < retlen_v
@@ -3485,6 +3713,7 @@ class EvmCircuit(Circuit):
                 return word_rlc(rw.value, r_int)
             inv_of = 0
             inv2_of = 0
+            inv_direct = None  # raw override of the c_inv cell
             acc_m = rpl_v = prl_v = 0
             if kind == "SHA256":
                 hv = int(s.op == OpcodeId.CALL)
@@ -3527,6 +3756,17 @@ class EvmCircuit(Circuit):
                 vc.append(topics[0])
                 acc_m, rpl_v, prl_v = topics[1], topics[2], topics[3]
                 inv_of = ops[1].value % R
+            elif kind == "CREATE":
+                is2 = int(s.op == OpcodeId.CREATE2)
+                npe_ = 3 + is2
+                va.append(rlc(ops[0]))          # value word
+                vb.append(rlc(ops[1]))          # offset word
+                vc.append(rlc(ops[2]))          # size word
+                pl_ = 51 if is2 else 113
+                rpl_v = pow(r_int, pl_, R)
+                prl_v = (pow(r_int, pl_ - 1, R) + 128) % R
+                acc_m = rlc(ops[npe_ + 2])      # creator post-endowment
+                inv_direct = rlc(ops[npe_ + 3])  # created account balance
             elif kind == "CALL":
                 hv = int(s.op in (OpcodeId.CALL, OpcodeId.CALLCODE))
                 npp_ = 6 + hv
@@ -3540,10 +3780,17 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0]) if has_d else 0)
                 vb.append(rlc(ops[1]) if has_d else 0)
                 vc.append(0)
+                dep_ = int(s.is_create_ret and s.op == OpcodeId.RETURN)
                 nrw_ = len(ops) - s.rev_count  # reversion rows trail
-                la_v = min(ops[1].value, ops[nrw_ - 5].value) \
+                la_v = min(ops[1].value, ops[nrw_ - 5 - dep_].value) \
                     if has_d else 0
                 inv_of = la_v % R
+                if dep_:
+                    # deposited code hash, account-row encoding (BE byte
+                    # i folds with r^i)
+                    hb_ = ops[nrw_ - 1].value.to_bytes(32, "big")
+                    for byte_ in reversed(hb_):
+                        acc_m = (acc_m * r_int + byte_) % R
             elif kind in ("RETURN", "REVERT"):
                 va.append(rlc(ops[0]))
                 vb.append(rlc(ops[1]))
@@ -3656,7 +3903,10 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             else:
                 va.append(0); vb.append(0); vc.append(0)
-            invs.append(pow(inv_of, -1, R) if inv_of else 0)
+            if inv_direct is not None:
+                invs.append(inv_direct)
+            else:
+                invs.append(pow(inv_of, -1, R) if inv_of else 0)
             inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
             accms.append(acc_m)
             rpls.append(rpl_v)

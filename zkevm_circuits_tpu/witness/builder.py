@@ -46,6 +46,7 @@ class ExecStep:
     log_id: int = 0  # logs emitted in this tx BEFORE this step
     rev_count: int = 0  # reversion rows appended to this step's rws
     mem_words: int = 0  # memory size in 32-byte words BEFORE this step
+    is_create_ret: bool = False  # RET terminating an init-code frame
 
 
 @dataclasses.dataclass
@@ -118,6 +119,7 @@ class TxContext:
     code: bytes = b""  # executing bytecode (CODECOPY source)
     is_root: bool = True
     is_static: bool = False
+    is_create: bool = False  # frame executes init code (CREATE/CREATE2)
     caller_id: int = 0
     ret_pc: int = 0  # caller pc after the call opcode
     ret_sp: int = 0  # caller stack slot receiving the success flag
@@ -255,6 +257,7 @@ class CircuitInputBuilder:
         storage = dict(committed_storage or {})
         hashes = dict(code_hashes or {})
         hashes.setdefault(ctx.to_addr, ctx.code_hash)
+        self._hashes = hashes
         self._code_db = dict(code_db or {})
         ctx.code = self._code_db.get(ctx.to_addr, b"")
         self._tx_log_count = 0
@@ -304,14 +307,17 @@ class CircuitInputBuilder:
                 continue
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
+            elif op.is_create and nxt is not None \
+                    and nxt.depth == step.depth + 1:
+                frames.append(self._handle_create(fr, step, hashes))
             elif op.is_call and not op == OpcodeId.CALLCODE and (
                 (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 5, 6, 7)
             ):
                 self._handle_precompile(fr, step, nxt)
             elif op.is_call or op.is_create:
                 raise NotImplementedError(
-                    "calls that do not descend (empty accounts, "
-                    "unproven precompiles) and CREATE land later"
+                    "calls/creates that do not descend (empty accounts, "
+                    "depth/balance aborts, unproven precompiles) land later"
                 )
             elif len(frames) > 1 and (
                 op in (OpcodeId.STOP, OpcodeId.RETURN, OpcodeId.REVERT)
@@ -429,6 +435,22 @@ class CircuitInputBuilder:
                     self.rws.storage_write(tx_id, addr, key, old, new)
                 )
                 self._storage[(addr, key)] = old
+            elif kind == "nonce":
+                addr, old = rest
+                st = self._acct(addr)
+                prev = st.nonce
+                st.nonce = old
+                out.append(self.rws.account_write(
+                    addr, AccountField.Nonce, old, prev
+                ))
+            elif kind == "codehash":
+                addr, old = rest
+                st = self._acct(addr)
+                prev = st.code_hash
+                st.code_hash = old
+                out.append(self.rws.account_write(
+                    addr, AccountField.CodeHash, old, prev
+                ))
             else:  # pragma: no cover
                 raise AssertionError(f"unknown journal entry {kind}")
         return out
@@ -539,6 +561,121 @@ class CircuitInputBuilder:
             w(new_id, CCF.Value, value),
             w(new_id, CCF.CallDataLength, args_len),
             w(new_id, CCF.CodeHash, code_hash),
+            w(new_id, CCF.IsStatic, int(new.is_static)),
+            w(new_id, CCF.IsRoot, 0),
+        ]
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
+        return new
+
+    def _handle_create(self, fr: TxContext, step: GethExecStep,
+                       hashes: dict) -> TxContext:
+        """CREATE/CREATE2 that descends into an init-code frame
+        (reference bus-mapping src/evm/opcodes/create.rs +
+        zkevm-circuits execution/create.rs).  Emits the stack pops, the
+        creator nonce bump, the created-address access-list warm, the
+        value-transfer pair, the created account's nonce init (EIP-161),
+        and the new frame's CallContext writes.  Registers the keccak
+        address-derivation preimage so the EVM circuit can bind the
+        created address to the KeccakTable."""
+        from ..crypto.keccak import keccak256
+        from ..types import rlp as _rlp
+
+        op = step.op
+        call_id = fr.call_id
+        sp = STACK_BASE - len(step.stack)
+        es = ExecStep(
+            exec_state="CREATE", pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
+            gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
+        )
+        npops = 4 if op == OpcodeId.CREATE2 else 3
+        vals = [step.stack[-1 - i] for i in range(npops)]
+        value, off, size = vals[0], vals[1], vals[2]
+        salt = vals[3] if op == OpcodeId.CREATE2 else 0
+        initcode = bytes(step.memory[off : off + size]).ljust(size, b"\x00")
+        init_hash = int.from_bytes(keccak256(initcode), "big")
+
+        creator = self._acct(fr.to_addr)
+        nonce = creator.nonce
+        if op == OpcodeId.CREATE:
+            assert nonce <= 0x7F, (
+                "CREATE with multi-byte RLP nonce lands later (the "
+                "in-circuit preimage is fixed 23-byte shape)"
+            )
+            preimage = _rlp.encode([fr.to_addr.to_bytes(20, "big"), nonce])
+            assert len(preimage) == 23
+        else:
+            preimage = (b"\xff" + fr.to_addr.to_bytes(20, "big")
+                        + salt.to_bytes(32, "big") + keccak256(initcode))
+            self.sha3_inputs.append(initcode)
+        new_addr = int.from_bytes(keccak256(preimage)[12:], "big")
+        self.sha3_inputs.append(preimage)
+
+        rws: list[Rw] = []
+        for i, v in enumerate(vals):
+            rws.append(self.rws.stack_read(call_id, sp + i, v))
+        # creator nonce bump — persists when the INIT frame reverts, but
+        # reverts with outer frames (journaled before the child's mark)
+        rws.append(self.rws.account_write(
+            fr.to_addr, AccountField.Nonce, nonce + 1, nonce
+        ))
+        creator.nonce = nonce + 1
+        self._tx_journal.append(("nonce", fr.to_addr, nonce))
+        # EIP-2929: the created address is warmed and STAYS warm even if
+        # creation reverts (not journaled)
+        was_warm = int(new_addr in self._warm_addrs)
+        self._warm_addrs.add(new_addr)
+        rws.append(self.rws.access_list_account_write(
+            fr.tx_id, new_addr, 1, was_warm
+        ))
+        mark = len(self._tx_journal)
+        # endowment transfer (reversible with the init frame)
+        rws.append(self._balance_add(fr.to_addr, -value))
+        self._tx_journal.append(("balance", fr.to_addr, -value))
+        rws.append(self._balance_add(new_addr, value))
+        self._tx_journal.append(("balance", new_addr, value))
+        # created account starts at nonce 1 (EIP-161)
+        created = self._acct(new_addr)
+        rws.append(self.rws.account_write(
+            new_addr, AccountField.Nonce, 1, created.nonce
+        ))
+        self._tx_journal.append(("nonce", new_addr, created.nonce))
+        created.nonce = 1
+
+        hashes[new_addr] = 0  # no deployed code yet (set at deposit)
+        new_id = self.rws.counter + 1  # first context write's rw counter
+        new = TxContext(
+            tx_id=fr.tx_id, call_id=new_id, from_addr=fr.to_addr,
+            to_addr=new_addr, value=value, calldata=b"",
+            code_hash=init_hash, code=initcode, is_root=False,
+            is_static=fr.is_static, is_create=True,
+            caller_id=call_id, ret_pc=step.pc + 1,
+            ret_sp=sp + npops - 1, ret_offset=0, ret_length=0,
+            parent_callee=fr.to_addr, parent_code_hash=fr.code_hash,
+            log_mark=self._tx_log_count,
+            journal_mark=mark,
+        )
+        self._next_call_id = max(self._next_call_id, new_id + 1)
+        CCF = CallContextField
+        w = self.rws.call_context_write
+        rws += [
+            w(new_id, CCF.CallerId, call_id),
+            w(new_id, CCF.ReturnPc, new.ret_pc),
+            w(new_id, CCF.ReturnSp, new.ret_sp),
+            w(new_id, CCF.RetOffset, 0),
+            w(new_id, CCF.RetLength, 0),
+            w(new_id, CCF.ParentCalleeAddress, fr.to_addr),
+            w(new_id, CCF.ParentCodeHash, fr.code_hash),
+            w(new_id, CCF.TxId, fr.tx_id),
+            w(new_id, CCF.CalleeAddress, new_addr),
+            w(new_id, CCF.CallerAddress, fr.to_addr),
+            w(new_id, CCF.Value, value),
+            w(new_id, CCF.CallDataLength, 0),
+            w(new_id, CCF.CodeHash, init_hash),
             w(new_id, CCF.IsStatic, int(new.is_static)),
             w(new_id, CCF.IsRoot, 0),
         ]
@@ -782,21 +919,49 @@ class CircuitInputBuilder:
             r_(fr.call_id, CCF.RetLength, fr.ret_length),
         ]
         # record the callee's return data on the CALLER's context
-        # (RETURNDATASIZE/RETURNDATACOPY read these back)
+        # (RETURNDATASIZE/RETURNDATACOPY read these back).  Successful
+        # creates return NO data (the returned bytes are the deployed
+        # code); reverting creates expose their revert data.
         full = bytes(step.memory[off : off + length]).ljust(length, b"\x00") \
             if op in (OpcodeId.RETURN, OpcodeId.REVERT) else b""
+        if fr.is_create and success:
+            bk_off, bk_len, bk_data = 0, 0, b""
+        else:
+            bk_off, bk_len, bk_data = off, length, full
         w_ = self.rws.call_context_write
         rws += [
             w_(parent.call_id, CCF.LastCalleeId, fr.call_id),
-            w_(parent.call_id, CCF.LastCalleeReturnDataOffset, off),
-            w_(parent.call_id, CCF.LastCalleeReturnDataLength, length),
+            w_(parent.call_id, CCF.LastCalleeReturnDataOffset, bk_off),
+            w_(parent.call_id, CCF.LastCalleeReturnDataLength, bk_len),
         ]
         parent.last_callee_id = fr.call_id
-        parent.last_ret_off = off
-        parent.last_ret_data = full
+        parent.last_ret_off = bk_off
+        parent.last_ret_data = bk_data
+        if fr.is_create:
+            es.is_create_ret = True
+            pushed = fr.to_addr if success else 0
+        else:
+            pushed = success
         rws.append(
-            self.rws.stack_write(parent.call_id, fr.ret_sp, success)
+            self.rws.stack_write(parent.call_id, fr.ret_sp, pushed)
         )
+        if fr.is_create and success and op == OpcodeId.RETURN:
+            # code deposit (reference execution/return_revert.rs create
+            # path): the returned bytes become the created account's code
+            from ..crypto.keccak import keccak256
+
+            deployed = full
+            dep_hash = int.from_bytes(keccak256(deployed), "big")
+            created = self._acct(fr.to_addr)
+            prev_hash = created.code_hash
+            rws.append(self.rws.account_write(
+                fr.to_addr, AccountField.CodeHash, dep_hash, prev_hash
+            ))
+            self._tx_journal.append(("codehash", fr.to_addr, prev_hash))
+            created.code_hash = dep_hash
+            self._code_db[fr.to_addr] = deployed
+            self._hashes[fr.to_addr] = dep_hash
+            self.sha3_inputs.append(deployed)
         if not success:
             # undo this frame's reversible writes (storage / balances):
             # inverse writes restore the pre-frame values (reference
