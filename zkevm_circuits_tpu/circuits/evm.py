@@ -1438,7 +1438,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("CALL callee pc0", gcalln * pc_n)
         cs.create_gate("CALL callee sp", gcalln * (sp_n - STACK_BASE))
         cs.create_gate("CALL callee id", gcalln * (cid_n - new_id))
-        cs.create_gate("CALL rwc", gcalln * (rwc_n - rwc - npops - 15))
+        cs.create_gate("CALL rwc", gcalln * (rwc_n - rwc - npops - 16))
         cs.create_gate(
             "CALL callee addr",
             gcalln * (callee_n - (f1 + fsa) * addr_raw
@@ -1470,6 +1470,7 @@ class EvmCircuit(Circuit):
             (int(CallContextField.CodeHash), chash_n),
             (int(CallContextField.IsStatic), static_cell),
             (int(CallContextField.IsRoot), 0),
+            (int(CallContextField.IsCreate), 0),
         ]
         self._call_npops = npops
         self._call_new_id = new_id
@@ -1495,6 +1496,14 @@ class EvmCircuit(Circuit):
         cs.create_gate("CREATE fc2 bool", gcr * fc2 * (fc2 - 1))
         cs.create_gate("CREATE fz bool", gcr * fz * (fz - 1))
         cs.create_gate("CREATE fz kill", gcr * fz * nz_c)
+        # completeness direction (ADVICE r2 #2): fz MUST be 1 when nz = 0,
+        # else the prover could emit RLP tail byte 0x00 for a nonce-0
+        # creator and forge the created address.  IsZero pattern with the
+        # inverse witness in c_ez (free on CREATE rows).
+        nz_inv_c = Advice(self.c_ez)
+        cs.create_gate(
+            "CREATE fz complete", gcr * (1 - fz) * (nz_c * nz_inv_c - 1)
+        )
         npe = 3 + fc2
         # sender bytes bind to the executing address
         sender_sum = None
@@ -1547,7 +1556,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("CREATE callee pc0", gcrn * pc_n)
         cs.create_gate("CREATE callee sp", gcrn * (sp_n - STACK_BASE))
         cs.create_gate("CREATE callee id", gcrn * (cid_n - new_id_c))
-        cs.create_gate("CREATE rwc", gcrn * (rwc_n - rwc - npe - 20))
+        cs.create_gate("CREATE rwc", gcrn * (rwc_n - rwc - npe - 21))
         cs.create_gate("CREATE callee addr", gcrn * (callee_n - create_addr))
         self._create_ctx_writes = [
             (int(CallContextField.CallerId), Advice(self.c_call_id)),
@@ -1565,6 +1574,7 @@ class EvmCircuit(Circuit):
             (int(CallContextField.CodeHash), chash_n),
             (int(CallContextField.IsStatic), 0),
             (int(CallContextField.IsRoot), 0),
+            (int(CallContextField.IsCreate), 1),
         ]
         self._create_npops = npe
         self._create_new_id = new_id_c
@@ -1654,7 +1664,7 @@ class EvmCircuit(Circuit):
             )
         cs.create_gate(
             "RET rwc",
-            gretn * (rwc_n - rwc - npp - 2 * la4 - 11 - fcr * rtn
+            gretn * (rwc_n - rwc - npp - 2 * la4 - 12 - fcr * rtn
                      - Advice(self.c_gas_aux)),
         )
         self._ret_npp = npp
@@ -2484,6 +2494,10 @@ class EvmCircuit(Circuit):
             (int(CallContextField.ParentCodeHash), chash_n),
             (int(CallContextField.RetOffset), self._ret_retoff4),
             (int(CallContextField.RetLength), self._ret_retlen4),
+            # binds fcr to the IsCreate flag the frame was created with
+            # (ADVICE r2 #1: without this read a malicious prover could
+            # flip fcr to skip the code deposit or forge the pushed word)
+            (int(CallContextField.IsCreate), self._ret_fcr),
         ]
         for k, (field, val) in enumerate(ret_reads):
             inputs.append(
@@ -2504,7 +2518,7 @@ class EvmCircuit(Circuit):
         ]
         for k, (field, valw) in enumerate(ret_writes):
             inputs.append(
-                access(gret_b, ret_base + 7 + k, 1, 0, valw, tag=ctxtag,
+                access(gret_b, ret_base + 8 + k, 1, 0, valw, tag=ctxtag,
                        id_expr=cid_n, field=field)
             )
         # pushed word: success bit, or the created address / 0 for
@@ -2512,7 +2526,7 @@ class EvmCircuit(Circuit):
         push_val = (1 - fcr_b) * ret_ok \
             + fcr_b * ret_ok * self._ret_caddr_rlc
         inputs.append(
-            access(gret_b, ret_base + 10, 1, sp_n, push_val,
+            access(gret_b, ret_base + 11, 1, sp_n, push_val,
                    id_expr=cid_n)
         )
         # code deposit: RETURN from an init frame writes the account's
@@ -2521,7 +2535,7 @@ class EvmCircuit(Circuit):
         # kind — reference CopyDataType::Bytecode)
         gdep = gret_b * fcr_b * rtn_b
         inputs.append(
-            access(gdep, ret_base + 11, 1, callee, Advice(self.c_acc_m),
+            access(gdep, ret_base + 12, 1, callee, Advice(self.c_acc_m),
                    tag=int(RwTag.Account), id_expr=0,
                    field=int(AccountField.CodeHash))
         )
@@ -3569,6 +3583,14 @@ class EvmCircuit(Circuit):
                     for i in range(20):
                         membytes[i][si] = cle[i]
                     nonce_v = ops[npe_].value - 1  # bump write = nonce+1
+                    # nonce byte + fz + inverse witness are variant-
+                    # independent (ADVICE r2 #3: the bump access claims
+                    # nz+1 for CREATE2 too)
+                    byts["f"][0][si] = min(nonce_v, 255)
+                    carries[21][si] = int(nonce_v == 0)
+                    ez_col[si] = (
+                        pow(nonce_v, -1, R) if nonce_v else 0
+                    )
                     if is2:
                         salt_le = ops[3].value.to_bytes(32, "little")
                         for i in range(32):
@@ -3580,8 +3602,6 @@ class EvmCircuit(Circuit):
                                     + ops[3].value.to_bytes(32, "big") + ihb)
                         plens[si] = 51
                     else:
-                        byts["f"][0][si] = nonce_v
-                        carries[21][si] = int(nonce_v == 0)
                         preimage = _rlp.encode(
                             [s.callee.to_bytes(20, "big"), nonce_v]
                         )
@@ -3608,13 +3628,14 @@ class EvmCircuit(Circuit):
                     off_v = ops[0].value if has_d else 0
                     len_v = ops[1].value if has_d else 0
                     nrw = len(ops) - s.rev_count  # reversion rows trail
-                    # tail: 7 ctx reads + 3 bookkeeping writes + success
-                    # push (+ the code-deposit write on create RETURNs)
-                    base = nrw - 11 - dep_
+                    # tail: 8 ctx reads (incl. IsCreate) + 3 bookkeeping
+                    # writes + success push (+ the code-deposit write on
+                    # create RETURNs)
+                    base = nrw - 12 - dep_
                     retoff_v = ops[base + 5].value
                     retlen_v = ops[base + 6].value
                     la_v = min(len_v, retlen_v)
-                    assert (nrw - npp_ - 11 - dep_) == 2 * la_v
+                    assert (nrw - npp_ - 12 - dep_) == 2 * la_v
                     if has_d:
                         carries[23][si] = int(len_v < retlen_v)
                         diff_v = (retlen_v - len_v if len_v < retlen_v

@@ -327,6 +327,24 @@ class Fp:
         """cond: (...,) bool -> elementwise a or b."""
         return jnp.where(cond[..., None], a, b)
 
+    def power_table(self, x: int, n: int):
+        """Device (n, 32) Montgomery digits of x^i for i < n.
+
+        log2(n) doubling steps, each one batched mul — replaces the O(n)
+        host-Python power loops that dominated keygen/eval at k >= 18
+        (VERDICT r2 W3).  `x` is a host int (plain, not Montgomery)."""
+        x = x % self.modulus
+        out = jnp.asarray(self.ONE_MONT)[None]
+        total = 1
+        while total < n:
+            step = min(total, n - total)
+            xm = jnp.asarray(
+                self.from_int(pow(x, total, self.modulus) * self.R % self.modulus)
+            )
+            out = jnp.concatenate([out, self._mul(out[:step], xm)], axis=0)
+            total += step
+        return out
+
     def zeros(self, shape=()):
         return jnp.zeros((*shape, ND), jnp.uint8)
 

@@ -175,26 +175,24 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
         if root not in members:
             members.append(root)
 
-    # sigma starts as identity; cycle members rotate
+    # sigma starts as identity; cycle members rotate.  Identity rows are
+    # built on device (omega power table * delta^c); only cycle members —
+    # O(#copy constraints), not O(n) — are patched host-side.
     delta_pows = [pow(DELTA, c, R) for c in range(max(npc, 1))]
-    omega_pows = [1] * n
-    for i in range(1, n):
-        omega_pows[i] = omega_pows[i - 1] * dom.omega % R
-
-    sigma = np.zeros((max(npc, 1), n), object)
-    for c in range(max(npc, 1)):
-        for i in range(n):
-            sigma[c, i] = delta_pows[c] * omega_pows[i] % R
+    omega_pw = F.power_table(dom.omega, n)  # (n, 32) Montgomery
+    sig_rows = np.stack(
+        [
+            np.asarray(F.mul(omega_pw, jnp.asarray(F.from_int(d * F.R % R))))
+            for d in delta_pows
+        ]
+    )
     for members in cycles.values():
         ms = sorted(set(members))
         for j, (c, i) in enumerate(ms):
             cn, inext = ms[(j + 1) % len(ms)]
-            sigma[c, i] = delta_pows[cn] * omega_pows[inext] % R
-
-    sig_rows = [
-        F.from_ints([int(v) * F.R % R for v in sigma[c]]) for c in range(max(npc, 1))
-    ]
-    sigma_evals = jnp.asarray(np.stack(sig_rows))
+            v = delta_pows[cn] * pow(dom.omega, inext, R) % R
+            sig_rows[c, i] = F.from_int(v * F.R % R)
+    sigma_evals = jnp.asarray(sig_rows)
     sigma_coeffs = intt(sigma_evals, k)
 
     # ---- extended-coset tables ------------------------------------------------
@@ -218,23 +216,21 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
     one_ext = jnp.broadcast_to(jnp.asarray(F.from_int(F.R)), (n_ext, 32))
     lactive_ext = F.sub(one_ext, inact_ext)
 
-    # identity poly X on the extended coset: g * omega_ext^i
+    # identity poly X on the extended coset: g * omega_ext^i (device)
     dom_ext = domain(k_ext)
-    xs, acc = [], FR_GENERATOR % R
-    for _ in range(n_ext):
-        xs.append(acc * F.R % R)
-        acc = acc * dom_ext.omega % R
-    x_ext = jnp.asarray(F.from_ints(xs))
+    x_ext = F.mul(
+        F.power_table(dom_ext.omega, n_ext),
+        jnp.asarray(F.from_int(FR_GENERATOR % R * F.R % R)),
+    )
 
-    # 1 / (X^n - 1) on the extended coset
+    # 1 / (X^n - 1) on the extended coset: gn * (omega_ext^n)^i - 1 (device)
     gn = pow(FR_GENERATOR, n, R)
     wn = pow(dom_ext.omega, n, R)
-    tv, accw = [], 1
-    for _ in range(n_ext):
-        tv.append((gn * accw - 1) % R)
-        accw = accw * wn % R
-    tiv = _host_batch_inv(tv)
-    t_inv_ext = jnp.asarray(F.from_ints([v * F.R % R for v in tiv]))
+    tvals = F.sub(
+        F.mul(F.power_table(wn, n_ext), jnp.asarray(F.from_int(gn * F.R % R))),
+        F.ones_mont((n_ext,)),
+    )
+    t_inv_ext = F.batch_inv(tvals, axis=0)
 
     # ---- commitments -> vk ------------------------------------------------------
     fixed_comms = srs.commit_many(fixed_coeffs) if cs.num_fixed else []

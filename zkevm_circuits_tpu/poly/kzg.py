@@ -80,15 +80,10 @@ class Srs:
         n = 1 << k
         tau = tau if tau is not None else 0xC0FFEE ^ (k << 32)
         tau %= R
-        pows, acc = [], 1
-        for _ in range(n):
-            pows.append(acc)
-            acc = acc * tau % R
-        scalars = np.stack(
-            [np.frombuffer(p.to_bytes(32, "little"), np.uint8) for p in pows]
-        )
+        # [1, tau, tau^2, ...] built on device (log-doubling power table)
+        scalars = F.from_mont(F.power_table(tau, n))
         gen = g1_generator((n,))
-        g1_powers = g1_scalar_mul(gen, jnp.asarray(scalars))
+        g1_powers = g1_scalar_mul(gen, scalars)
         g1_powers = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), g1_powers)
         s_g2 = pr.g2_scalar_mul(pr.G2_GENERATOR, tau)
         return cls(k=k, g1_powers=G1(*g1_powers), g2=pr.G2_GENERATOR, s_g2=s_g2)
@@ -195,15 +190,20 @@ def eval_at(coeffs, x_int: int) -> int:
     """Evaluate a (m, 32) Montgomery coefficient array at a host scalar.
 
     One device mul pass against the power table + log-depth add tree."""
-    m = coeffs.shape[0]
-    pows, acc = [], 1
-    for _ in range(m):
-        pows.append(acc * F.R % R)
-        acc = acc * x_int % R
-    pw = jnp.asarray(F.from_ints(pows))
-    terms = F.mul(coeffs, pw)
-    s = _tree_sum(terms)
-    return F.to_int(np.asarray(F.from_mont(s)))
+    return eval_batch(coeffs[None], x_int)[0]
+
+
+def eval_batch(stack, x_int: int) -> list[int]:
+    """Evaluate a (q, m, 32) batch of Montgomery coefficient arrays at ONE
+    host scalar: q results in a single device pass (power table built by
+    log-doubling, broadcast mul, log-depth add tree).  Replaces the
+    per-query `eval_at` loop the prover used (VERDICT r2 W3)."""
+    m = stack.shape[-2]
+    pw = F.power_table(x_int, m)
+    terms = F.mul(stack, pw)
+    s = _tree_sum_rows(terms)
+    out = np.asarray(F.from_mont(s)).reshape(-1, 32)
+    return [F.to_int(row) for row in out]
 
 
 @jax.jit
@@ -218,6 +218,22 @@ def _tree_sum(x):
         x = F._add(x[:half], x[half:])
         m = half
     return x[0]
+
+
+@jax.jit
+def _tree_sum_rows(x):
+    """(..., m, 32) -> (..., 32) log-depth field sum over axis -2."""
+    m = x.shape[-2]
+    pot = 1 << (m - 1).bit_length() if m > 1 else 1
+    if pot != m:
+        pad = jnp.zeros(x.shape[:-2] + (pot - m, 32), x.dtype)
+        x = jnp.concatenate([x, pad], axis=-2)
+        m = pot
+    while m > 1:
+        half = m // 2
+        x = F._add(x[..., :half, :], x[..., half:, :])
+        m = half
+    return x[..., 0, :]
 
 
 def divide_by_vanishing_coset(num_coeffs, zs_points: list[int], k: int):
@@ -239,34 +255,23 @@ def divide_by_vanishing_coset(num_coeffs, zs_points: list[int], k: int):
     return coset_intt(out, k)
 
 
-@functools.cache
-def _coset_vanishing_inv(zs_points: tuple, k: int) -> np.ndarray:
-    """Montgomery digits of 1 / Z_S(g*omega^i) for i < 2^k (host precompute)."""
+def _coset_vanishing_inv(zs_points: tuple, k: int):
+    """Montgomery digits of 1 / Z_S(g*omega^i) for i < 2^k, built on device:
+    power table of omega (log-doubling), shift by g, subtract each point,
+    product over |S| <= 3 factors, one batched inverse."""
     from .domain import domain
     from ..crypto.params import FR_GENERATOR
 
     dom = domain(k)
-    n = dom.n
-    vals = []
-    x = FR_GENERATOR % R
-    w = dom.omega
-    cur = x
-    for _ in range(n):
-        acc = 1
-        for p in zs_points:
-            acc = acc * (cur - p) % R
-        vals.append(acc)
-        cur = cur * w % R
-    # batch invert host-side (Montgomery trick over ints)
-    prefix = [1]
-    for v in vals:
-        prefix.append(prefix[-1] * v % R)
-    inv_all = pow(prefix[-1], -1, R)
-    out = [0] * n
-    for i in range(n - 1, -1, -1):
-        out[i] = prefix[i] * inv_all % R
-        inv_all = inv_all * vals[i] % R
-    return F.from_ints([v * F.R % R for v in out])
+    xs = F.mul(
+        F.power_table(dom.omega, dom.n),
+        jnp.asarray(F.from_int(FR_GENERATOR % R * F.R % R)),
+    )
+    acc = F.ones_mont((dom.n,))
+    for p in zs_points:
+        pm = jnp.asarray(F.from_int(p % R * F.R % R))
+        acc = F.mul(acc, F.sub(xs, jnp.broadcast_to(pm, xs.shape)))
+    return F.batch_inv(acc, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -451,6 +451,13 @@ class CircuitInputBuilder:
                 out.append(self.rws.account_write(
                     addr, AccountField.CodeHash, old, prev
                 ))
+            elif kind == "warm":
+                tx_id, addr, was_warm = rest
+                out.append(self.rws.access_list_account_write(
+                    tx_id, addr, was_warm, 1
+                ))
+                if not was_warm:
+                    self._warm_addrs.discard(addr)
             else:  # pragma: no cover
                 raise AssertionError(f"unknown journal entry {kind}")
         return out
@@ -563,6 +570,7 @@ class CircuitInputBuilder:
             w(new_id, CCF.CodeHash, code_hash),
             w(new_id, CCF.IsStatic, int(new.is_static)),
             w(new_id, CCF.IsRoot, 0),
+            w(new_id, CCF.IsCreate, 0),
         ]
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
@@ -625,13 +633,17 @@ class CircuitInputBuilder:
         ))
         creator.nonce = nonce + 1
         self._tx_journal.append(("nonce", fr.to_addr, nonce))
-        # EIP-2929: the created address is warmed and STAYS warm even if
-        # creation reverts (not journaled)
+        # EIP-2929: the created address is warmed at the CALLER's journal
+        # level (geth warms before the child snapshot): it stays warm
+        # across the init frame's own revert, but unwinds if an enclosing
+        # frame reverts (ADVICE r2 #5) — hence journaled BEFORE the
+        # child's mark, like the nonce bump.
         was_warm = int(new_addr in self._warm_addrs)
         self._warm_addrs.add(new_addr)
         rws.append(self.rws.access_list_account_write(
             fr.tx_id, new_addr, 1, was_warm
         ))
+        self._tx_journal.append(("warm", fr.tx_id, new_addr, was_warm))
         mark = len(self._tx_journal)
         # endowment transfer (reversible with the init frame)
         rws.append(self._balance_add(fr.to_addr, -value))
@@ -678,6 +690,7 @@ class CircuitInputBuilder:
             w(new_id, CCF.CodeHash, init_hash),
             w(new_id, CCF.IsStatic, int(new.is_static)),
             w(new_id, CCF.IsRoot, 0),
+            w(new_id, CCF.IsCreate, 1),
         ]
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
@@ -917,6 +930,7 @@ class CircuitInputBuilder:
             r_(fr.call_id, CCF.ParentCodeHash, fr.parent_code_hash),
             r_(fr.call_id, CCF.RetOffset, fr.ret_offset),
             r_(fr.call_id, CCF.RetLength, fr.ret_length),
+            r_(fr.call_id, CCF.IsCreate, int(fr.is_create)),
         ]
         # record the callee's return data on the CALLER's context
         # (RETURNDATASIZE/RETURNDATACOPY read these back).  Successful
@@ -951,7 +965,12 @@ class CircuitInputBuilder:
             from ..crypto.keccak import keccak256
 
             deployed = full
-            dep_hash = int.from_bytes(keccak256(deployed), "big")
+            # empty deploys normalize to the repo's 0-for-empty code-hash
+            # convention so RETURN-with-size-0 and STOP agree (ADVICE r2
+            # #4; the reference deposits keccak('') in both cases)
+            dep_hash = (
+                int.from_bytes(keccak256(deployed), "big") if deployed else 0
+            )
             created = self._acct(fr.to_addr)
             prev_hash = created.code_hash
             rws.append(self.rws.account_write(
@@ -1054,6 +1073,7 @@ class CircuitInputBuilder:
             rws.append(self.rws.access_list_account_write(
                 ctx.tx_id, addr, 1, int(warm)
             ))
+            self._tx_journal.append(("warm", ctx.tx_id, addr, int(warm)))
             val = nxt.stack[-1] if nxt and not step.error else 0
             fld = {
                 OpcodeId.BALANCE: AccountField.Balance,

@@ -56,6 +56,7 @@ class CallContextField(enum.IntEnum):
     CodeHash = 21  # callee's code-hash RLC (word-RLC encoded)
     LastCalleeId = 22  # written to the CALLER at frame end
     LastCalleeReturnDataOffset = 23  # offset of the data in callee memory
+    IsCreate = 24  # 1 iff the frame executes init code (CREATE/CREATE2)
 
 
 class AccountField(enum.IntEnum):
