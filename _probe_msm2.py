@@ -1,0 +1,22 @@
+import time, numpy as np, jax, jax.numpy as jnp
+from zkevm_circuits_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
+from zkevm_circuits_tpu.crypto import curve as cv
+from zkevm_circuits_tpu.poly.msm import msm
+print("backend", jax.default_backend(), flush=True)
+rng = np.random.default_rng(99)
+for n_log, lanes in ((14, 64), (14, 256), (16, 256), (18, 512)):
+    n = 1 << n_log
+    pts = cv.g1_generator((n,))
+    sc = np.frombuffer(rng.bytes(n*32), np.uint8).reshape(n,32).copy()
+    sc[:,31] &= 0x0F
+    sc = jax.device_put(jnp.asarray(sc))
+    t0=time.time()
+    out = msm(pts, sc, lanes=lanes); np.asarray(out.x)
+    print(f"n=2^{n_log} lanes={lanes} compile+first: {time.time()-t0:.1f}s", flush=True)
+    t0=time.time()
+    iters=3
+    for _ in range(iters): out = msm(pts, sc, lanes=lanes)
+    np.asarray(out.x)
+    dt=(time.time()-t0)/iters
+    print(f"n=2^{n_log} lanes={lanes} steady: {dt:.3f}s = {n/dt/1e6:.4f} Mpoints/s", flush=True)

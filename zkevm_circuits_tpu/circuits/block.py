@@ -69,7 +69,7 @@ class BlockCircuit(Circuit):
         ]
 
     def fixed_columns(self, n: int):
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         fields = self._fields()
         q = [1 if i < len(fields) else 0 for i in range(n)]
         tags = [int(t) for t, _ in fields] + [0] * (n - len(fields))
@@ -82,9 +82,7 @@ class BlockCircuit(Circuit):
 
         r_chal = challenges[self.r_word.index]
         r_int = F.to_int(np.asarray(F.from_mont(np.asarray(r_chal))))
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         vals = [
             word_rlc(v, r_int) if t in WORD_TAGS else v % R
             for t, v in self._fields()

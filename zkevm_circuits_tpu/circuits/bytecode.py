@@ -203,7 +203,7 @@ class BytecodeCircuit(Circuit):
     def fixed_columns(self, n: int):
         assert n >= 256, "domain must fit the 256-row push table"
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         q = [1 if i < t else 0 for i in range(n)]
         tb = [i if i < 256 else 0 for i in range(n)]
         tp = [push_size_of(i) if i < 256 else 0 for i in range(n)]
@@ -242,9 +242,7 @@ class BytecodeCircuit(Circuit):
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         rows = self._rows(n)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         if phase == 0:
             cols = {}
             for ci, j in (

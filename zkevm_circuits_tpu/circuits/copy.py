@@ -258,7 +258,7 @@ class CopyCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         out = {self.q_copy: mont([1 if i < t else 0 for i in range(n)])}
         if self.standalone:
             nrw = len(self._mem_rws())
@@ -268,9 +268,7 @@ class CopyCircuit(Circuit):
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         rows = []  # (act, cont, pad, sid, sad, did, dad, byte, rwc, left,
         # rlc, mm)
         for ev in self.events:

@@ -454,7 +454,7 @@ class EccCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         ta, tm = self._targets(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         qa = [1 if i < ta else 0 for i in range(n)]
         qs = [0] * n
         qw = [0] * n
@@ -485,9 +485,7 @@ class EccCircuit(Circuit):
             return out
         ta, tm = self._targets(n)
         nrows = ta + tm * EV_ROWS
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         pairs_v = {k: [(0, 0)] * nrows for k in self.pairs}
         singles = {c: [0] * nrows for c in (
             [self.c_b, self.c_triv, self.c_tpz, self.c_tkz]

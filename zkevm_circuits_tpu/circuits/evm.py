@@ -2878,7 +2878,7 @@ class EvmCircuit(Circuit):
     def fixed_columns(self, n: int):
         t = self._target(n)
         assert n >= 256, "domain must fit the byte range table"
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         nib = lambda i, op: op(i >> 4, i & 15) if i < 256 else 0
         out = {
             self.q_step: mont([1 if i < t else 0 for i in range(n)]),
@@ -2941,9 +2941,7 @@ class EvmCircuit(Circuit):
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         t = self._target(n)
         steps = self.steps
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         if phase == 0:
             cols = {}
             kinds = [self._classify(s) for s in steps]

@@ -215,7 +215,7 @@ class ExpCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         out = {
             self.q_exp: mont([1 if i < t else 0 for i in range(n)]),
             self.q_first_row: mont([1 if i == 0 else 0 for i in range(n)]),
@@ -236,9 +236,7 @@ class ExpCircuit(Circuit):
         # complete events (is_first = is_last = 1) so chaining stays sound.
         pad = (1, 1, 0, 0, 2, 0, 0, 0)
         rows = rows + [pad] * (t - len(rows))
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         cols = {
             self.c_is_first: mont([r[0] for r in rows]),
             self.c_is_last: mont([r[1] for r in rows]),

@@ -160,7 +160,7 @@ class KeccakFCircuit(Circuit):
         return len(self.states)
 
     def fixed_columns(self, n: int):
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         nperm = self._blocks(n)
         q_round = [0] * n
         f_rc = [0] * n
@@ -189,7 +189,7 @@ class KeccakFCircuit(Circuit):
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         if phase != 0:
             return {}
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         nperm = self._blocks(n)
         a_bits = {(x, y): [0] * n for x in range(5) for y in range(5)}
         c_bits = {x: [0] * n for x in range(5)}
@@ -415,7 +415,7 @@ class KeccakCircuit(KeccakFCircuit):
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
         out = super().fixed_columns(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         q_first = [0] * n
         q_chain = [0] * n
         q_acc0 = [0] * n
@@ -434,9 +434,7 @@ class KeccakCircuit(KeccakFCircuit):
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         if phase == 0:
             cols = super().synthesize(phase, n, challenges, instances)
             dbits = {i: [0] * n for i in range(RATE_LANES)}

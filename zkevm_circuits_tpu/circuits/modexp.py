@@ -305,7 +305,7 @@ class ModExpCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         out = {
             self.q_row: mont([1 if i < t else 0 for i in range(n)]),
             self.q_first_row: mont([1 if i == 0 else 0 for i in range(n)]),
@@ -327,9 +327,7 @@ class ModExpCircuit(Circuit):
         pad = dict(first=1, last=1, e0=0, e1=0, base=0, mod=0, exp=2,
                    a=0, b=0, d=0)
         rows = rows + [pad] * (t - len(rows))
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         out.update({
             self.c_is_first: mont([r["first"] for r in rows]),
             self.c_is_last: mont([r["last"] for r in rows]),

@@ -339,7 +339,7 @@ class MptCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         n_real = sum(u.depth + 1 for u in self.updates)
         out = {
             self.q_mpt: mont([1 if i < t else 0 for i in range(n)]),
@@ -432,7 +432,7 @@ class MptCircuit(Circuit):
                 key_rlc[pos] = word_rlc(su.key, r_int)
                 old_rlc[pos] = word_rlc(su.old_word, r_int)
                 new_rlc[pos] = word_rlc(su.new_word, r_int)
-            mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+            mont = F.mont_from_ints
             return {
                 self.s_key_rlc: mont(key_rlc),
                 self.s_old_rlc: mont(old_rlc),
@@ -451,9 +451,7 @@ class MptCircuit(Circuit):
         pad = (1, 1, 1, 0, 0, 0, pad_hash, 0, 0, 0, 0, pad_hash, 0, 0, 0)
         n_real = len(rows)
         rows = rows + [pad] * (t - n_real)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         cols = {}
         for ci, idx in (
             (self.c_first, 0), (self.c_last, 1), (self.c_emp, 2),

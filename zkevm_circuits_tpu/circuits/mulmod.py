@@ -267,7 +267,7 @@ class MulModCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         out = {self.q_row: mont([1 if i < t else 0 for i in range(n)])}
         if self.standalone:
             assert n >= 256, "domain must fit the byte range table"
@@ -281,9 +281,7 @@ class MulModCircuit(Circuit):
         # padding rows are (0 op 0) mod 0 = 0: identity 1 degenerates to
         # a_red = a = 0 and everything else is gated off by nz = 0
         evs = self.events + [MulModEvent(0, 0, 0, 0)] * (t - len(self.events))
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         rows = []
         for ev in evs:
             a, b, nn, r = ev.a, ev.b, ev.n, ev.r

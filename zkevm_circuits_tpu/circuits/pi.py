@@ -172,7 +172,7 @@ class PiCircuit(Circuit):
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
         assert usable_rows(n) >= max(N_PADDED, 256)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         padded = padded_pi_bytes(self.pd.pi_bytes())
         out = {
             self.q_pi: mont([1 if i < N_PADDED else 0 for i in range(n)]),
@@ -192,9 +192,7 @@ class PiCircuit(Circuit):
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         pi = padded_pi_bytes(self.pd.pi_bytes())
         dig = self.pd.digest()
         if phase == 0:

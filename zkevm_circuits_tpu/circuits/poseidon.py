@@ -118,9 +118,7 @@ class PoseidonCircuit(Circuit):
         assert len(self.events) <= nb, (
             f"{len(self.events)} poseidon events > {nb} blocks at n={n}"
         )
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         q_round, q_full, q_first, q_out = [], [], [], []
         rcs = [[] for _ in range(T)]
         for _ in range(nb):
@@ -146,9 +144,7 @@ class PoseidonCircuit(Circuit):
         if phase != 0:
             return {}
         nb = self.n_blocks(n)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         cols_s = [[] for _ in range(T)]
         dom, in0, in1 = [], [], []
         pad = PoseidonEvent(domain=0, in0=0, in1=0)

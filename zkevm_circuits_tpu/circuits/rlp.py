@@ -347,7 +347,7 @@ class RlpCircuit(Circuit):
     def fixed_columns(self, n: int):
         t = len(self.rows)
         assert t <= usable_rows(n) and n >= 256 + len(ROM)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         rom_a = [a for a, _ in ROM]
         rom_b = [b for _, b in ROM]
         return {
@@ -363,9 +363,7 @@ class RlpCircuit(Circuit):
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         rows = self.rows
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         ents = [
             1 if i == 0 else int(rows[i - 1][2] == 1)
             for i in range(len(rows))

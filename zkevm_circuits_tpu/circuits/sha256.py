@@ -231,7 +231,7 @@ class Sha256Circuit(Circuit):
     def fixed_columns(self, n: int):
         blocks = self._layout()
         assert len(blocks) * ROWS_PER_BLOCK <= usable_rows(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         cols = {c: [0] * n for c in (
             self.q_round, self.q_sched, self.q_msg, self.q_dig,
             self.q_first_init, self.q_chain, self.q_acc_carry, self.q_final,
@@ -263,9 +263,7 @@ class Sha256Circuit(Circuit):
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         blocks = self._layout()
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         rows = len(blocks) * ROWS_PER_BLOCK
         if phase == 0:
             ab = [[0] * rows for _ in range(32)]

@@ -533,7 +533,7 @@ class SigCircuit(Circuit):
 
     def fixed_columns(self, n: int):
         t = self._target(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         qs = [0] * n
         qw = [0] * n
         qh = [0] * n
@@ -565,9 +565,7 @@ class SigCircuit(Circuit):
         if self.kc is not None:
             out.update(self.kc.synthesize(phase, n, challenges, instances))
         t = self._target(n)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         if phase != 0:
             # challenge-power chain on final rows
             r_chal = challenges[self.r_word.index]

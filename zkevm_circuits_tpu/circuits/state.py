@@ -83,8 +83,11 @@ def _decompose(value: int, count: int, bits: int) -> list[int]:
 def word_rlc(value: int, r_chal: int) -> int:
     """Byte-RLC of a 256-bit word: sum_i le_bytes[i] * r^i (the reference's
     evm_word RLC convention — least-significant byte gets r^0)."""
+    if value < 256:  # single-byte fast path (memory rows, flags, padding)
+        return value
     acc = 0
-    for b in value.to_bytes(32, "big"):  # big-endian fold == sum le[i] r^i
+    nbytes = max(1, (value.bit_length() + 7) // 8)
+    for b in value.to_bytes(nbytes, "big"):  # be fold == sum le[i] r^i
         acc = (acc * r_chal + b) % R
     return acc
 
@@ -416,7 +419,7 @@ class StateCircuit(Circuit):
         q_ord = [1 if 1 <= i < t else 0 for i in range(n)]
         tbl = [i if i < (1 << p.limb_bits) else 0 for i in range(n)]
         assert n >= (1 << p.limb_bits), "domain must fit the range table"
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         return {
             self.q_row: mont(q_row),
             self.q_ord: mont(q_ord),
@@ -442,9 +445,7 @@ class StateCircuit(Circuit):
         p = self.params
         rows = self._padded_rows(n)
         t = len(rows)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         if phase == 0:
             limb_mat = [self._limbify(r) for r in rows]
             cols = {}
@@ -488,10 +489,17 @@ class StateCircuit(Circuit):
             )
 
             def invs(tag_val):
+                # inverses depend only on the (12-valued) tag: compute one
+                # inverse per distinct tag, not per row (k=18 fill perf)
+                cache: dict[int, int] = {}
                 out = []
                 for r in rows:
-                    d = (int(r.tag) - tag_val) % R
-                    out.append(pow(d, -1, R) if d else 0)
+                    tv = int(r.tag)
+                    e = cache.get(tv)
+                    if e is None:
+                        d = (tv - tag_val) % R
+                        e = cache[tv] = pow(d, -1, R) if d else 0
+                    out.append(e)
                 return out
 
             cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
@@ -500,13 +508,20 @@ class StateCircuit(Circuit):
             PREV_TAGS = (RwTag.Storage, RwTag.Account,
                          RwTag.TxAccessListAccount,
                          RwTag.TxAccessListAccountStorage, RwTag.TxRefund)
+            pcache: dict[int, tuple[int, int]] = {}
             flags, pinvs = [], []
             for r in rows:
-                d = 1
-                for tv in PREV_TAGS:
-                    d = d * (int(r.tag) - int(tv)) % R
-                flags.append(int(d == 0))
-                pinvs.append(pow(d, -1, R) if d else 0)
+                tv = int(r.tag)
+                e = pcache.get(tv)
+                if e is None:
+                    d = 1
+                    for pt in PREV_TAGS:
+                        d = d * (tv - int(pt)) % R
+                    e = pcache[tv] = (
+                        int(d == 0), pow(d, -1, R) if d else 0
+                    )
+                flags.append(e[0])
+                pinvs.append(e[1])
             cols[self.col_is_prevtag] = mont(flags)
             cols[self.col_inv_prevtag] = mont(pinvs)
             return cols

@@ -260,7 +260,7 @@ class TxCircuit(Circuit):
     def fixed_columns(self, n: int):
         p = self.params
         n_fixed, total = self._layout(n)
-        mont = lambda vals: F.from_ints([v % R * F.R % R for v in vals])
+        mont = F.mont_from_ints
         q_fixed = [1 if i < n_fixed else 0 for i in range(n)]
         q_data = [1 if n_fixed <= i < total else 0 for i in range(n)]
         nt = len(FIXED_TAGS)
@@ -290,9 +290,7 @@ class TxCircuit(Circuit):
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
         p = self.params
         n_fixed, total = self._layout(n)
-        mont = lambda vals: F.from_ints(
-            [v % R * F.R % R for v in vals] + [0] * (n - len(vals))
-        )
+        mont = lambda vals: F.mont_from_ints_padded(vals, n)
         # build rows
         tx_ids, tags, idxs, fins = [], [], [], []
         raw_vals: list = []  # (tag, int) pairs; word tags RLC'd in phase 1

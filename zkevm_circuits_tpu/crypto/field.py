@@ -184,6 +184,51 @@ class Fp:
         a = np.asarray(a).reshape(-1, ND)
         return [from_digits(row) for row in a]
 
+    def mont_from_ints(self, vals) -> np.ndarray:
+        """ints -> Montgomery digit rows ((len, 32) uint8), vectorized.
+
+        Drop-in replacement for `from_ints([v % p * R % p for v in vals])`
+        — the per-int big-int path that dominated witness fill at k >= 16
+        (VERDICT r2 W3/W7).  Values in [0, 2^63) byte-pack via numpy and
+        convert with ONE batched device to_mont (mul by R2); the rest
+        (word RLCs, negatives) fall back per-int."""
+        import jax.numpy as jnp
+
+        vals = vals if isinstance(vals, (list, np.ndarray)) else list(vals)
+        n = len(vals)
+        if n == 0:
+            return np.zeros((0, ND), np.uint8)
+        arr = None
+        if isinstance(vals, np.ndarray) and vals.dtype.kind in "iu":
+            arr = vals.astype(np.int64)
+        else:
+            try:
+                arr = np.asarray(vals, dtype=np.int64)
+            except (OverflowError, TypeError, ValueError):
+                pass
+        lim = 1 << 63
+        if arr is None:
+            arr = np.fromiter(
+                ((v if 0 <= v < lim else -1) for v in vals), np.int64, n
+            )
+        big = np.nonzero(arr < 0)[0]
+        dig = np.zeros((n, ND), np.uint8)
+        small = arr.copy()
+        small[big] = 0
+        for b in range(8):
+            dig[:, b] = (small >> (8 * b)) & 0xFF
+        for i in big:
+            dig[i] = np.array(to_digits(int(vals[i]) % self.modulus), np.uint8)
+        return np.asarray(self.to_mont(jnp.asarray(dig)))
+
+    def mont_from_ints_padded(self, vals, n: int) -> np.ndarray:
+        """mont_from_ints + zero-pad to n rows (circuit column helper)."""
+        out = np.zeros((n, ND), np.uint8)
+        m = len(vals)
+        if m:
+            out[:m] = self.mont_from_ints(vals)
+        return out
+
     def rand(self, rng: np.random.Generator, shape=()) -> np.ndarray:
         n = int(np.prod(shape)) if shape else 1
         out = [int.from_bytes(rng.bytes(48), "little") % self.modulus for _ in range(n)]
