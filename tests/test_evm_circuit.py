@@ -639,3 +639,125 @@ def test_evm_circuit_catches_wrong_sar_fill():
 
     failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "zero-filled SAR must fail"
+
+
+def test_evm_circuit_slt_sgt():
+    m = (1 << 256) - 1  # -1
+    b = _witness(
+        Bytecode()
+        .push(1, 3).push(32, m - 13).op("SLT").op("POP")    # -14 < 3 -> 1
+        .push(32, m - 13).push(1, 3).op("SLT").op("POP")    # 3 < -14 -> 0
+        .push(1, 3).push(32, m - 13).op("SGT").op("POP")    # -14 > 3 -> 0
+        .push(32, m - 5).push(32, m - 13).op("SLT").op("POP")  # -14 < -6 -> 1
+        .push(1, 7).push(1, 7).op("SLT").op("POP")          # equal -> 0
+        .push(1, 7).push(1, 7).op("SGT").op("POP")          # equal -> 0
+        .push(32, 1 << 255).push(1, 0).op("SGT").op("POP")  # 0 > MIN -> 1
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_slt_result():
+    m = (1 << 256) - 1
+    b = _witness(
+        Bytecode().push(1, 3).push(32, m - 13).op("SLT").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "SLT"
+                )
+                # flip the claimed sign of x: -14 would read as positive
+                arr = np.array(cols[self.c_gx[0]])
+                arr[row] = F.from_int(0)
+                cols[self.c_gx[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "flipped SLT sign bit must fail"
+
+
+def test_evm_circuit_gas_msize_codesize():
+    b = _witness(
+        Bytecode()
+        .op("GAS").op("POP")
+        .op("MSIZE").op("POP")                      # 0 before any touch
+        .push(1, 0xAB).push(1, 64).op("MSTORE")     # expand to 96 bytes
+        .op("MSIZE").op("POP")                      # 96
+        .op("CODESIZE").op("POP")
+        .op("GAS").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_gas_push():
+    b = _witness(Bytecode().op("GAS").op("POP").op("STOP"))
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "GAS"
+                )
+                # claim one extra unit of remaining gas
+                cur = (self.steps[row].gas - 2) & 0xFF
+                arr = np.array(cols[self.c_bytes_a[0]])
+                arr[row] = F.from_int((cur + 1) * F.R % F.modulus)
+                cols[self.c_bytes_a[0]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "inflated GAS push must fail"
+
+
+def test_evm_circuit_blockhash_validity_paths():
+    # default block number is 1: query 0 is in-window (hash 0 — no
+    # ancestors recorded), query 7 is >= cur (w=1 path), a 200-bit query
+    # exercises the high-bytes-nonzero path (h=0)
+    b = _witness(
+        Bytecode()
+        .push(1, 0).op("BLOCKHASH").op("POP")
+        .push(1, 7).op("BLOCKHASH").op("POP")
+        .push(32, 1 << 200).op("BLOCKHASH").op("POP")
+        .op("STOP")
+    )
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_evm_circuit_catches_wrong_blockhash_validity():
+    # claiming the in-window query is out-of-window must fail
+    b = _witness(
+        Bytecode().push(1, 0).op("BLOCKHASH").op("POP").op("STOP")
+    )
+
+    class Corrupt(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                row = next(
+                    i for i, s in enumerate(self.steps)
+                    if s.exec_state == "BLOCKHASH"
+                )
+                arr = np.array(cols[self.c_ez])
+                arr[row] = F.from_int(0)  # claim invalid
+                cols[self.c_ez] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "in-window BLOCKHASH claimed invalid must fail"

@@ -160,3 +160,95 @@ def test_memory_expansion_wrong_cost_rejected():
 
     failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "underpaying memory expansion must fail"
+
+
+def test_dynamic_gas_copies_log_composed():
+    # copy-family: 3 + 3*words + memexp; LOG: 375 + 375*n + 8*len +
+    # memexp (reference memory_gadget.rs MemoryCopierGasGadget +
+    # execution/logs.rs).  Composed (SuperCircuit) so the Copy circuit
+    # backs the nonzero-length events.
+    from zkevm_circuits_tpu.circuits.super_circuit import SuperCircuit
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+    from zkevm_circuits_tpu.types.transaction import Transaction
+
+    code = (
+        Bytecode()
+        .push(1, 64).push(1, 0).push(2, 0x200).op("CALLDATACOPY")
+        .push(1, 33).push(1, 0).push(1, 0).op("CODECOPY")   # no expansion
+        .push(1, 7).push(2, 0x123).push(1, 8).push(1, 32).op("LOG2")
+        .op("STOP")
+    )
+    sk = 0x4444444444444444444444444444444444444444444444444444444444444444
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(sk)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr,
+    )
+    cdc = next(s for s in b.steps if s.exec_state == "CALLDATACOPY")
+    w = (0x200 + 64 + 31) // 32
+    assert cdc.gas_cost == 3 + 3 * 2 + 3 * w + w * w // 512
+    cc = next(s for s in b.steps if s.exec_state == "CODECOPY")
+    assert cc.gas_cost == 3 + 3 * 2  # dst 0: already expanded
+    log = next(s for s in b.steps if s.op is not None and s.op.is_log)
+    assert log.gas_cost == 375 + 375 * 2 + 8 * 8
+    MockProver(K, SuperCircuit(b, [code], txs)).assert_satisfied()
+
+
+def test_dynamic_gas_sha3_witness_math():
+    # SHA3: 30 + 6*words + memexp — pinned at the witness level (the
+    # composed MockProver path rides test_super_circuit's SHA3 tests)
+    b = _witness(
+        Bytecode()
+        .push(1, 40).push(2, 0x300).op("SHA3").op("POP").op("STOP")
+    )
+    sha = next(s for s in b.steps if s.exec_state == "SHA3")
+    mw0 = sha.mem_words
+    w2 = (0x300 + 40 + 31) // 32
+    assert sha.gas_cost == 30 + 6 * 2 + 3 * (w2 - mw0) + (
+        w2 * w2 // 512 - mw0 * mw0 // 512
+    )
+
+
+def test_dynamic_gas_zero_size_and_return():
+    # zero-size copies charge base only (no expansion even at huge dst);
+    # root RETURN charges pure memory expansion
+    b = _witness(
+        Bytecode()
+        .push(1, 0).push(1, 0).push(2, 0xFF00).op("CALLDATACOPY")
+        .push(1, 64).push(2, 0x100).op("RETURN")
+    )
+    cdc = next(s for s in b.steps if s.exec_state == "CALLDATACOPY")
+    assert cdc.gas_cost == 3
+    ret = next(s for s in b.steps if s.exec_state == "RETURN")
+    w = (0x100 + 64 + 31) // 32
+    assert ret.gas_cost == 3 * w + w * w // 512
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_dynamic_gas_undercharge_rejected():
+    b = _witness(
+        Bytecode().push(1, 64).push(2, 0x100).op("RETURN")
+    )
+    row = next(i for i, s in enumerate(b.steps)
+               if s.exec_state == "RETURN")
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                arr = np.asarray(cols[self.c_gas_cost]).copy()
+                arr[row] = _mont(0)  # drop the expansion charge
+                cols[self.c_gas_cost] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "underpaying copy memory expansion must fail"

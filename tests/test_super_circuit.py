@@ -667,3 +667,66 @@ def test_super_circuit_create_keccak_bound():
     circ = SuperCircuit(b, codes + [init], txs)
     assert circ.keccak is not None  # auto-enabled by sha3_inputs
     MockProver(13, circ).assert_satisfied()
+
+
+def test_super_circuit_blockhash_bound():
+    """BLOCKHASH pushes ride the BlockTable's 256-row BlockHash region
+    (reference execution/blockhash.rs); a wrong claimed hash must miss."""
+    from zkevm_circuits_tpu.tracer.evm import BlockEnv
+
+    H299 = int.from_bytes(b"\x11" * 32, "big")
+    env = BlockEnv(number=300, prev_hashes={299: H299})
+    code = (
+        Bytecode()
+        .push(2, 299).op("BLOCKHASH").op("POP")   # in-window, known hash
+        .push(2, 298).op("BLOCKHASH").op("POP")   # in-window, unknown -> 0
+        .push(1, 3).op("BLOCKHASH").op("POP")     # below window -> 0
+        .push(2, 500).op("BLOCKHASH").op("POP")   # future -> 0
+        .op("STOP")
+    )
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state, block=env).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr,
+    )
+    by_ctr = {r.rw_counter: r for r in b.rws.rws}
+    bh_vals = [
+        by_ctr[s.rw_indices[1]].value
+        for s in b.steps if s.exec_state == "BLOCKHASH"
+    ]
+    assert bh_vals[0] == H299 and bh_vals[1:] == [0, 0, 0]
+    circ = SuperCircuit(b, [code], txs, block=env)
+    MockProver(K, circ).assert_satisfied()
+
+    class Corrupt(SuperCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                # move the claimed ancestor number to a different row of
+                # the window: the (number, hash) pair no longer matches
+                row = next(
+                    i for i, s in enumerate(self.evm.steps)
+                    if s.exec_state == "BLOCKHASH"
+                )
+                arr = np.array(cols[self.evm.c_bytes_a[0]])
+                arr[row] = F.from_int((298 & 0xFF) * F.R % F.modulus)
+                cols[self.evm.c_bytes_a[0]] = arr
+            return cols
+
+    failures = MockProver(
+        K, Corrupt(b, [code], txs, block=env)
+    ).verify()
+    assert failures, "wrong BLOCKHASH number/hash pair must fail"

@@ -186,6 +186,16 @@ class BytecodeCircuit(Circuit):
             g * Advice(self.c_is_code),
         ]
 
+    def bytecode_len_exprs(self):
+        """(is_header, code_hash_rlc, length) — the header row is the row
+        immediately before a bytecode's first byte row (reference
+        BytecodeFieldTag::Header, `table.rs:1146`); padding and keccak-pad
+        rows never precede a byte row, so the rotation flag is exact."""
+        q = Fixed(self.q_en)
+        ib = Advice(self.c_is_byte)
+        g = q * (1 - ib) * Advice(self.c_is_byte, 1)
+        return [g, g * Advice(self.c_hash), g * Advice(self.c_length)]
+
     # ------------------------------------------------------------------
     def _pad_len(self, code_len: int) -> int:
         return 136 - (code_len % 136)

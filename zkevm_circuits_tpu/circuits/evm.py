@@ -62,6 +62,7 @@ GADGETS = [
     "SHA3", "CALL", "CREATE", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
+    "SLT", "SGT", "GAS", "MSIZE", "CODESIZE", "BLOCKHASH",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
@@ -97,17 +98,21 @@ class EvmCircuit(Circuit):
     """
 
     def __init__(self, steps: list[ExecStep], rws: list[Rw],
-                 params: EvmParams | None = None):
+                 params: EvmParams | None = None, block_number: int = 1):
         self.steps = list(steps)
         self.rw_by_counter = {r.rw_counter: r for r in rws}
         self.params = params or EvmParams()
+        # current block number (BLOCKHASH validity window; bound to the
+        # BlockTable's Number row when composed)
+        self.block_number = block_number
 
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, rw_table=None, challenge=None,
                   exp_table=None, copy_table=None, tx_table=None,
                   bytecode_table=None, mulmod_table=None, keccak_table=None,
                   block_table=None, sig_table=None, ecc_table=None,
-                  sha256_table=None, modexp_table=None):
+                  sha256_table=None, modexp_table=None,
+                  bytecode_len_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -132,6 +137,7 @@ class EvmCircuit(Circuit):
         self.copy_table = copy_table
         self.tx_table = tx_table
         self.bytecode_table = bytecode_table
+        self.bytecode_len_table = bytecode_len_table
         self.mulmod_table = mulmod_table
         self.keccak_table = keccak_table
         self.block_table = block_table
@@ -151,8 +157,11 @@ class EvmCircuit(Circuit):
         self.c_gas_aux = cs.advice_column()  # gas helper (PUSH0 inverse etc.)
         self.c_mw = cs.advice_column()  # memory words BEFORE the step
         # memory-expansion gas cells (reference memory_gadget.rs):
-        # [m, rem, e, d0..d3, t_new, s0, s1, t_old, so0, so1]
-        self.c_gx = [cs.advice_column() for _ in range(13)]
+        # [m, rem, e, d0..d3, t_new, s0, s1, t_old, so0, so1] for the
+        # MLOAD family; the dynamic-gas family (copies/SHA3/LOG/RETURN)
+        # reuses 0..12 and adds [nz, size_inv, mw', wcnt, wrem] in 13..17
+        # (one-hot rows are disjoint, so the banks share cells)
+        self.c_gx = [cs.advice_column() for _ in range(18)]
         self.c_rwc = cs.advice_column()  # rw_counter at step start
         self.c_sp = cs.advice_column()  # stack pointer (1024 = empty)
         self.c_call_id = cs.advice_column()
@@ -431,6 +440,8 @@ class EvmCircuit(Circuit):
             "TIMESTAMP": 2, "NUMBER": 2, "COINBASE": 2, "GASLIMIT": 2,
             "CHAINID": 2, "BASEFEE": 2, "DIFFICULTY": 2, "GASPRICE": 2,
             "ORIGIN": 2, "STOP": 0, "END_TX": 0, "SELFBALANCE": 5,
+            "SLT": 3, "SGT": 3, "GAS": 2, "MSIZE": 2, "CODESIZE": 2,
+            "BLOCKHASH": 20,
         }
         for gname, c0 in GAS_CONST.items():
             cs.create_gate(f"{gname} gas", q * ind[gname] * (cost_e - c0))
@@ -471,7 +482,7 @@ class EvmCircuit(Circuit):
         mw_e, mw_n = Advice(self.c_mw), Advice(self.c_mw, 1)
         gx = [Advice(c) for c in self.c_gx]
         (m_e, rem_e, e_fl, d0, d1, d2, d3, t_new, s0, s1,
-         t_old, so0, so1) = gx
+         t_old, so0, so1) = gx[:13]
         mem_ops = ind["MLOAD"] + ind["MSTORE"] + ind["MSTORE8"]
         g3 = q * mem_ops
         g3n = q * q_n * mem_ops
@@ -742,6 +753,77 @@ class EvmCircuit(Circuit):
         cs.create_gate("LT y rlc", glt * (rlc_expr(bb) - vb))
         cs.create_gate("GT x rlc", ggt * (rlc_expr(ba) - vb))
         cs.create_gate("GT y rlc", ggt * (rlc_expr(bb) - va))
+
+        # SLT/SGT (reference execution/signed_comparator.rs): split each
+        # operand's MSB into a sign bit + 7-bit rest (byte-range checks on
+        # 2*rest ride the "byte ranges" logUp below), run the unsigned
+        # borrow split into an internal flag, then select: signs differ ->
+        # x's sign decides; same sign -> the unsigned comparison stands.
+        gslt, gsgt = q * ind["SLT"], q * ind["SGT"]
+        gsc = q * (ind["SLT"] + ind["SGT"])
+        ltf_sc = Advice(self.c_ez)       # unsigned x < y
+        sa_sc = Advice(self.c_gx[0])     # sign of x
+        sb_sc = Advice(self.c_gx[1])     # sign of y
+        bor_sc = cr[0]
+        cs.create_gate("SCMP sa bool", gsc * sa_sc * (sa_sc - 1))
+        cs.create_gate("SCMP sb bool", gsc * sb_sc * (sb_sc - 1))
+        cs.create_gate("SCMP lt bool", gsc * ltf_sc * (ltf_sc - 1))
+        cs.create_gate("SCMP borrow bool", gsc * bor_sc * (bor_sc - 1))
+        cs.create_gate(
+            "SCMP diff lo",
+            gsc * (half128(ba, True) - half128(bb, True) + bor_sc * L128
+                   - half128(bc, True)),
+        )
+        cs.create_gate(
+            "SCMP diff hi",
+            gsc * (half128(ba, False) - half128(bb, False) - bor_sc
+                   + ltf_sc * L128 - half128(bc, False)),
+        )
+        res_sc = sa_sc * (1 - sb_sc) \
+            + (1 - sa_sc - sb_sc + 2 * sa_sc * sb_sc) * ltf_sc
+        cs.create_gate("SCMP result", gsc * (vc - res_sc))
+        cs.create_gate("SLT x rlc", gslt * (rlc_expr(ba) - va))
+        cs.create_gate("SLT y rlc", gslt * (rlc_expr(bb) - vb))
+        cs.create_gate("SGT x rlc", gsgt * (rlc_expr(ba) - vb))
+        cs.create_gate("SGT y rlc", gsgt * (rlc_expr(bb) - va))
+        for g in ("SLT", "SGT"):
+            transition(ind[g], 1, 3, 1)
+
+        # GAS (reference execution/gas.rs): pushes gas_left after the 2-gas
+        # charge; 8-byte decomposition binds the pushed word to the gas
+        # chain (N_BYTES_GAS = 8, upper word bytes are zero).
+        gga = q * ind["GAS"]
+        gas8_int = None
+        gas8_rlc = None
+        rp_ = None
+        for i in range(8):
+            t_i = ba[i] * (1 << (8 * i))
+            gas8_int = t_i if gas8_int is None else gas8_int + t_i
+            tr_ = ba[i] if i == 0 else ba[i] * rp_
+            gas8_rlc = tr_ if gas8_rlc is None else gas8_rlc + tr_
+            rp_ = self.r_word if rp_ is None else rp_ * self.r_word
+        cs.create_gate("GAS value", gga * (gas8_int - gas_e + 2))
+        cs.create_gate("GAS rlc", gga * (gas8_rlc - va))
+        transition(ind["GAS"], 1, 1, -1)
+
+        # MSIZE (reference execution/msize.rs): pushes 32 * memory word
+        # size; 4-byte decomposition against the tracked c_mw column.
+        gms = q * ind["MSIZE"]
+        sz4_int = (ba[0] + ba[1] * 256 + ba[2] * 65536
+                   + ba[3] * 16777216)
+        sz4_rlc = (ba[0] + ba[1] * self.r_word
+                   + ba[2] * self.r_word * self.r_word
+                   + ba[3] * self.r_word * self.r_word * self.r_word)
+        cs.create_gate("MSIZE value", gms * (sz4_int - 32 * mw_e))
+        cs.create_gate("MSIZE rlc", gms * (sz4_rlc - va))
+        transition(ind["MSIZE"], 1, 1, -1)
+
+        # CODESIZE (reference execution/codesize.rs): pushes the executing
+        # bytecode's length — bound to the Bytecode circuit's header row
+        # via the length table when composed.
+        gcs2 = q * ind["CODESIZE"]
+        cs.create_gate("CODESIZE rlc", gcs2 * (sz4_rlc - va))
+        transition(ind["CODESIZE"], 1, 1, -1)
 
         # EQ / ISZERO: result from an IsZero inverse witness (reference
         # math_gadget/is_zero.rs); operands compared as word RLCs
@@ -1742,6 +1824,87 @@ class EvmCircuit(Circuit):
         self._log_n = n_e
         self._log_lid1 = lid1
 
+        # ---- dynamic gas: copies / SHA3 / LOG / RETURN / REVERT ----------
+        # (reference memory_gadget.rs MemoryExpansionGadget +
+        # MemoryCopierGasGadget; execution/{calldatacopy,codecopy,
+        # returndatacopy,sha3,logs,return_revert}.rs).  cost = base +
+        # word_mult*ceil(size/32) + byte_mult*size + memexp(start, size),
+        # with memexp active only when size != 0.  start sits in c_addr
+        # for every family member; size in bytes_a for SHA3, bytes_b
+        # elsewhere.  Root RETURN/REVERT get 4-byte off/len bindings here
+        # (their gadget only reads the word RLCs).
+        grr_ = q * (ind["RETURN"] + ind["REVERT"])
+        cs.create_gate("RR off bytes", grr_ * (fold4_rlc(ab4) - va))
+        cs.create_gate("RR len bytes", grr_ * (fold4_rlc(bb) - vb))
+        dyn_ops = (ind["CALLDATACOPY"] + ind["CODECOPY"]
+                   + ind["RETURNDATACOPY"] + ind["SHA3"] + ind["LOG"]
+                   + ind["RETURN"] + ind["REVERT"])
+        g_dy = q * dyn_ops
+        start_dy = fold4_int(ab4)
+        size_dy = (ind["SHA3"] * fold4_int(ba)
+                   + (dyn_ops - ind["SHA3"]) * fold4_int(bb))
+        copies3 = (ind["CALLDATACOPY"] + ind["CODECOPY"]
+                   + ind["RETURNDATACOPY"])
+        base_dy = 3 * copies3 + 30 * ind["SHA3"] \
+            + ind["LOG"] * (375 + 375 * n_e)
+        wm_dy = 3 * copies3 + 6 * ind["SHA3"]
+        bm_dy = 8 * ind["LOG"]
+        (dm, drem, de, dd0, dd1, dd2, dd3, dtn, ds0, ds1, dto, dso0,
+         dso1) = gx[:13]
+        d_nz = Advice(self.c_gx[13])
+        d_szinv = Advice(self.c_gx[14])
+        d_mwp = Advice(self.c_gx[15])
+        d_wcnt = Advice(self.c_gx[16])
+        d_wrem = Advice(self.c_gx[17])
+        # nz = (size != 0), complete both ways via the inverse witness
+        cs.create_gate("dyngas nz bool", g_dy * d_nz * (d_nz - 1))
+        cs.create_gate("dyngas nz def", g_dy * (d_nz - size_dy * d_szinv))
+        cs.create_gate("dyngas nz kill", g_dy * (1 - d_nz) * size_dy)
+        # word count: 32*wcnt = size + wrem, wrem < 32
+        cs.create_gate(
+            "dyngas words", g_dy * (32 * d_wcnt - size_dy - d_wrem)
+        )
+        # end words m = ceil((start + size)/32), only bound when nz
+        cs.create_gate(
+            "dyngas m def",
+            g_dy * d_nz * (32 * dm - start_dy - size_dy - drem),
+        )
+        # mw' = nz ? max(mw, m) : mw
+        dd4 = dd0 + 256 * dd1 + 65536 * dd2 + 16777216 * dd3
+        cs.create_gate("dyngas e bool", g_dy * de * (de - 1))
+        cs.create_gate("dyngas mwp hi", g_dy * d_nz * de * (d_mwp - dm))
+        cs.create_gate(
+            "dyngas mwp lo", g_dy * (1 - d_nz * de) * (d_mwp - mw_e)
+        )
+        cs.create_gate(
+            "dyngas order",
+            g_dy * d_nz * (de * (dm - mw_e - dd4)
+                           + (1 - de) * (mw_e - dm - dd4)),
+        )
+        # quadratic terms: t = mw^2 // 512 with s < 512 remainders
+        cs.create_gate("dyngas s1 bool", g_dy * ds1 * (ds1 - 1))
+        cs.create_gate("dyngas so1 bool", g_dy * dso1 * (dso1 - 1))
+        cs.create_gate(
+            "dyngas quad new",
+            g_dy * d_nz * (d_mwp * d_mwp - 512 * dtn - ds0 - 256 * ds1),
+        )
+        cs.create_gate(
+            "dyngas quad old",
+            g_dy * d_nz * (mw_e * mw_e - 512 * dto - dso0 - 256 * dso1),
+        )
+        cs.create_gate(
+            "dyngas cost",
+            g_dy * (cost_e - base_dy - wm_dy * d_wcnt - bm_dy * size_dy
+                    - d_nz * (3 * (d_mwp - mw_e) + dtn - dto)),
+        )
+        # the expanded size becomes the next step's memory words (root
+        # RETURN/REVERT are terminal: no successor constraint)
+        cs.create_gate(
+            "dyngas mw step",
+            q * q_n * (dyn_ops - ind["RETURN"] - ind["REVERT"])
+            * (mw_n - d_mwp),
+        )
+
         # ---- RETURNDATASIZE / RETURNDATACOPY (reference execution/
         # returndatasize.rs, returndatacopy.rs): read the last callee's
         # bookkeeping context rows; RDC copies from the CALLEE's memory
@@ -2196,12 +2359,70 @@ class EvmCircuit(Circuit):
         for gname, btag in SMALL_BLOCK_OPS.items():
             gb_ = q * ind[gname]
             cs.create_gate(f"{gname} rlc", gb_ * (rlc8 - va))
-            block_inputs.append([gb_, gb_ * btag, gb_ * raw8])
+            block_inputs.append([gb_, gb_ * btag, gb_ * 0, gb_ * raw8])
         gcb = q * ind["COINBASE"]
         cs.create_gate("COINBASE rlc", gcb * (rlc20 - va))
-        block_inputs.append([gcb, gcb * int(BT.Coinbase), gcb * raw20])
+        block_inputs.append(
+            [gcb, gcb * int(BT.Coinbase), gcb * 0, gcb * raw20]
+        )
         gdf = q * ind["DIFFICULTY"]
-        block_inputs.append([gdf, gdf * int(BT.Difficulty), gdf * va])
+        block_inputs.append(
+            [gdf, gdf * int(BT.Difficulty), gdf * 0, gdf * va]
+        )
+
+        # ---- BLOCKHASH (reference execution/blockhash.rs): pop number,
+        # push the ancestor hash when number is one of the 256 most recent
+        # blocks, else 0.  Validity flag z with BOTH directions proven:
+        #   z=1: high word bytes zero (h=1) and diff = cur-1-num in [0,255]
+        #   z=0: h=0 (some high byte nonzero), or num >= cur (w=1), or
+        #        num <= cur-257 (w=0), distance e byte-decomposed.
+        # Cells: z=c_ez, h=c_gx[0], h_inv=c_gx[1], d=c_gx[2], w=c_gx[3],
+        # e bytes=c_gx[4..12), cur=c_gx[12] (bound via a Number-row lookup).
+        gbh = q * ind["BLOCKHASH"]
+        bh_z = Advice(self.c_ez)
+        bh_h = Advice(self.c_gx[0])
+        bh_hinv = Advice(self.c_gx[1])
+        bh_d = Advice(self.c_gx[2])
+        bh_w = Advice(self.c_gx[3])
+        bh_e = None
+        for i in range(8):
+            t_ = Advice(self.c_gx[4 + i]) * (1 << (8 * i))
+            bh_e = t_ if bh_e is None else bh_e + t_
+        bh_cn = Advice(self.c_gx[12])
+        s24 = None
+        for i in range(8, 32):
+            s24 = ba[i] if s24 is None else s24 + ba[i]
+        cs.create_gate("BLOCKHASH num rlc", gbh * (rlc_expr(ba) - va))
+        cs.create_gate("BLOCKHASH z bool", gbh * bh_z * (bh_z - 1))
+        cs.create_gate("BLOCKHASH w bool", gbh * bh_w * (bh_w - 1))
+        # h = IsZero(sum of high bytes): complete in both directions
+        # (bytes are range-checked, so the integer sum is 0 iff all are)
+        cs.create_gate("BLOCKHASH h def", gbh * (bh_h - 1 + s24 * bh_hinv))
+        cs.create_gate("BLOCKHASH h kill", gbh * bh_h * s24)
+        # valid: high part zero and cur-1-num = d (byte-ranged below)
+        cs.create_gate("BLOCKHASH z needs h", gbh * bh_z * (1 - bh_h))
+        cs.create_gate(
+            "BLOCKHASH valid dist", gbh * bh_z * (bh_cn - 1 - raw8 - bh_d)
+        )
+        # invalid with h=1: num >= cur (w=1) or num <= cur-257 (w=0)
+        g_inv_h = gbh * (1 - bh_z) * bh_h
+        cs.create_gate(
+            "BLOCKHASH inval ge", g_inv_h * bh_w * (raw8 - bh_cn - bh_e)
+        )
+        cs.create_gate(
+            "BLOCKHASH inval lt",
+            g_inv_h * (1 - bh_w) * (bh_cn - 257 - raw8 - bh_e),
+        )
+        # out-of-range pushes zero
+        cs.create_gate("BLOCKHASH zero push", gbh * (1 - bh_z) * vb)
+        block_inputs.append(
+            [gbh, gbh * int(BT.Number), gbh * 0, gbh * bh_cn]
+        )
+        gbh_z = gbh * bh_z
+        block_inputs.append(
+            [gbh_z, gbh_z * int(BT.BlockHash), gbh_z * raw8, gbh_z * vb]
+        )
+        transition(ind["BLOCKHASH"], 1, 2, 0)
         if self.block_table is not None:
             cs.lookup_logup("block context", block_inputs, self.block_table)
         ggp = q * ind["GASPRICE"]
@@ -2287,6 +2508,14 @@ class EvmCircuit(Circuit):
             ])
             cs.lookup_logup("bytecode binding", inputs_bc,
                             self.bytecode_table)
+        if self.bytecode_len_table is not None:
+            # CODESIZE: the pushed 4-byte length is the executing code's
+            # header-row length (reference execution/codesize.rs)
+            cs.lookup_logup(
+                "codesize length",
+                [[gcs2, gcs2 * chash, gcs2 * sz4_int]],
+                self.bytecode_len_table,
+            )
 
         # byte range checks: every word-gadget byte cell rides one logUp
         # argument, gated by q alone (padding/unused cells are 0 = valid)
@@ -2303,6 +2532,19 @@ class EvmCircuit(Circuit):
         # SDIV/SMOD sign rests < 128 (2*rest stays a byte)
         byte_inputs.append([gsx * 2 * rest_a])
         byte_inputs.append([gsx * 2 * rest_b])
+        # SLT/SGT MSB sign splits: byte31 = 128*sign + rest, rest < 128
+        byte_inputs.append([gsc * 2 * (ba[31] - 128 * sa_sc)])
+        byte_inputs.append([gsc * 2 * (bb[31] - 128 * sb_sc)])
+        # BLOCKHASH: valid-range distance d and invalid-distance e bytes
+        byte_inputs.append([gbh * bh_z * bh_d])
+        for i in range(8):
+            byte_inputs.append([gbh * Advice(self.c_gx[4 + i])])
+        # dynamic-gas cells: rem/wrem < 32, the max-distance bytes, and
+        # the quadratic remainders' low bytes
+        byte_inputs.append([g_dy * 8 * Advice(self.c_gx[1])])
+        byte_inputs.append([g_dy * 8 * Advice(self.c_gx[17])])
+        for ci in (3, 4, 5, 6, 8, 11):
+            byte_inputs.append([g_dy * Advice(self.c_gx[ci])])
         # SIGNEXTEND: 2*rest < 256 and the keep-all i >= 31 proof
         byte_inputs.append([gse * 2 * rest_se])
         byte_inputs.append([gse * m_bits[31] * sext_ez * (ba[0] - 31)])
@@ -2345,8 +2587,8 @@ class EvmCircuit(Circuit):
         CCF = CallContextField
         gbin = None
         for g in ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
-                  "SIGNEXTEND", "SAR", "LT", "GT", "EQ", "EXP",
-                  "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
+                  "SIGNEXTEND", "SAR", "LT", "GT", "SLT", "SGT", "EQ",
+                  "EXP", "AND", "OR", "XOR", "BYTE", "SHL", "SHR"):
             gbin = ind[g] if gbin is None else gbin + ind[g]
         gbin = q * gbin
         gun = q * (ind["ISZERO"] + ind["NOT"])
@@ -2392,6 +2634,12 @@ class EvmCircuit(Circuit):
             access(q * ind["SWAP"], 3, 1, sp, vb),
             # PC: write va at sp-1
             access(q * ind["PC"], 0, 1, sp - 1, va),
+            # GAS / MSIZE / CODESIZE: write va at sp-1
+            access(q * (ind["GAS"] + ind["MSIZE"] + ind["CODESIZE"]),
+                   0, 1, sp - 1, va),
+            # BLOCKHASH: read number@sp, write hash@sp
+            access(q * ind["BLOCKHASH"], 0, 0, sp, va),
+            access(q * ind["BLOCKHASH"], 1, 1, sp, vb),
             # block/tx context pushes: write va at sp-1
             access(
                 q * (ind["TIMESTAMP"] + ind["NUMBER"] + ind["COINBASE"]
@@ -3046,10 +3294,49 @@ class EvmCircuit(Circuit):
                 if bor is not None:
                     carries[18][si] = bor
 
-            gx_cols = [[0] * n_steps for _ in range(13)]
+            gx_cols = [[0] * n_steps for _ in range(18)]
             for si, s in enumerate(steps):
                 kind = self._classify(s)
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
+                if kind in ("CALLDATACOPY", "CODECOPY", "RETURNDATACOPY",
+                            "SHA3", "LOG", "RETURN", "REVERT"):
+                    # dynamic-gas cells (gates above).  start/size stack
+                    # positions per kind; RETURN/REVERT also need their
+                    # off/len byte banks filled here (no gadget fill).
+                    if kind in ("SHA3", "LOG", "RETURN", "REVERT"):
+                        start_v, size_v = ops[0].value, ops[1].value
+                    else:
+                        start_v, size_v = ops[0].value, ops[2].value
+                    if kind in ("RETURN", "REVERT"):
+                        for i in range(4):
+                            addrbytes[i][si] = (start_v >> (8 * i)) & 0xFF
+                            byts["b"][i][si] = (size_v >> (8 * i)) & 0xFF
+                    nz_v = int(size_v != 0)
+                    wc_v = (size_v + 31) // 32
+                    mw_v = s.mem_words
+                    gx_cols[13][si] = nz_v
+                    gx_cols[14][si] = pow(size_v, -1, R) if size_v else 0
+                    gx_cols[16][si] = wc_v
+                    gx_cols[17][si] = 32 * wc_v - size_v
+                    if nz_v:
+                        m_v = (start_v + size_v + 31) // 32
+                        mwp_v = max(mw_v, m_v)
+                        e_v = int(m_v >= mw_v)
+                        d_v = (m_v - mw_v) if e_v else (mw_v - m_v)
+                        qn_, sn_ = divmod(mwp_v * mwp_v, 512)
+                        qo_, so_ = divmod(mw_v * mw_v, 512)
+                        vals = [
+                            m_v, 32 * m_v - start_v - size_v, e_v,
+                            d_v & 0xFF, (d_v >> 8) & 0xFF,
+                            (d_v >> 16) & 0xFF, (d_v >> 24) & 0xFF,
+                            qn_, sn_ & 0xFF, sn_ >> 8,
+                            qo_, so_ & 0xFF, so_ >> 8,
+                        ]
+                        for ci2, v2 in enumerate(vals):
+                            gx_cols[ci2][si] = v2
+                        gx_cols[15][si] = mwp_v
+                    else:
+                        gx_cols[15][si] = mw_v
                 if kind in ("MLOAD", "MSTORE", "MSTORE8"):
                     # memory-expansion gas cells (gates above)
                     width = 1 if kind == "MSTORE8" else 32
@@ -3287,6 +3574,50 @@ class EvmCircuit(Circuit):
                     set_word("b", si, y)
                     set_word("c", si, x - y + res * M256)
                     carries[0][si] = int((x & M128) < (y & M128))
+                elif kind in ("SLT", "SGT"):
+                    x = ops[0].value if kind == "SLT" else ops[1].value
+                    y = ops[1].value if kind == "SLT" else ops[0].value
+                    ltv = int(x < y)
+                    set_word("a", si, x)
+                    set_word("b", si, y)
+                    set_word("c", si, x - y + ltv * M256)
+                    carries[0][si] = int((x & M128) < (y & M128))
+                    gx_cols[0][si] = x >> 255
+                    gx_cols[1][si] = y >> 255
+                    ez_col[si] = ltv
+                elif kind == "GAS":
+                    gv = ops[0].value
+                    for i in range(8):
+                        byts["a"][i][si] = (gv >> (8 * i)) & 0xFF
+                elif kind == "BLOCKHASH":
+                    numv = ops[0].value
+                    nb = numv.to_bytes(32, "little")
+                    for i in range(32):
+                        byts["a"][i][si] = nb[i]
+                    cur = self.block_number
+                    s24v = sum(nb[8:])
+                    hi_zero = int(s24v == 0)
+                    gx_cols[0][si] = hi_zero
+                    gx_cols[1][si] = pow(s24v, -1, R) if s24v else 0
+                    gx_cols[12][si] = cur
+                    lo = numv & ((1 << 64) - 1)
+                    valid = hi_zero and 0 <= cur - 1 - lo <= 255
+                    ez_col[si] = int(valid)
+                    if valid:
+                        gx_cols[2][si] = cur - 1 - lo
+                    elif hi_zero:
+                        if lo >= cur:
+                            gx_cols[3][si] = 1
+                            ev_ = lo - cur
+                        else:
+                            ev_ = cur - 257 - lo
+                            assert ev_ >= 0, "window gap is unreachable"
+                        for i in range(8):
+                            gx_cols[4 + i][si] = (ev_ >> (8 * i)) & 0xFF
+                elif kind in ("MSIZE", "CODESIZE"):
+                    v4 = ops[0].value
+                    for i in range(4):
+                        byts["a"][i][si] = (v4 >> (8 * i)) & 0xFF
                 elif kind == "NOT":
                     set_word("a", si, ops[0].value)
                     set_word("c", si, ops[1].value)
@@ -3722,7 +4053,7 @@ class EvmCircuit(Circuit):
         accms, rpls, prls = [], [], []
         M128_, M256 = (1 << 128) - 1, 1 << 256
         binary = ("ADD", "SUB", "MUL", "DIV", "MOD", "SDIV", "SMOD",
-                  "SIGNEXTEND", "SAR", "LT", "GT", "EQ",
+                  "SIGNEXTEND", "SAR", "LT", "GT", "SLT", "SGT", "EQ",
                   "EXP", "CALLDATACOPY", "AND", "OR", "XOR", "BYTE", "SHL",
                   "SHR")
         for s in steps:
@@ -3801,7 +4132,10 @@ class EvmCircuit(Circuit):
                 vc.append(0)
                 dep_ = int(s.is_create_ret and s.op == OpcodeId.RETURN)
                 nrw_ = len(ops) - s.rev_count  # reversion rows trail
-                la_v = min(ops[1].value, ops[nrw_ - 5 - dep_].value) \
+                # tail: 8 ctx reads (incl. IsCreate) + 3 bookkeeping
+                # writes + success push (+ code deposit) — RetLength is
+                # the 6th-from-last ctx read
+                la_v = min(ops[1].value, ops[nrw_ - 6 - dep_].value) \
                     if has_d else 0
                 inv_of = la_v % R
                 if dep_:
@@ -3906,8 +4240,10 @@ class EvmCircuit(Circuit):
                 inv_of = ops[2].value % R
             elif kind in ("TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT",
                           "CHAINID", "BASEFEE", "DIFFICULTY", "GASPRICE",
-                          "ORIGIN"):
+                          "ORIGIN", "GAS", "MSIZE", "CODESIZE"):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
+            elif kind == "BLOCKHASH":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             elif kind == "SLOAD":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
             elif kind == "SSTORE":

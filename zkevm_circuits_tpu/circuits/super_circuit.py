@@ -87,7 +87,10 @@ class SuperCircuit(Circuit):
         p = params or SuperParams()
         self.params = p
         self.state = StateCircuit(builder.rws, p.state)
-        self.evm = EvmCircuit(builder.steps, builder.rws.rws, p.evm)
+        self.evm = EvmCircuit(
+            builder.steps, builder.rws.rws, p.evm,
+            block_number=(block.number if block is not None else 1),
+        )
         self.bytecode = BytecodeCircuit(bytecodes, p.bytecode)
         self.tx = TxCircuit(txs, p.tx)
         self.subs: list[Circuit] = [self.state, self.evm, self.bytecode, self.tx]
@@ -285,6 +288,10 @@ class SuperCircuit(Circuit):
             tx_table=self.tx.tx_table_exprs(),
             bytecode_table=(
                 self.bytecode.bytecode_table_exprs()
+                if self.bind_bytecode else None
+            ),
+            bytecode_len_table=(
+                self.bytecode.bytecode_len_exprs()
                 if self.bind_bytecode else None
             ),
             mulmod_table=(
