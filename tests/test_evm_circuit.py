@@ -20,7 +20,8 @@ def _witness(code: Bytecode):
     assert not tr.failed
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr,
+        code_db={CONTRACT: code.to_bytes()},
     )
     return b
 

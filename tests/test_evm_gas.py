@@ -34,7 +34,8 @@ def _witness(code: Bytecode, gas: int = 1_000_000, expect_fail: bool = False):
     assert tr.failed == expect_fail
     b = CircuitInputBuilder()
     b.handle_tx(
-        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""), tr,
+        code_db={CONTRACT: code.to_bytes()},
     )
     return b
 
@@ -252,3 +253,87 @@ def test_dynamic_gas_undercharge_rejected():
 
     failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "underpaying copy memory expansion must fail"
+
+
+def test_error_invalid_jump_proves():
+    # dest 2 is in-range but not a JUMPDEST (it's the JUMP itself)
+    b = _witness(Bytecode().push(1, 2).op("JUMP"), expect_fail=True)
+    states = [s.exec_state for s in b.steps]
+    assert states == ["BeginTx", "PUSH1", "ERR_JUMP", "EndTx"], states
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_invalid_jump_oor_and_jumpi():
+    # out-of-range dest via a taken JUMPI; also a way-out 33-byte dest
+    b = _witness(
+        Bytecode().push(1, 1).push(1, 200).op("JUMPI"), expect_fail=True
+    )
+    assert any(s.exec_state == "ERR_JUMP" for s in b.steps)
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+    b2 = _witness(
+        Bytecode().push(32, 1 << 200).op("JUMP"), expect_fail=True
+    )
+    MockProver(K, EvmCircuit(b2.steps, b2.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_invalid_jump_into_push_data():
+    # dest 1 is push-data (is_code = 0) even though byte 1 could be 0x5B
+    b = _witness(
+        Bytecode().push(1, 0x5B).push(1, 1).op("JUMP"), expect_fail=True
+    )
+    assert any(s.exec_state == "ERR_JUMP" for s in b.steps)
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_invalid_jump_wrong_oor_claim_rejected():
+    # dest 0 is the PUSH1 byte: in-range, is_code, not a JUMPDEST
+    b = _witness(Bytecode().push(1, 0).op("JUMP"), expect_fail=True)
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                row = next(i for i, s in enumerate(self.steps)
+                           if s.exec_state == "ERR_JUMP")
+                # claim the in-range dest is out of range
+                arr = np.asarray(cols[self.c_carry[2]]).copy()
+                arr[row] = _mont(1)
+                cols[self.c_carry[2]] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "false out-of-range claim must fail"
+
+
+def test_error_returndata_oob_proves():
+    # RETURNDATACOPY with no prior call: any nonzero span is OOB
+    b = _witness(
+        Bytecode().push(1, 4).push(1, 0).push(1, 0).op("RETURNDATACOPY"),
+        expect_fail=True,
+    )
+    states = [s.exec_state for s in b.steps]
+    assert "ERR_RDOOB" in states, states
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_error_returndata_oob_false_claim_rejected():
+    b = _witness(
+        Bytecode().push(1, 4).push(1, 0).push(1, 0).op("RETURNDATACOPY"),
+        expect_fail=True,
+    )
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                row = next(i for i, s in enumerate(self.steps)
+                           if s.exec_state == "ERR_RDOOB")
+                # shrink the claimed copy length to 0: 0 + 0 <= rdlen,
+                # the overshoot identity can't hold
+                arr = np.asarray(cols[self.c_bytes_b[0]]).copy()
+                arr[row] = _mont(0)
+                cols[self.c_bytes_b[0]] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "shrunk OOB length must fail"

@@ -66,7 +66,7 @@ GADGETS = [
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
-    "ERR_STACK", "ERR_OOG",
+    "ERR_STACK", "ERR_OOG", "ERR_JUMP", "ERR_RDOOB",
     "STOP",
 ]
 
@@ -80,7 +80,7 @@ OPCODE_BYTE = {
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
                  "CALL", "CREATE", "RET", "LOG", "ECRECOVER", "IDENTITY",
                  "ECADD", "ECMUL", "SHA256", "MODEXP", "ERR_STACK",
-                 "ERR_OOG")
+                 "ERR_OOG", "ERR_JUMP", "ERR_RDOOB")
 }
 
 
@@ -544,24 +544,27 @@ class EvmCircuit(Circuit):
         # frames; nested-frame error unwinding lands with the account
         # state machine). ------------------------------------------------
         e_any = ind["ERR_STACK"] + ind["ERR_OOG"]
+        e_all = e_any + ind["ERR_JUMP"] + ind["ERR_RDOOB"]
         g_eany = q * e_any
+        g_eall = q * e_all
         opb_e = Advice(self.c_depth_n)
         pops_e = Advice(self.c_ez)
         pushes_e = Advice(self.c_eo)
         g0_e = Advice(self.c_push_len)
         cs.lookup_logup(
             "opcode properties",
-            [[g_eany * opb_e, g_eany * pops_e, g_eany * pushes_e,
-              g_eany * g0_e]],
+            [[g_eall * opb_e, g_eall * pops_e, g_eall * pushes_e,
+              g_eall * g0_e]],
             [Fixed(self.tbl_byte), Fixed(self.tbl_op_pops),
              Fixed(self.tbl_op_pushes), Fixed(self.tbl_op_gas)],
         )
-        # terminal: next row is END_TX; rw counter and gas carry over
-        # (the gas chain gate already covers gas; cost is forced 0 below)
+        # terminal: next row is END_TX; gas carries over (cost forced 0);
+        # the rw counter carries for the no-bus kinds and advances by the
+        # pop/bookkeeping count for ERR_JUMP / ERR_RDOOB (gates below)
         et_n = Advice(self.c_ind["END_TX"], 1)
-        cs.create_gate("error then end_tx", q * q_n * e_any * (1 - et_n))
+        cs.create_gate("error then end_tx", q * q_n * e_all * (1 - et_n))
         cs.create_gate("error rwc", q * q_n * e_any * (rwc_n - rwc))
-        cs.create_gate("error gas cost", g_eany * cost_e)
+        cs.create_gate("error gas cost", g_eall * cost_e)
         # ERR_STACK: underflow (sp + pops > 1024) or overflow (the net
         # push exceeds free slots: pushes - pops > sp).  u/o flags live in
         # carry bank cells 0/1 (free on error rows); the underflow
@@ -1905,6 +1908,81 @@ class EvmCircuit(Circuit):
             * (mw_n - d_mwp),
         )
 
+        # ---- ERR_JUMP (reference execution/error_invalid_jump.rs): a
+        # JUMP (or taken JUMPI) whose destination is invalid — out of the
+        # code range (oor=1: high word bytes nonzero, or dest >= length)
+        # or an in-range byte that is not an is_code JUMPDEST (oor=0).
+        # Cells: dest bytes in bytes_a; fj (is JUMPI) cr[0]; hz cr[1];
+        # oor cr[2]; hz_inv gx[1]; e4 gx[3..6]; length gx[7]; target byte
+        # gx[8]; is_code gx[9]; byte!=0x5B flag gx[10] + inverse gx[11].
+        g_ej = q * ind["ERR_JUMP"]
+        ej_fj = cr[0]
+        ej_hz = cr[1]
+        ej_oor = cr[2]
+        ej_hzinv = gx[1]
+        ej_e4 = (gx[3] + 256 * gx[4] + 65536 * gx[5]
+                 + 16777216 * gx[6])
+        ej_len = gx[7]
+        ej_b = gx[8]
+        ej_ic = gx[9]
+        ej_neq = gx[10]
+        ej_binv = gx[11]
+        dest4_ej = fold4_int(ba)
+        s28_ej = None
+        for i in range(4, 32):
+            s28_ej = ba[i] if s28_ej is None else s28_ej + ba[i]
+        cs.create_gate("ERR_JUMP dest rlc", g_ej * (rlc_expr(ba) - va))
+        cs.create_gate("ERR_JUMP fj bool", g_ej * ej_fj * (ej_fj - 1))
+        cs.create_gate("ERR_JUMP op byte", g_ej * (opb_e - 0x56 - ej_fj))
+        # taken JUMPI: the popped condition is nonzero
+        cs.create_gate("ERR_JUMP cond", g_ej * ej_fj * (vb * inv2 - 1))
+        cs.create_gate("ERR_JUMP hz bool", g_ej * ej_hz * (ej_hz - 1))
+        cs.create_gate(
+            "ERR_JUMP hz def", g_ej * (ej_hz - 1 + s28_ej * ej_hzinv)
+        )
+        cs.create_gate("ERR_JUMP hz kill", g_ej * ej_hz * s28_ej)
+        cs.create_gate("ERR_JUMP oor bool", g_ej * ej_oor * (ej_oor - 1))
+        # oor with in-word dest: dest4 >= length (4-byte distance)
+        cs.create_gate(
+            "ERR_JUMP oor dist",
+            g_ej * ej_oor * ej_hz * (dest4_ej - ej_len - ej_e4),
+        )
+        # in-range: high bytes must be zero and the target byte must not
+        # be an is_code JUMPDEST
+        cs.create_gate(
+            "ERR_JUMP inrange hz", g_ej * (1 - ej_oor) * (1 - ej_hz)
+        )
+        cs.create_gate("ERR_JUMP neq bool", g_ej * ej_neq * (ej_neq - 1))
+        cs.create_gate(
+            "ERR_JUMP neq def",
+            g_ej * (ej_neq - (ej_b - 0x5B) * ej_binv),
+        )
+        cs.create_gate(
+            "ERR_JUMP neq kill", g_ej * (1 - ej_neq) * (ej_b - 0x5B)
+        )
+        cs.create_gate(
+            "ERR_JUMP not jumpdest",
+            g_ej * (1 - ej_oor) * ej_ic * (1 - ej_neq),
+        )
+        gejn = q * q_n * ind["ERR_JUMP"]
+        cs.create_gate("ERR_JUMP rwc", gejn * (rwc_n - rwc - 1 - ej_fj))
+
+        # ---- ERR_RDOOB (reference execution/error_return_data_oo_bound
+        # .rs): RETURNDATACOPY with src + len > return-data length.  src
+        # bytes in bytes_a[0:4], len in bytes_b[0:4], rdlen in c_addr,
+        # overshoot distance e4 in gx[3..6].
+        g_rd = q * ind["ERR_RDOOB"]
+        rd_e4 = ej_e4
+        cs.create_gate("ERR_RDOOB src rlc", g_rd * (fold4_rlc(ba) - vb))
+        cs.create_gate("ERR_RDOOB len rlc", g_rd * (fold4_rlc(bb) - vc))
+        cs.create_gate(
+            "ERR_RDOOB overshoot",
+            g_rd * (fold4_int(ba) + fold4_int(bb) - fold4_int(ab4)
+                    - 1 - rd_e4),
+        )
+        gerdn = q * q_n * ind["ERR_RDOOB"]
+        cs.create_gate("ERR_RDOOB rwc", gerdn * (rwc_n - rwc - 4))
+
         # ---- RETURNDATASIZE / RETURNDATACOPY (reference execution/
         # returndatasize.rs, returndatacopy.rs): read the last callee's
         # bookkeeping context rows; RDC copies from the CALLEE's memory
@@ -2485,7 +2563,8 @@ class EvmCircuit(Circuit):
                 + pc_fam
             # error rows: the failing opcode byte (c_depth_n) is the code
             # byte at pc, like any executed opcode
-            err_any = ind["ERR_STACK"] + ind["ERR_OOG"]
+            err_any = (ind["ERR_STACK"] + ind["ERR_OOG"]
+                       + ind["ERR_JUMP"] + ind["ERR_RDOOB"])
             op_expr = op_expr + err_any * nd_e
             g_code = g_code + err_any
             for g, byte in OPCODE_BYTE.items():
@@ -2506,14 +2585,23 @@ class EvmCircuit(Circuit):
             inputs_bc.append([
                 gjd, gjd * chash, gjd * jdest_int, gjd * 0x5B, gjd,
             ])
+            # ERR_JUMP in-range target byte: (dest, byte, is_code) must be
+            # a real bytecode row of the executing code
+            g_ejr = g_ej * (1 - ej_oor)
+            inputs_bc.append([
+                g_ejr, g_ejr * chash, g_ejr * dest4_ej, g_ejr * ej_b,
+                g_ejr * ej_ic,
+            ])
             cs.lookup_logup("bytecode binding", inputs_bc,
                             self.bytecode_table)
         if self.bytecode_len_table is not None:
             # CODESIZE: the pushed 4-byte length is the executing code's
-            # header-row length (reference execution/codesize.rs)
+            # header-row length (reference execution/codesize.rs);
+            # ERR_JUMP's length cell binds the same way
             cs.lookup_logup(
                 "codesize length",
-                [[gcs2, gcs2 * chash, gcs2 * sz4_int]],
+                [[gcs2, gcs2 * chash, gcs2 * sz4_int],
+                 [g_ej, g_ej * chash, g_ej * ej_len]],
                 self.bytecode_len_table,
             )
 
@@ -2545,6 +2633,9 @@ class EvmCircuit(Circuit):
         byte_inputs.append([g_dy * 8 * Advice(self.c_gx[17])])
         for ci in (3, 4, 5, 6, 8, 11):
             byte_inputs.append([g_dy * Advice(self.c_gx[ci])])
+        # ERR_JUMP / ERR_RDOOB distance bytes
+        for ci in (3, 4, 5, 6):
+            byte_inputs.append([(g_ej + g_rd) * Advice(self.c_gx[ci])])
         # SIGNEXTEND: 2*rest < 256 and the keep-all i >= 31 proof
         byte_inputs.append([gse * 2 * rest_se])
         byte_inputs.append([gse * m_bits[31] * sext_ez * (ba[0] - 31)])
@@ -2640,6 +2731,16 @@ class EvmCircuit(Circuit):
             # BLOCKHASH: read number@sp, write hash@sp
             access(q * ind["BLOCKHASH"], 0, 0, sp, va),
             access(q * ind["BLOCKHASH"], 1, 1, sp, vb),
+            # ERR_JUMP: read dest@sp (+ taken condition for JUMPI)
+            access(g_ej, 0, 0, sp, va),
+            access(g_ej * ej_fj, 1, 0, sp + 1, vb),
+            # ERR_RDOOB: the three RETURNDATACOPY pops + the return-data
+            # length bookkeeping read
+            access(g_rd, 0, 0, sp, va),
+            access(g_rd, 1, 0, sp + 1, vb),
+            access(g_rd, 2, 0, sp + 2, vc),
+            access(g_rd, 3, 0, 0, fold4_int(ab4), tag=ctxtag,
+                   field=int(CCF.LastCalleeReturnDataLength)),
             # block/tx context pushes: write va at sp-1
             access(
                 q * (ind["TIMESTAMP"] + ind["NUMBER"] + ind["COINBASE"]
@@ -3372,6 +3473,45 @@ class EvmCircuit(Circuit):
                         hb = ops[2].value.to_bytes(32, "big")
                         for i in range(32):
                             byts["b"][i][si] = hb[i]
+                elif kind in ("ERR_JUMP", "ERR_RDOOB"):
+                    op = s.op
+                    ez_col[si] = op.pops
+                    eo_col[si] = op.pushes
+                    plens[si] = op.constant_gas
+                    if kind == "ERR_JUMP":
+                        carries[0][si] = int(op == OpcodeId.JUMPI)
+                        dest = ops[0].value
+                        db_ = dest.to_bytes(32, "little")
+                        for i in range(32):
+                            byts["a"][i][si] = db_[i]
+                        s28v = sum(db_[4:])
+                        carries[1][si] = int(s28v == 0)
+                        gx_cols[1][si] = (
+                            pow(s28v, -1, R) if s28v else 0
+                        )
+                        ln_, b_at, ic_at, oor_ = s.err_aux
+                        carries[2][si] = oor_
+                        gx_cols[7][si] = ln_
+                        gx_cols[8][si] = b_at
+                        gx_cols[9][si] = ic_at
+                        gx_cols[10][si] = int(b_at != 0x5B)
+                        gx_cols[11][si] = (
+                            pow(b_at - 0x5B, -1, R) if b_at != 0x5B else 0
+                        )
+                        if oor_ and s28v == 0:
+                            ev_ = (dest & 0xFFFFFFFF) - ln_
+                            for i in range(4):
+                                gx_cols[3 + i][si] = (ev_ >> (8 * i)) & 0xFF
+                    else:  # ERR_RDOOB
+                        src_v, len_v = ops[1].value, ops[2].value
+                        rdl_v = ops[3].value
+                        for i in range(4):
+                            byts["a"][i][si] = (src_v >> (8 * i)) & 0xFF
+                            byts["b"][i][si] = (len_v >> (8 * i)) & 0xFF
+                            addrbytes[i][si] = (rdl_v >> (8 * i)) & 0xFF
+                        ev_ = src_v + len_v - rdl_v - 1
+                        for i in range(4):
+                            gx_cols[3 + i][si] = (ev_ >> (8 * i)) & 0xFF
                 elif kind in ("ERR_STACK", "ERR_OOG"):
                     op = s.op
                     ez_col[si] = op.pops
@@ -4256,6 +4396,17 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SWAP":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
+            elif kind == "ERR_JUMP":
+                va.append(rlc(ops[0]))
+                if s.op == OpcodeId.JUMPI:
+                    vb.append(rlc(ops[1]))
+                    inv2_of = vb[-1]
+                else:
+                    vb.append(0)
+                vc.append(0)
+            elif kind == "ERR_RDOOB":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
+                vc.append(rlc(ops[2]))
             else:
                 va.append(0); vb.append(0); vc.append(0)
             if inv_direct is not None:

@@ -47,6 +47,9 @@ class ExecStep:
     rev_count: int = 0  # reversion rows appended to this step's rws
     mem_words: int = 0  # memory size in 32-byte words BEFORE this step
     is_create_ret: bool = False  # RET terminating an init-code frame
+    # ERR_JUMP aux: (code_len, byte_at_dest, is_code_at_dest, oor) —
+    # witness-fill inputs the circuit binds via bytecode-table lookups
+    err_aux: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -400,6 +403,8 @@ class CircuitInputBuilder:
         "stack underflow": "ERR_STACK",
         "stack overflow": "ERR_STACK",
         "out of gas": "ERR_OOG",
+        "invalid jump destination": "ERR_JUMP",
+        "return data out of bounds": "ERR_RDOOB",
     }
 
     def _handle_error_step(self, fr: TxContext, step: GethExecStep):
@@ -418,6 +423,41 @@ class CircuitInputBuilder:
             callee=fr.to_addr, code_hash=fr.code_hash,
             log_id=self._tx_log_count, error=step.error,
         )
+        rws: list[Rw] = []
+        sp = es.stack_pointer
+        if state == "ERR_JUMP":
+            # pop the offending destination (+ the taken condition for
+            # JUMPI; geth only errors on taken branches) — reference
+            # execution/error_invalid_jump.rs
+            rws.append(self.rws.stack_read(
+                fr.call_id, sp, step.stack[-1]
+            ))
+            if step.op == OpcodeId.JUMPI:
+                rws.append(self.rws.stack_read(
+                    fr.call_id, sp + 1, step.stack[-2]
+                ))
+            from ..types import Bytecode as _BC
+
+            code = fr.code
+            dest = step.stack[-1]
+            oor = int(dest >= len(code))
+            b_at = code[dest] if not oor else 0
+            ic_at = (int(_BC(code).is_code_marks()[dest])
+                     if not oor else 0)
+            es.err_aux = (len(code), b_at, ic_at, oor)
+        elif state == "ERR_RDOOB":
+            # RETURNDATACOPY pops + the return-data length bookkeeping
+            # read proving the out-of-bounds claim (reference
+            # execution/error_return_data_oo_bound.rs)
+            for j in range(3):
+                rws.append(self.rws.stack_read(
+                    fr.call_id, sp + j, step.stack[-1 - j]
+                ))
+            rws.append(self.rws.call_context_read(
+                fr.call_id, CallContextField.LastCalleeReturnDataLength,
+                len(fr.last_ret_data),
+            ))
+        es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
     def _undo_journal(self, mark: int) -> list[Rw]:
