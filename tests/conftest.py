@@ -44,6 +44,8 @@ SLOW_MODULES = {
     "test_ntt3",               # ~2 min of fresh jit compiles
     "test_poseidon_transcript",  # two full proves
     "test_compression",        # inner prove + compression prove (~8 min)
+    "test_layer1",             # layer-1 build ~2 min; k=17 mock ~15 min
+    "test_ecmsm",              # K=15 mocks (~2 min)
     "test_aggregation",        # multi-proof fold + layer pipeline (~5 min)
     "test_service_prover",     # variadic real proofs
     "test_tx_circuit",

@@ -42,7 +42,7 @@ def test_chunk_prover_load_or_gen(tmp_path, monkeypatch):
 
     import zkevm_circuits_tpu.service.prover as sp
 
-    def fake_prove(pk, circuit, instances, srs):
+    def fake_prove(pk, circuit, instances, srs, **kw):
         calls.append(1)
         return b"proof-bytes"
 

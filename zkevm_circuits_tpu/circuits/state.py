@@ -132,11 +132,15 @@ class StateCircuit(Circuit):
 
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, challenge=None,
-                  mpt_storage_table=None):
+                  mpt_storage_table=None, mpt_account_table=None):
         """`mpt_storage_table`: the MptCircuit's (enable, addr, key_rlc,
         old_rlc, new_rlc) exprs — when given, every Storage group's
         (committed -> final) transition is looked up against a proven
-        trie update (reference state_circuit.rs:66-72)."""
+        trie update (reference state_circuit.rs:66-72).
+        `mpt_account_table`: the account-mode MptCircuit's (enable,
+        field_tag, addr, old_enc, new_enc) exprs — when given, every
+        Account group's transition is looked up against a proven
+        account-trie update (same reference coupling, account rows)."""
         p = self.params
         self.q_row = cs.fixed_column()  # 1 on all table rows
         self.q_ord = cs.fixed_column()  # 1 on rows 1..target-1 (has a prev)
@@ -157,6 +161,8 @@ class StateCircuit(Circuit):
         self.col_inv_mem = cs.advice_column()
         self.col_is_stor = cs.advice_column()
         self.col_inv_stor = cs.advice_column()
+        self.col_is_acct = cs.advice_column()
+        self.col_inv_acct = cs.advice_column()
         # flag: tag carries value_prev semantics (Storage / Account /
         # TxAccessList* / TxRefund — reference state_circuit
         # constraint_builder.rs per-tag value_prev rules)
@@ -209,6 +215,7 @@ class StateCircuit(Circuit):
             (self.col_is_stack, self.col_inv_stack, int(RwTag.Stack)),
             (self.col_is_mem, self.col_inv_mem, int(RwTag.Memory)),
             (self.col_is_stor, self.col_inv_stor, int(RwTag.Storage)),
+            (self.col_is_acct, self.col_inv_acct, int(RwTag.Account)),
         ):
             fl, inv = Advice(flag_col), Advice(inv_col)
             d = tag - tag_val
@@ -354,6 +361,52 @@ class StateCircuit(Circuit):
                 [[g_mpt, g_mpt * addr_expr, g_mpt * Advice(self.col_key_rlc),
                   g_mpt * init_v, g_mpt * Advice(self.col_value)]],
                 mpt_storage_table,
+            )
+            self._mpt_helpers = (first_next, addr_expr)
+
+        if mpt_account_table is not None:
+            # last-of-group Account rows: the (addr, field_tag,
+            # committed -> final) transition must be a proven account-
+            # trie leaf transition (reference state_circuit.rs:66-72)
+            if mpt_storage_table is not None:
+                first_next, addr_expr = self._mpt_helpers
+            else:
+                first_next = None
+                for c in self.e_cols[: p.group_limbs]:
+                    e_n = Advice(c, 1)
+                    first_next = (e_n if first_next is None
+                                  else first_next + e_n)
+                counts = p.limb_counts()
+                addr_cnt = dict(counts)["address"]
+                addr_off = sum(
+                    c for nme, c in
+                    counts[: [n_ for n_, _ in counts].index("address")]
+                )
+                addr_expr = None
+                for i in range(addr_cnt):
+                    term = limbs[addr_off + i] * (
+                        1 << (p.limb_bits * (addr_cnt - 1 - i))
+                    )
+                    addr_expr = (term if addr_expr is None
+                                 else addr_expr + term)
+            counts = p.limb_counts()
+            ft_cnt = dict(counts)["field_tag"]
+            ft_off = sum(
+                c for nme, c in
+                counts[: [n_ for n_, _ in counts].index("field_tag")]
+            )
+            ftag_expr = None
+            for i in range(ft_cnt):
+                term = limbs[ft_off + i] * (
+                    1 << (p.limb_bits * (ft_cnt - 1 - i))
+                )
+                ftag_expr = term if ftag_expr is None else ftag_expr + term
+            g_am = q_row * Advice(self.col_is_acct) * first_next
+            cs.lookup_logup(
+                "account mpt",
+                [[g_am, g_am * ftag_expr, g_am * addr_expr,
+                  g_am * init_v, g_am * Advice(self.col_value)]],
+                mpt_account_table,
             )
 
         # single logUp argument: every limb + diff-1 into the range table
@@ -505,6 +558,10 @@ class StateCircuit(Circuit):
             cols[self.col_inv_stack] = mont(invs(int(RwTag.Stack)))
             cols[self.col_inv_mem] = mont(invs(int(RwTag.Memory)))
             cols[self.col_inv_stor] = mont(invs(int(RwTag.Storage)))
+            cols[self.col_is_acct] = mont(
+                [int(r.tag == RwTag.Account) for r in rows]
+            )
+            cols[self.col_inv_acct] = mont(invs(int(RwTag.Account)))
             PREV_TAGS = (RwTag.Storage, RwTag.Account,
                          RwTag.TxAccessListAccount,
                          RwTag.TxAccessListAccountStorage, RwTag.TxRefund)

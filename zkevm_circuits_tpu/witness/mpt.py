@@ -38,6 +38,15 @@ class MptUpdate:
     split_old_depth: int = -1  # -1 => not a split
     split_key: int = 0
     split_value: int = 0
+    # no-op absence proof: writing "empty" (value 0) into an empty slot
+    # leaves the trie untouched — both sides walk the same empty path
+    # (the account-level read of a non-existing account).  When a FOREIGN
+    # leaf occupies the walk's endpoint, both chains seed at its hash and
+    # the circuit additionally proves occ_key != key.
+    new_empty: bool = False
+    occupied: bool = False
+    occ_key: int = 0
+    occ_value: int = 0
 
     @property
     def is_split(self) -> bool:
@@ -56,6 +65,23 @@ class MptUpdates:
         old_root = self.trie.root()
         before = self.trie.prove(key)
         was_existing = before.found and before.leaf_key == key
+        if new_value == 0 and not was_existing:
+            # absence no-op: nothing to insert, both sides walk the same
+            # path — from an empty slot (chains seed at 0) or from a
+            # FOREIGN occupying leaf (chains seed at its hash; the
+            # circuit proves occ_key != key)
+            upd = MptUpdate(
+                key=key, old_value=0, new_value=0, old_root=old_root,
+                new_root=old_root, depth=before.depth,
+                siblings=before.siblings,
+                bits=[(key >> d) & 1 for d in range(before.depth)],
+                was_empty=True, new_empty=True,
+                occupied=bool(before.found),
+                occ_key=before.leaf_key if before.found else 0,
+                occ_value=before.leaf_value if before.found else 0,
+            )
+            self.updates.append(upd)
+            return upd
         self.trie.update(key, new_value)
         after = self.trie.prove(key)
         new_root = self.trie.root()
@@ -135,9 +161,17 @@ def mpt_poseidon_events(updates: list[MptUpdate]):
                 domain=DOM_LEAF, in0=u.split_key, in1=u.split_value
             ))
             emit(u, 0, skip_leaf=True, depth=u.split_old_depth, seed=leaf_h)
+        elif u.occupied:
+            leaf_h = hash2_domain(DOM_LEAF, u.occ_key, u.occ_value)
+            events.append(PoseidonEvent(
+                domain=DOM_LEAF, in0=u.occ_key, in1=u.occ_value
+            ))
+            emit(u, 0, skip_leaf=True, seed=leaf_h)
+            emit(u, 0, skip_leaf=True, seed=leaf_h)
+            continue
         else:
             emit(u, u.old_value, skip_leaf=u.was_empty)
-        emit(u, u.new_value, skip_leaf=False)
+        emit(u, u.new_value, skip_leaf=u.new_empty)
     return events
 
 
@@ -216,3 +250,179 @@ def storage_updates_from_rws(rws, trie: ZkTrie | None = None):
         out.append(StorageUpdate(addr=addr, key=key, old_word=committed,
                                  new_word=final, mpt=upd))
     return out, ups
+
+
+# ---------------------------------------------------------------------------
+# Two-level state layout (reference zktrie/src/state/builder.rs:80,167:
+# the account trie's leaves pack nonce/code_size/balance/code_hash and the
+# root of that account's OWN storage subtrie).  Conventions:
+#   account_trie_key(addr)  = H(DOM_AKEY, addr, 0)
+#   subtrie_key(slot)       = H(DOM_SKEY, slot_lo, slot_hi)   (no addr —
+#                             the addr binding is the account leaf itself)
+#   leaf value = H(DOM_A2, H(DOM_A1, nonce + 2^64*code_size, bal_packed),
+#                          H(DOM_A1, ch_packed, storage_root))
+#   bal_packed = H(DOM_ABAL, bal_lo, bal_hi)
+#   ch_packed  = H(DOM_ACH, ch_lo, ch_hi)
+# and the all-zero account packs to leaf value 0 (empty-slot convention).
+# ---------------------------------------------------------------------------
+DOM_AKEY = 5
+DOM_ABAL = 6
+DOM_ACH = 7
+DOM_A1 = 8
+DOM_A2 = 9
+
+
+def account_trie_key(addr: int) -> int:
+    return hash2_domain(DOM_AKEY, addr % P, 0)
+
+
+def subtrie_key(slot: int) -> int:
+    return hash2_domain(DOM_SKEY, slot & _HALF, slot >> 128)
+
+
+def account_leaf_value(nonce: int, code_size: int, balance: int,
+                       code_hash: int, storage_root: int) -> int:
+    if not (nonce or code_size or balance or code_hash or storage_root):
+        return 0
+    balp = hash2_domain(DOM_ABAL, balance & _HALF, balance >> 128)
+    chp = hash2_domain(DOM_ACH, code_hash & _HALF, code_hash >> 128)
+    h1 = hash2_domain(DOM_A1, (nonce + (code_size << 64)) % P, balp)
+    h2 = hash2_domain(DOM_A1, chp, storage_root % P)
+    return hash2_domain(DOM_A2, h1, h2)
+
+
+@dataclasses.dataclass
+class AccountFields:
+    nonce: int = 0
+    code_size: int = 0
+    balance: int = 0
+    code_hash: int = 0
+    storage_root: int = 0
+
+    def leaf(self) -> int:
+        return account_leaf_value(self.nonce, self.code_size, self.balance,
+                                  self.code_hash, self.storage_root)
+
+    def is_empty(self) -> bool:
+        return not (self.nonce or self.code_size or self.balance
+                    or self.code_hash or self.storage_root)
+
+
+@dataclasses.dataclass
+class AccountUpdate:
+    """One per-account transition of a block: committed -> final fields,
+    with the account-trie path (reference witness/mpt.rs:93 account
+    rows)."""
+
+    addr: int
+    old: AccountFields
+    new: AccountFields
+    mpt: MptUpdate
+
+
+def two_level_updates_from_rws(rws, accounts_before: dict | None = None):
+    """Group the block's Storage and Account rows into the two-level
+    layout: per-account storage subtries (committed -> final slot values)
+    whose roots feed per-account account-trie updates.
+
+    `accounts_before`: {addr: AccountFields-like or (nonce, code_size,
+    balance, code_hash)} pre-state for fields the rws never touch.
+
+    Returns (storage_updates, storage_groups, account_updates, tries):
+      storage_updates — list[StorageUpdate], ordered per account,
+      storage_groups  — list[(addr, n_updates, sroot_old, sroot_new)],
+      account_updates — list[AccountUpdate] in the account trie,
+      tries           — (account_trie, {addr: subtrie}).
+    """
+    from .rw import AccountField, RwTag
+
+    # --- per-account storage subtries -----------------------------------
+    stor_groups: dict[int, dict[int, list]] = {}
+    addr_order: list[int] = []
+    acct_rows: dict[int, dict[int, list]] = {}
+    for r in rws:
+        if r.tag == RwTag.Storage:
+            stor_groups.setdefault(r.address, {})
+            if r.address not in addr_order:
+                addr_order.append(r.address)
+            stor_groups[r.address].setdefault(r.storage_key, []).append(r)
+        elif r.tag == RwTag.Account:
+            acct_rows.setdefault(r.address, {})
+            if r.address not in addr_order:
+                addr_order.append(r.address)
+            acct_rows[r.address].setdefault(int(r.field_tag), []).append(r)
+
+    storage_updates: list[StorageUpdate] = []
+    groups: list[tuple] = []
+    sroots: dict[int, tuple[int, int]] = {}
+    subtries: dict[int, ZkTrie] = {}
+    for addr in addr_order:
+        slots = stor_groups.get(addr)
+        if not slots:
+            continue
+        trie = ZkTrie()
+        transitions = []
+        for slot, rows_ in slots.items():
+            rows_ = sorted(rows_, key=lambda r: r.rw_counter)
+            committed, final = rows_[0].value_prev, rows_[-1].value
+            if committed:
+                trie.update(subtrie_key(slot), storage_leaf_value(committed))
+            transitions.append((slot, committed, final))
+        sroot_old = trie.root()
+        ups = MptUpdates(trie)
+        n_here = 0
+        for slot, committed, final in transitions:
+            upd = ups.write(subtrie_key(slot), storage_leaf_value(final))
+            storage_updates.append(StorageUpdate(
+                addr=addr, key=slot, old_word=committed, new_word=final,
+                mpt=upd,
+            ))
+            n_here += 1
+        sroots[addr] = (sroot_old, trie.root())
+        groups.append((addr, n_here, sroot_old, trie.root()))
+        subtries[addr] = trie
+
+    # --- account trie ----------------------------------------------------
+    def before(addr) -> AccountFields:
+        src = (accounts_before or {}).get(addr)
+        if src is None:
+            f = AccountFields()
+        elif isinstance(src, AccountFields):
+            f = dataclasses.replace(src)
+        else:
+            f = AccountFields(*src)
+        f.storage_root = sroots.get(addr, (0, 0))[0]
+        return f
+
+    FIELD_ATTR = {
+        int(AccountField.Nonce): "nonce",
+        int(AccountField.Balance): "balance",
+        int(AccountField.CodeHash): "code_hash",
+        int(AccountField.CodeSize): "code_size",
+    }
+    acct_trie = ZkTrie()
+    plans = []
+    for addr in addr_order:
+        old_f = before(addr)
+        new_f = dataclasses.replace(old_f)
+        for ftag, rows_ in acct_rows.get(addr, {}).items():
+            rows_ = sorted(rows_, key=lambda r: r.rw_counter)
+            committed, final = rows_[0].value_prev, rows_[-1].value
+            attr = FIELD_ATTR[ftag]
+            assert getattr(old_f, attr) == committed, (
+                f"pre-state mismatch for {attr} of {addr:#x}: "
+                f"{getattr(old_f, attr)} vs committed {committed}"
+            )
+            setattr(new_f, attr, final)
+        new_f.storage_root = sroots.get(addr, (0, 0))[1]
+        plans.append((addr, old_f, new_f))
+        if not old_f.is_empty():
+            acct_trie.update(account_trie_key(addr), old_f.leaf())
+    a_ups = MptUpdates(acct_trie)
+    account_updates = []
+    for addr, old_f, new_f in plans:
+        upd = a_ups.write(account_trie_key(addr), new_f.leaf())
+        account_updates.append(AccountUpdate(
+            addr=addr, old=old_f, new=new_f, mpt=upd,
+        ))
+    return storage_updates, groups, account_updates, (acct_trie, subtries)
