@@ -337,3 +337,45 @@ def test_error_returndata_oob_false_claim_rejected():
 
     failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "shrunk OOB length must fail"
+
+
+def test_tx_receipt_rows():
+    """EndTx emits TxReceipt rows (status, cumulative gas, log count) and
+    the END_TX gadget binds them to the gas-limit/cumulative chain
+    (reference operation.rs:113 TxReceiptOp, table.rs:503)."""
+    from zkevm_circuits_tpu.witness.rw import RwTag, TxReceiptField
+
+    b = _witness(
+        Bytecode().push(1, 0).push(1, 0).op("LOG0")
+        .push(1, 5).push(1, 3).op("ADD").op("POP").op("STOP")
+    )
+    rcpts = [r for r in b.rws.rws if r.tag == RwTag.TxReceipt]
+    assert [int(r.field_tag) for r in rcpts] == [1, 2, 3]
+    status, cum, loglen = (r.value for r in rcpts)
+    assert status == 1 and loglen == 1
+    end = next(s for s in b.steps if s.exec_state == "EndTx")
+    begin = next(s for s in b.steps if s.exec_state == "BeginTx")
+    refund = b.rws.rws[end.rw_indices[1] - 1].value if False else None
+    assert cum == begin.gas - end.gas  # no refunds in this tx
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_tx_receipt_wrong_cumulative_rejected():
+    from zkevm_circuits_tpu.witness.rw import RwTag
+
+    b = _witness(Bytecode().push(1, 1).op("POP").op("STOP"))
+
+    class C(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                # claim a smaller cumulative on the END_TX row
+                row = next(i for i, s in enumerate(self.steps)
+                           if s.exec_state == "EndTx")
+                arr = np.asarray(cols[self.c_cum_gas]).copy()
+                arr[row] = _mont(1)
+                cols[self.c_cum_gas] = arr
+            return cols
+
+    failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "bent cumulative gas must fail"

@@ -155,6 +155,9 @@ class EvmCircuit(Circuit):
         self.c_gas_cost = cs.advice_column()
         self.c_gas_left = cs.advice_column()  # gas remaining BEFORE the step
         self.c_gas_aux = cs.advice_column()  # gas helper (PUSH0 inverse etc.)
+        self.c_gas_limit = cs.advice_column()  # tx gas limit (carried)
+        self.c_cum_gas = cs.advice_column()  # block-cumulative gas used
+        self.q_first = cs.fixed_column()  # 1 on row 0
         self.c_mw = cs.advice_column()  # memory words BEFORE the step
         # memory-expansion gas cells (reference memory_gadget.rs):
         # [m, rem, e, d0..d3, t_new, s0, s1, t_old, so0, so1] for the
@@ -392,7 +395,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("END_TX pc", get_n * (pc_n - pc))
         cs.create_gate("END_TX sp", get_n * (sp_n - sp))
         cs.create_gate(
-            "END_TX rwc", get_n * (rwc_n - rwc - 4 - rev_e)
+            "END_TX rwc", get_n * (rwc_n - rwc - 7 - rev_e)
         )
         # context continuity: tx_id / callee / call_id carry over unless
         # the NEXT row begins a new transaction or THIS row switches call
@@ -427,6 +430,24 @@ class EvmCircuit(Circuit):
         g_gaschain = q * q_n * (1 - bt_n) \
             * (1 - ind["CALL"] - ind["CREATE"] - ind["RET"])
         cs.create_gate("gas chain", g_gaschain * (gas_n - gas_e + cost_e))
+        # tx gas limit: pinned at BEGIN_TX to the tx's opening gas, then
+        # carried to END_TX — with the refund counter this yields the
+        # tx's gas_used for the TxReceipt cumulative chain (reference
+        # execution/end_tx.rs + TxReceiptFieldTag, table.rs:503)
+        lim_e = Advice(self.c_gas_limit)
+        lim_n = Advice(self.c_gas_limit, 1)
+        cum_e = Advice(self.c_cum_gas)
+        cum_n = Advice(self.c_cum_gas, 1)
+        refund_e = Advice(self.c_ez)
+        cs.create_gate("gas limit pin", q * bt * (lim_e - gas_e))
+        cs.create_gate(
+            "gas limit carry", q * q_n * (1 - bt_n) * (lim_n - lim_e)
+        )
+        used_e = lim_e - gas_e - refund_e
+        cs.create_gate("cum gas first", Fixed(self.q_first) * cum_e)
+        cs.create_gate(
+            "cum gas step", q * q_n * (cum_n - cum_e - et * used_e)
+        )
         # constant-cost opcodes (reference eth-types GasCost constants;
         # execution/error_oog_constant.rs pairs these with OOG checks)
         GAS_CONST = {
@@ -3102,6 +3123,23 @@ class EvmCircuit(Circuit):
                              tag=acctag, id_expr=0, field=int(AF.Balance)))
         inputs.append(access(get, 3, 1, vc, Advice(self.c_rpl),
                              tag=acctag, id_expr=0, field=int(AF.Balance)))
+        # TxReceipt rows: status, cumulative gas (incl. this tx), log
+        # count (reference operation.rs:113; raw value encoding)
+        from ..witness.rw import TxReceiptField as TRF
+
+        rcpt = int(RwTag.TxReceipt)
+        et_used = (Advice(self.c_gas_limit) - Advice(self.c_gas_left)
+                   - Advice(self.c_ez))
+        inputs.append(access(get, 4, 1, 0, Advice(self.c_prl), tag=rcpt,
+                             id_expr=txid,
+                             field=int(TRF.PostStateOrStatus)))
+        inputs.append(access(get, 5, 1, 0,
+                             Advice(self.c_cum_gas) + et_used, tag=rcpt,
+                             id_expr=txid,
+                             field=int(TRF.CumulativeGasUsed)))
+        inputs.append(access(get, 6, 1, 0, Advice(self.c_log_id),
+                             tag=rcpt, id_expr=txid,
+                             field=int(TRF.LogLength)))
         if self.tx_table is not None:
             # anchor the context to the TxTable (tx_id, tag, index, value)
             from .tx import TxFieldTag as TT
@@ -3231,6 +3269,7 @@ class EvmCircuit(Circuit):
         nib = lambda i, op: op(i >> 4, i & 15) if i < 256 else 0
         out = {
             self.q_step: mont([1 if i < t else 0 for i in range(n)]),
+            self.q_first: mont([1 if i == 0 else 0 for i in range(n)]),
             self.tbl_byte: mont([i if i < 256 else 0 for i in range(n)]),
             self.tbl_and: mont(
                 [nib(i, lambda x, y: x & y) for i in range(n)]
@@ -3320,6 +3359,23 @@ class EvmCircuit(Circuit):
             # gas_left chain; padding STOP rows hold the final gas
             pads["gas"] = (last.gas - last.gas_cost) if last else 0
             cols[self.c_gas_left] = padded([s.gas for s in steps], "gas")
+            # tx gas limit (BEGIN_TX row's gas, carried) and the block-
+            # cumulative gas used (updated after each END_TX)
+            lims, cums = [], []
+            cur_lim, cur_cum = 0, 0
+            for s in steps:
+                if s.exec_state == "BeginTx":
+                    cur_lim = s.gas
+                lims.append(cur_lim)
+                cums.append(cur_cum)
+                if s.exec_state == "EndTx":
+                    refund_v = (self.rw_by_counter[s.rw_indices[1]].value
+                                if len(s.rw_indices) > 1 else 0)
+                    cur_cum += cur_lim - s.gas - refund_v
+            pads["lim"] = cur_lim
+            pads["cum"] = cur_cum
+            cols[self.c_gas_limit] = padded(lims, "lim")
+            cols[self.c_cum_gas] = padded(cums, "cum")
             pads["mw"] = last.mem_words if last else 0
             cols[self.c_mw] = padded([s.mem_words for s in steps], "mw")
             # PUSH0 IsZero inverse: 1/plen for PUSHn (n>=1); ERR_STACK rows
@@ -4172,7 +4228,7 @@ class EvmCircuit(Circuit):
                                  RwTag.CallContext, RwTag.TxLog,
                                  RwTag.Account, RwTag.TxAccessListAccount,
                                  RwTag.TxAccessListAccountStorage,
-                                 RwTag.TxRefund)
+                                 RwTag.TxRefund, RwTag.TxReceipt)
                 ]
                 assert len(rws) <= self._rw_target(n), (
                     f"rw table overflow: {len(rws)} rows > rw_target "

@@ -101,8 +101,8 @@ def rw_value_encoding(r: Rw, r_chal: int) -> int:
     from ..witness.rw import AccountField
 
     if r.tag in (RwTag.TxAccessListAccount, RwTag.TxAccessListAccountStorage,
-                 RwTag.TxRefund):
-        return r.value % R  # raw small values (warm flag / refund counter)
+                 RwTag.TxRefund, RwTag.TxReceipt):
+        return r.value % R  # raw small values (flags / counters / gas)
     if r.tag == RwTag.Account and r.field_tag in (
         AccountField.Nonce, AccountField.CodeSize
     ):

@@ -531,22 +531,18 @@ def finish_deferred(vk_inner: VerifyingKey, claim: DeferredClaim,
 # ---------------------------------------------------------------------------
 # the circuit
 # ---------------------------------------------------------------------------
-class CompressionCircuit(Circuit):
-    """Columnar tape circuit executing `build_verify_tape`'s program.
+class TapeCircuit(Circuit):
+    """Columnar tape circuit: one row per field op — c = a op b with
+    operands routed by plonk copy constraints (the permutation argument
+    does all wiring, so the gates stay uniform degree-2 and the whole
+    column evaluates in one vectorized pass, the TPU-first replacement
+    for snark-verifier's per-gadget halo2 regions).  A parallel Poseidon
+    section carries sponge steps, one row per permutation, each bound to
+    the tape by copies and (composed mode) to the PoseidonTable."""
 
-    Layout: one tape row per field op — c = a op b with operands routed
-    by plonk copy constraints (the permutation argument does all wiring,
-    so the gates stay uniform degree-2 and the whole column evaluates in
-    one vectorized pass, the TPU-first replacement for snark-verifier's
-    per-gadget halo2 regions).  A parallel Poseidon section carries the
-    transcript chain, one row per sponge step, each bound to the tape by
-    copies and (composed mode) to the PoseidonTable."""
-
-    def __init__(self, vk_inner: VerifyingKey, proof: bytes,
-                 inner_instances: list[list[int]]):
-        self.vk_inner = vk_inner
-        (self.tape, self.perm_rows, self.claim,
-         self._points) = build_verify_tape(vk_inner, proof, inner_instances)
+    def __init__(self, tape, perm_rows):
+        self.tape = tape
+        self.perm_rows = perm_rows
 
     # -- public API ---------------------------------------------------------
     def instances(self) -> list[list[int]]:
@@ -677,3 +673,17 @@ class CompressionCircuit(Circuit):
             self.p_b: mont([tv[b.idx] for _, _, b, _ in self.perm_rows]),
             self.p_out: mont([tv[o.idx] for _, _, _, o in self.perm_rows]),
         }
+
+
+class CompressionCircuit(TapeCircuit):
+    """TapeCircuit executing `build_verify_tape`'s program — the scalar
+    half of one inner proof's verification (reference
+    aggregator/src/compression/circuit.rs:39)."""
+
+    def __init__(self, vk_inner: VerifyingKey, proof: bytes,
+                 inner_instances: list[list[int]]):
+        self.vk_inner = vk_inner
+        tape, perm_rows, self.claim, self._points = build_verify_tape(
+            vk_inner, proof, inner_instances
+        )
+        super().__init__(tape, perm_rows)

@@ -309,6 +309,18 @@ class CompressionLayerCircuit(Circuit):
         return cols
 
 
+def layer1_accumulator(claim: DeferredClaim,
+                       instance_values: list[int]):
+    """(LHS, W2) from a CompressionLayerCircuit instance — the pair the
+    aggregation fold consumes (recursion/fold.py)."""
+    vals = instance_values
+    base = claim.n_inner_instance + 4 * claim.w2_ref[1]
+    xl, xh, yl, yh = vals[base: base + 4]
+    w2 = (xl + (xh << 128), yl + (yh << 128))
+    lhs = (vals[-4] + (vals[-3] << 128), vals[-2] + (vals[-1] << 128))
+    return lhs, w2
+
+
 def verify_layer1(vk_inner: VerifyingKey, claim: DeferredClaim,
                   instance_values: list[int]) -> bool:
     """Standalone verifier for a CompressionLayerCircuit instance: ONE

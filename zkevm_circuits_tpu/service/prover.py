@@ -290,3 +290,43 @@ class BatchProver:
             "n_chunks": len(chunk_hashes),
             "chunk_pi_hashes": [hex(c.pi_hash()) for c in chunk_hashes],
         }
+
+    def gen_batch_in_circuit(self, layers: LayerProver, layer_items,
+                             chunk_hashes, srs_vk) -> dict:
+        """In-circuit aggregation fold (reference
+        aggregator/src/aggregation/circuit.rs:40 accumulation step):
+        `layer_items` = [(claim, instance_values)] from
+        CompressionLayerCircuit proofs; the fold circuit computes the
+        accumulation challenge and both folded points in-circuit
+        (recursion/fold.py), is PROVEN, and the returned record carries
+        the folded accumulator — valid iff verify_fold's ONE pairing
+        accepts (checked here)."""
+        from ..plonk.verifier import verify as plonk_verify
+        from ..recursion.aggregation import BatchHash
+        from ..recursion.fold import AggregationFoldCircuit, verify_fold
+        from ..recursion.layer import layer1_accumulator
+
+        accs = [layer1_accumulator(c, v) for c, v in layer_items]
+        circ = AggregationFoldCircuit(accs)
+        kk = circ.min_k()
+        srs = layers.srs(kk)
+        key = f"fold_k{kk}_m{len(accs)}"
+        if key not in layers._keys:
+            with timer(f"keygen {key}"):
+                layers._keys[key] = keygen(circ, kk, srs)
+        pk, vk_f = layers._keys[key]
+        insts = circ.instances()
+        with timer("prove fold"):
+            fproof = prove(pk, circ, insts, srs)
+        assert plonk_verify(vk_f, insts, fproof)
+        assert verify_fold(srs_vk, insts[0], len(accs)), (
+            "folded accumulator pairing rejected"
+        )
+        batch = BatchHash(chunk_hashes)
+        return {
+            "batch_pi_hash": hex(batch.pi_hash()),
+            "n_chunks": len(chunk_hashes),
+            "chunk_pi_hashes": [hex(c.pi_hash()) for c in chunk_hashes],
+            "fold_proof": Proof(proof=fproof, instances=insts, k=kk),
+            "folded_acc": insts[0][-8:],
+        }

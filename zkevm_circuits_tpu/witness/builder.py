@@ -198,6 +198,7 @@ class CircuitInputBuilder:
         self.sha256_inputs: list[bytes] = []  # sha256 precompile inputs
         self._next_call_id = 1
         self._tx_log_count = 0  # logs emitted in the current tx
+        self._cum_gas = 0  # block-cumulative gas used (TxReceipt rows)
 
     def _acct(self, addr: int) -> AccountState:
         if addr not in self.accounts:
@@ -530,6 +531,20 @@ class CircuitInputBuilder:
         ))
         tip = max(0, ctx.gas_price - self.base_fee)
         rws.append(self._balance_add(self.coinbase, trace.gas * tip))
+        # TxReceipt rows (reference operation.rs:113 TxReceiptOp +
+        # execution/end_tx.rs): status, cumulative gas, log count
+        from .rw import TxReceiptField as TRF
+
+        self._cum_gas += trace.gas
+        rws.append(self.rws.tx_receipt_write(
+            ctx.tx_id, TRF.PostStateOrStatus, int(not trace.failed)
+        ))
+        rws.append(self.rws.tx_receipt_write(
+            ctx.tx_id, TRF.CumulativeGasUsed, self._cum_gas
+        ))
+        rws.append(self.rws.tx_receipt_write(
+            ctx.tx_id, TRF.LogLength, self._tx_log_count
+        ))
         if trace.failed:
             undo = self._undo_journal(0)
             es.rev_count = len(undo)

@@ -66,6 +66,14 @@ class AccountField(enum.IntEnum):
     CodeSize = 4
 
 
+class TxReceiptField(enum.IntEnum):
+    """Reference TxReceiptFieldTag (table.rs:503)."""
+
+    PostStateOrStatus = 1
+    CumulativeGasUsed = 2
+    LogLength = 3
+
+
 class TxLogField(enum.IntEnum):
     Address = 1
     Topic = 2
@@ -166,6 +174,12 @@ class RwMap:
     def tx_refund_write(self, tx_id, value, value_prev):
         return self.push(is_write=True, tag=RwTag.TxRefund, id=tx_id,
                          value=value, value_prev=value_prev)
+
+    def tx_receipt_write(self, tx_id, field, value):
+        """TxReceipt row (reference operation.rs:113 TxReceiptOp): one
+        write per (tx, field) at EndTx."""
+        return self.push(is_write=True, tag=RwTag.TxReceipt, id=tx_id,
+                         field_tag=field, value=value)
 
     def call_context_read(self, call_id, field, value):
         return self.push(is_write=False, tag=RwTag.CallContext, id=call_id,
