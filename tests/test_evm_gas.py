@@ -379,3 +379,47 @@ def test_tx_receipt_wrong_cumulative_rejected():
 
     failures = MockProver(K, C(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "bent cumulative gas must fail"
+
+
+def test_extcodecopy_composed():
+    """EXTCODECOPY: EIP-2929 base + copy-words + memexp gas, external
+    code-hash-keyed copy event (reference execution/extcodecopy.rs)."""
+    from zkevm_circuits_tpu.circuits.super_circuit import SuperCircuit
+    from zkevm_circuits_tpu.crypto.keccak import keccak256
+    from zkevm_circuits_tpu.types.transaction import Transaction
+
+    ext_code = Bytecode().push(1, 1).op("POP").op("STOP")
+    EXT = 0xE87
+    code = (
+        Bytecode()
+        .push(1, 8).push(1, 0).push(2, 0x140).push(2, EXT)
+        .op("EXTCODECOPY")                                  # cold
+        .push(1, 4).push(1, 1).push(1, 0).push(2, EXT)
+        .op("EXTCODECOPY")                                  # warm
+        .op("STOP")
+    )
+    sk = 0x6666666666666666666666666666666666666666666666666666666666666666
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(sk)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes()),
+         EXT: Account(code=ext_code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    xh = int.from_bytes(keccak256(ext_code.to_bytes()), "big")
+    b = CircuitInputBuilder(accounts={EXT: (0, 0, xh)})
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=int.from_bytes(keccak256(code.to_bytes()), "big")),
+        tr,
+        code_db={CONTRACT: code.to_bytes(), EXT: ext_code.to_bytes()},
+    )
+    xccs = [s for s in b.steps if s.exec_state == "EXTCODECOPY"]
+    w1 = (0x140 + 8 + 31) // 32
+    assert xccs[0].gas_cost == 2600 + 3 * 1 + 3 * w1 + w1 * w1 // 512
+    assert xccs[1].gas_cost == 100 + 3 * 1  # warm, no expansion
+    MockProver(
+        K, SuperCircuit(b, [code, ext_code], txs)
+    ).assert_satisfied()

@@ -62,7 +62,7 @@ GADGETS = [
     "SHA3", "CALL", "CREATE", "RET", "RETURN", "REVERT", "LOG",
     "TIMESTAMP", "NUMBER", "COINBASE", "GASLIMIT", "CHAINID", "BASEFEE",
     "DIFFICULTY", "GASPRICE", "ORIGIN", "DUP", "SWAP",
-    "SLT", "SGT", "GAS", "MSIZE", "CODESIZE", "BLOCKHASH",
+    "SLT", "SGT", "GAS", "MSIZE", "CODESIZE", "BLOCKHASH", "EXTCODECOPY",
     "PC", "JUMP", "JUMPI", "JUMPDEST", "MLOAD", "MSTORE", "MSTORE8",
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
@@ -544,7 +544,8 @@ class EvmCircuit(Circuit):
         # touching ops (their own rules; the not-yet-constrained movers
         # keep witness tracking only) and frame switches / tx boundaries
         movers = (mem_ops + ind["SHA3"] + ind["CALLDATACOPY"]
-                  + ind["CODECOPY"] + ind["RETURNDATACOPY"] + ind["RETURN"]
+                  + ind["CODECOPY"] + ind["RETURNDATACOPY"]
+                  + ind["EXTCODECOPY"] + ind["RETURN"]
                   + ind["REVERT"] + ind["LOG"] + ind["CALL"]
                   + ind["CREATE"] + ind["RET"]
                   + ind["ECRECOVER"] + ind["IDENTITY"] + ind["ECADD"]
@@ -1862,16 +1863,25 @@ class EvmCircuit(Circuit):
         cs.create_gate("RR len bytes", grr_ * (fold4_rlc(bb) - vb))
         dyn_ops = (ind["CALLDATACOPY"] + ind["CODECOPY"]
                    + ind["RETURNDATACOPY"] + ind["SHA3"] + ind["LOG"]
-                   + ind["RETURN"] + ind["REVERT"])
+                   + ind["RETURN"] + ind["REVERT"] + ind["EXTCODECOPY"])
         g_dy = q * dyn_ops
         start_dy = fold4_int(ab4)
         size_dy = (ind["SHA3"] * fold4_int(ba)
                    + (dyn_ops - ind["SHA3"]) * fold4_int(bb))
         copies3 = (ind["CALLDATACOPY"] + ind["CODECOPY"]
                    + ind["RETURNDATACOPY"])
+        # EXTCODECOPY's base is the EIP-2929 account access (warm 100 /
+        # cold 2600), a membership-checked cell (c_eo, free on its rows)
+        xcc_base = Advice(self.c_eo)
+        gxc_ = q * ind["EXTCODECOPY"]
+        cs.create_gate(
+            "XCC base membership",
+            gxc_ * (xcc_base - 100) * (xcc_base - 2600),
+        )
         base_dy = 3 * copies3 + 30 * ind["SHA3"] \
-            + ind["LOG"] * (375 + 375 * n_e)
-        wm_dy = 3 * copies3 + 6 * ind["SHA3"]
+            + ind["LOG"] * (375 + 375 * n_e) \
+            + ind["EXTCODECOPY"] * xcc_base
+        wm_dy = 3 * (copies3 + ind["EXTCODECOPY"]) + 6 * ind["SHA3"]
         bm_dy = 8 * ind["LOG"]
         (dm, drem, de, dd0, dd1, dd2, dd3, dtn, ds0, ds1, dto, dso0,
          dso1) = gx[:13]
@@ -2086,6 +2096,33 @@ class EvmCircuit(Circuit):
         cs.create_gate(
             "CODECOPY rwc", gccn * (rwc_n - rwc - 3 - cc_len4)
         )
+
+        # ---- EXTCODECOPY (reference execution/extcodecopy.rs): pops
+        # (addr, dst, src, len); EIP-2929 warm write + the external
+        # account's CodeHash read keying a bytecode->memory copy event.
+        # Banks: addr word in bytes_a, dst in c_addr, src in bytes_d,
+        # len in bytes_b; ext code hash (BE fold) in the acc_m cell.
+        gxc = q * ind["EXTCODECOPY"]
+        gxcn = q * q_n * ind["EXTCODECOPY"]
+        xcc_len4 = fold4_int(bb)
+        cs.create_gate("XCC addr rlc", gxc * (rlc_expr(ba) - va))
+        cs.create_gate("XCC dst rlc", gxc * (fold4_rlc(ab4) - vb))
+        cs.create_gate("XCC src rlc", gxc * (fold4_rlc(bd[:4]) - vc))
+        cs.create_gate("XCC pc", gxcn * (pc_n - pc - 1))
+        cs.create_gate("XCC sp", gxcn * (sp_n - sp - 4))
+        cs.create_gate("XCC rwc", gxcn * (rwc_n - rwc - 6 - xcc_len4))
+        if self.copy_table is not None:
+            glx = gxc * Advice(self.c_gx[13])  # len != 0 (dyn nz flag)
+            cs.lookup_logup(
+                "XCC copy event",
+                [[
+                    glx, glx * 0, glx * 0, glx * 0, glx, glx * 0,
+                    glx * Advice(self.c_acc_m), glx * fold4_int(bd),
+                    glx * Advice(self.c_call_id), glx * fold4_int(ab4),
+                    glx * xcc_len4, glx * (rwc + 6), glx * 0,
+                ]],
+                self.copy_table,
+            )
 
         # ---- precompile calls: ECRECOVER (0x01), IDENTITY (0x04),
         # ECADD (0x06), ECMUL (0x07) — inline, no frame descent
@@ -3249,6 +3286,16 @@ class EvmCircuit(Circuit):
         inputs.append(access(geh, 2, 0, addr_raw, rlc_expr(bb),
                              tag=acctag, id_expr=0,
                              field=int(AccountField.CodeHash)))
+        # EXTCODECOPY: 4 pops + warm write + ext CodeHash read
+        inputs.append(access(gxc, 0, 0, sp, va))
+        inputs.append(access(gxc, 1, 0, sp + 1, vb))
+        inputs.append(access(gxc, 2, 0, sp + 2, vc))
+        inputs.append(access(gxc, 3, 0, sp + 3, fold4_rlc(bb)))
+        inputs.append(access(gxc, 4, 1, addr_raw, 1, tag=altag,
+                             id_expr=txid))
+        inputs.append(access(gxc, 5, 0, addr_raw, Advice(self.c_acc_m),
+                             tag=acctag, id_expr=0,
+                             field=int(AccountField.CodeHash)))
 
         cs.lookup_logup("rw bus", inputs, table)
 
@@ -3456,12 +3503,15 @@ class EvmCircuit(Circuit):
                 kind = self._classify(s)
                 ops = [self.rw_by_counter[i] for i in s.rw_indices]
                 if kind in ("CALLDATACOPY", "CODECOPY", "RETURNDATACOPY",
-                            "SHA3", "LOG", "RETURN", "REVERT"):
+                            "SHA3", "LOG", "RETURN", "REVERT",
+                            "EXTCODECOPY"):
                     # dynamic-gas cells (gates above).  start/size stack
                     # positions per kind; RETURN/REVERT also need their
                     # off/len byte banks filled here (no gadget fill).
                     if kind in ("SHA3", "LOG", "RETURN", "REVERT"):
                         start_v, size_v = ops[0].value, ops[1].value
+                    elif kind == "EXTCODECOPY":
+                        start_v, size_v = ops[1].value, ops[3].value
                     else:
                         start_v, size_v = ops[0].value, ops[2].value
                     if kind in ("RETURN", "REVERT"):
@@ -3781,6 +3831,18 @@ class EvmCircuit(Circuit):
                     gx_cols[0][si] = x >> 255
                     gx_cols[1][si] = y >> 255
                     ez_col[si] = ltv
+                elif kind == "EXTCODECOPY":
+                    aw = ops[0].value.to_bytes(32, "little")
+                    for i in range(32):
+                        byts["a"][i][si] = aw[i]
+                    dst_v, src_v, len_v = (ops[j].value for j in (1, 2, 3))
+                    assert max(dst_v, src_v, len_v) < (1 << 32)
+                    for i in range(4):
+                        addrbytes[i][si] = (dst_v >> (8 * i)) & 0xFF
+                        byts["d"][i][si] = (src_v >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (len_v >> (8 * i)) & 0xFF
+                    # EIP-2929 base from the warm write's previous value
+                    eo_col[si] = 100 if ops[4].value_prev else 2600
                 elif kind == "GAS":
                     gv = ops[0].value
                     for i in range(8):
@@ -4448,6 +4510,13 @@ class EvmCircuit(Circuit):
                 va.append(0); vb.append(rlc(ops[1])); vc.append(0)
             elif kind in ("BALANCE", "EXTCODESIZE", "EXTCODEHASH"):
                 va.append(rlc(ops[0])); vb.append(rlc(ops[3])); vc.append(0)
+            elif kind == "EXTCODECOPY":
+                va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
+                vc.append(rlc(ops[2]))
+                # ext code hash, account-row/bytecode-table BE encoding
+                hb_ = ops[5].value.to_bytes(32, "big")
+                for byte_ in reversed(hb_):
+                    acc_m = (acc_m * r_int + byte_) % R
             elif kind == "DUP":
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)
             elif kind == "SWAP":

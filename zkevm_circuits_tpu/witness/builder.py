@@ -1232,6 +1232,47 @@ class CircuitInputBuilder:
                 rws.append(self.rws.memory_write(call_id, dst + j, byte))
             if ln:
                 self.copy_events.append(ev)
+        elif op == OpcodeId.EXTCODECOPY:
+            # pops (addr, dst, src, len); EIP-2929 warm write; the
+            # EXTERNAL account's code (zero-padded) lands in memory via a
+            # bytecode->memory copy keyed by its code hash (reference
+            # bus-mapping src/evm/opcodes/extcodecopy.rs)
+            addr_w = stack_val(0)
+            xaddr = addr_w & ((1 << 160) - 1)
+            dst, src_, ln = stack_val(1), stack_val(2), stack_val(3)
+            rws.append(self.rws.stack_read(call_id, sp, addr_w))
+            rws.append(self.rws.stack_read(call_id, sp + 1, dst))
+            rws.append(self.rws.stack_read(call_id, sp + 2, src_))
+            rws.append(self.rws.stack_read(call_id, sp + 3, ln))
+            warm = xaddr in self._warm_addrs
+            self._warm_addrs.add(xaddr)
+            rws.append(self.rws.access_list_account_write(
+                ctx.tx_id, xaddr, 1, int(warm)
+            ))
+            self._tx_journal.append(("warm", ctx.tx_id, xaddr, int(warm)))
+            xcode = self._code_db.get(xaddr, b"")
+            xhash = self._hashes.get(xaddr, self._acct(xaddr).code_hash)
+            rws.append(self._account_read_adopt(
+                xaddr, AccountField.CodeHash, xhash
+            ))
+            chunk = bytes(xcode[src_: src_ + ln]).ljust(ln, b"\x00")
+            from ..types import Bytecode as _BC
+
+            marks = _BC(xcode).is_code_marks()
+            ev = CopyEvent(
+                src_type="bytecode", src_id=xhash, src_addr=src_,
+                dst_type="memory", dst_id=call_id, dst_addr=dst,
+                length=ln, rw_counter_start=self.rws.counter + 1,
+                bytes_=chunk, src_len=len(xcode),
+                code_marks=bytes(
+                    int(marks[src_ + j]) if src_ + j < len(xcode) else 0
+                    for j in range(ln)
+                ),
+            )
+            for j, byte in enumerate(chunk):
+                rws.append(self.rws.memory_write(call_id, dst + j, byte))
+            if ln:
+                self.copy_events.append(ev)
         elif op == OpcodeId.RETURNDATACOPY:
             # pops (dst, src, len); reads the last callee's return data
             # from ITS memory, writes into this frame's memory
