@@ -126,7 +126,10 @@ def stage_msm(force_cpu: bool) -> dict:
     from zkevm_circuits_tpu.poly.msm import msm
 
     n = (1 << 14) if on_tpu else (1 << 8)
-    lanes = 8 if on_tpu else 4
+    # measured on-chip (r3): lanes 64 > 8 > 256 > 1024 — the kernel is
+    # field-mul bound, not scan-latency bound; a Pallas bucket kernel is
+    # the real fix (BASELINE.md north star)
+    lanes = 64 if on_tpu else 4
     rng = np.random.default_rng(99)
     pts = cv.g1_generator((n,))  # fixed-point batch: bench measures MSM, not setup
     sc = np.frombuffer(rng.bytes(n * 32), np.uint8).reshape(n, 32).copy()

@@ -104,3 +104,79 @@ def test_rlp_circuit_catches_wrong_length():
 
     failures = MockProver(K, Corrupt([TX_SHORT])).verify()
     assert any("tot" in f for f in failures), failures
+
+
+# ---- typed transactions (EIP-2718 envelopes) ----------------------------
+from zkevm_circuits_tpu.types.transaction import TxType
+
+TX_2930 = Transaction(
+    nonce=3, gas_price=12, gas=60_000, to=0xD00D, value=5,
+    data=b"\x01\x02\x03", chain_id=1337, tx_type=TxType.Eip2930,
+    access_list=[(0xAAA, [7, 9]), (0xBBB, [])],
+)
+TX_1559 = Transaction(
+    nonce=4, gas=70_000, to=0xFEED, value=0, data=b"", chain_id=1337,
+    tx_type=TxType.Eip1559, max_fee_per_gas=100,
+    max_priority_fee_per_gas=2,
+    access_list=[(0xCCC, [2**200])],
+)
+
+
+def test_typed_tx_rows_cover_payload():
+    for tx in (TX_2930, TX_1559):
+        rows, payload = _tx_rows(tx, 1)
+        body = [r for r in rows if r[1] != int(RlpTag.Pad)]
+        assert bytes(r[4] for r in body) == payload
+        assert body[0][1] == int(RlpTag.TxTypeB)
+        assert payload == tx.sign_payload()
+        # access-list values surface as AlAddr/AlKey segments
+        n_addr = sum(1 for r in body if r[1] == int(RlpTag.AlAddr))
+        assert n_addr == 21 * len(tx.access_list)
+
+
+def test_rlp_circuit_typed_satisfied():
+    """Legacy + 2930 + 1559 in one region: the type-aware ROM drives all
+    three field orders (reference rlp_circuit_fsm.rs covers 4 tx types)."""
+    MockProver(
+        10, RlpCircuit([TX_SHORT, TX_2930, TX_1559])
+    ).assert_satisfied()
+
+
+def test_rlp_circuit_typed_wrong_order_rejected():
+    """Swapping Prio/GasPrice order in a 1559 payload must miss the ROM."""
+
+    class Corrupt(RlpCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                rows = self.rows
+                i_prio = next(i for i, r in enumerate(rows)
+                              if r[1] == int(RlpTag.Prio))
+                i_gp = next(i for i, r in enumerate(rows)
+                            if r[1] == int(RlpTag.GasPrice)
+                            and r[0] == rows[i_prio][0])
+                for a, b in ((i_prio, RlpTag.GasPrice), (i_gp, RlpTag.Prio)):
+                    for t in (RlpTag.Prio, RlpTag.GasPrice):
+                        arr = np.asarray(cols[self.c_ind[t]]).copy()
+                        arr[a] = F.from_int(int(t == b) * F.R % F.modulus)
+                        cols[self.c_ind[t]] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt([TX_1559])).verify()
+    assert failures, "swapped 1559 field order must fail"
+
+
+def test_rlp_circuit_typed_wrong_type_rejected():
+    """Claiming a 1559 envelope is legacy must break the type machinery."""
+
+    class Corrupt(RlpCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                arr = np.asarray(cols[self.c_type]).copy()
+                arr[:] = F.from_int(0)
+                cols[self.c_type] = arr
+            return cols
+
+    failures = MockProver(K, Corrupt([TX_1559])).verify()
+    assert failures, "forged tx type must fail"

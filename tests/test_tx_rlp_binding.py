@@ -148,3 +148,92 @@ def test_rlp_pad_pattern_enforced():
 
     failures = MockProver(K, Corrupt(_txs())).verify()
     assert any("pad pattern" in f for f in failures), failures
+
+
+def test_typed_tx_rlp_binding_1559():
+    """A 1559 tx proves through Tx+RLP: the type rides the tx_type_table
+    lookup, the SigV rule switches to raw y-parity, and Prio/AlAddr/AlKey
+    segments export through the RlpTable (reference rlp_circuit_fsm.rs +
+    tx_circuit.rs access-list section)."""
+    from zkevm_circuits_tpu.circuits.rlp import RlpCircuit, RlpTag
+    from zkevm_circuits_tpu.circuits.tx import TxCircuit
+    from zkevm_circuits_tpu.plonk.circuit import Circuit, ConstraintSystem
+    from zkevm_circuits_tpu.types.transaction import Transaction, TxType
+
+    sk = 0x7777777777777777777777777777777777777777777777777777777777777777
+    tx = Transaction(
+        nonce=1, gas=60_000, to=0xFEED, value=9, data=b"\x01\x02",
+        chain_id=1337, tx_type=TxType.Eip1559, max_fee_per_gas=55,
+        max_priority_fee_per_gas=3, access_list=[(0xABC, [5])],
+    ).sign(sk)
+    assert tx.v in (0, 1)
+
+    class TxRlp(Circuit):
+        def __init__(self):
+            self.rlp = RlpCircuit([tx])
+            self.tx = TxCircuit([tx])
+
+        def configure(self, cs: ConstraintSystem):
+            r = cs.challenge(phase=0)
+            self.rlp.configure(cs, challenge=r)
+            self.tx.configure(
+                cs, challenge=r, rlp_table=self.rlp.rlp_table,
+                data_len_table=self.rlp.data_len_table,
+                tx_type_table=self.rlp.tx_type_table,
+            )
+
+        def fixed_columns(self, n):
+            out = dict(self.rlp.fixed_columns(n))
+            out.update(self.tx.fixed_columns(n))
+            return out
+
+        def synthesize(self, phase, n, challenges, instances):
+            out = dict(self.rlp.synthesize(phase, n, challenges, instances))
+            out.update(self.tx.synthesize(phase, n, challenges, instances))
+            return out
+
+    MockProver(10, TxRlp()).assert_satisfied()
+
+
+def test_typed_tx_wrong_parity_rejected():
+    """Claiming a legacy-style v on a 1559 tx must fail the SigV rule."""
+    from zkevm_circuits_tpu.circuits.rlp import RlpCircuit
+    from zkevm_circuits_tpu.circuits.tx import TxCircuit
+    from zkevm_circuits_tpu.plonk.circuit import Circuit, ConstraintSystem
+    from zkevm_circuits_tpu.types.transaction import Transaction, TxType
+    import dataclasses as dc
+
+    sk = 0x7777777777777777777777777777777777777777777777777777777777777777
+    tx = Transaction(
+        nonce=1, gas=60_000, to=0xFEED, value=9, data=b"",
+        chain_id=1337, tx_type=TxType.Eip1559, max_fee_per_gas=55,
+        max_priority_fee_per_gas=3,
+    ).sign(sk)
+    bad = dc.replace(tx, v=35 + 2 * tx.chain_id + tx.v)  # legacy-style v
+
+    class TxRlp(Circuit):
+        def __init__(self):
+            self.rlp = RlpCircuit([bad])
+            self.tx = TxCircuit([bad])
+
+        def configure(self, cs: ConstraintSystem):
+            r = cs.challenge(phase=0)
+            self.rlp.configure(cs, challenge=r)
+            self.tx.configure(
+                cs, challenge=r, rlp_table=self.rlp.rlp_table,
+                data_len_table=self.rlp.data_len_table,
+                tx_type_table=self.rlp.tx_type_table,
+            )
+
+        def fixed_columns(self, n):
+            out = dict(self.rlp.fixed_columns(n))
+            out.update(self.tx.fixed_columns(n))
+            return out
+
+        def synthesize(self, phase, n, challenges, instances):
+            out = dict(self.rlp.synthesize(phase, n, challenges, instances))
+            out.update(self.tx.synthesize(phase, n, challenges, instances))
+            return out
+
+    failures = MockProver(10, TxRlp()).verify()
+    assert failures, "legacy v on a typed tx must fail"

@@ -52,7 +52,7 @@ class RlpTag(enum.IntEnum):
     List = 0  # the 0xf8 long-list prefix byte
     ListLen = 1  # the list's single length byte
     Nonce = 2
-    GasPrice = 3
+    GasPrice = 3  # legacy gas price / EIP-1559 max_fee_per_gas
     Gas = 4
     To = 5
     Value = 6
@@ -61,6 +61,11 @@ class RlpTag(enum.IntEnum):
     Zero1 = 9
     Zero2 = 10
     Pad = 11  # keccak pad10*1 rows after the payload
+    TxTypeB = 12  # EIP-2718 envelope type byte (0x01 / 0x02)
+    Prio = 13  # EIP-1559 max_priority_fee_per_gas
+    AlPfx = 14  # access-list structural prefixes (list/item/key-list)
+    AlAddr = 15  # access-list address (21-byte string segment)
+    AlKey = 16  # access-list storage key (33-byte string segment)
 
 
 TAGS = list(RlpTag)
@@ -68,20 +73,39 @@ FIELD_TAGS = [
     RlpTag.Nonce, RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
     RlpTag.Data, RlpTag.ChainId, RlpTag.Zero1, RlpTag.Zero2,
 ]
+# tags that carry values through the prefix/export machinery
+VALUE_TAGS = FIELD_TAGS + [RlpTag.Prio, RlpTag.AlAddr, RlpTag.AlKey]
 # per-tag Horner multiplier: integers fold with 256 (acc == raw value),
 # words/byte-strings with the challenge r (acc == word RLC)
-INT_TAGS = {RlpTag.Nonce, RlpTag.Gas, RlpTag.To, RlpTag.ChainId}
-WORD_TAGS = {RlpTag.GasPrice, RlpTag.Value, RlpTag.Data}
+INT_TAGS = {RlpTag.Nonce, RlpTag.Gas, RlpTag.To, RlpTag.ChainId,
+            RlpTag.AlAddr}
+WORD_TAGS = {RlpTag.GasPrice, RlpTag.Value, RlpTag.Data, RlpTag.Prio,
+             RlpTag.AlKey}
 
-# tag-order ROM: (tag, next_tag) pairs (reference's ROM table,
-# rlp_circuit_fsm.rs).  Zero2 -> Pad -> List chains the next tx.
+# tag-order ROM, TYPE-AWARE: (tx_type, tag, next_tag) triples (reference
+# rlp_circuit_fsm.rs ROM covers Legacy/2930/1559 orders).  The Pad ->
+# next-tx transition exists per type (the lookup uses the NEW row's type).
+T = RlpTag
+_LEGACY_ORDER = [(a, b) for a, b in zip(FIELD_TAGS, FIELD_TAGS[1:])]
+_TYPED_COMMON = [
+    (T.TxTypeB, T.List), (T.List, T.ListLen), (T.List, T.ChainId),
+    (T.ListLen, T.ChainId), (T.ChainId, T.Nonce),
+    (T.GasPrice, T.Gas), (T.Gas, T.To), (T.To, T.Value),
+    (T.Value, T.Data), (T.Data, T.AlPfx),
+    (T.AlPfx, T.AlPfx), (T.AlPfx, T.AlAddr), (T.AlPfx, T.AlKey),
+    (T.AlPfx, T.Pad), (T.AlAddr, T.AlPfx),
+    (T.AlKey, T.AlKey), (T.AlKey, T.AlPfx), (T.AlKey, T.Pad),
+]
 ROM = (
-    [(int(RlpTag.List), int(RlpTag.ListLen)),  # long form
-     (int(RlpTag.List), int(RlpTag.Nonce)),  # short form (gated by c_long)
-     (int(RlpTag.ListLen), int(RlpTag.Nonce))]
-    + [(int(a), int(b)) for a, b in zip(FIELD_TAGS, FIELD_TAGS[1:])]
-    + [(int(RlpTag.Zero2), int(RlpTag.Pad)),
-       (int(RlpTag.Pad), int(RlpTag.List))]
+    [(0, int(T.List), int(T.ListLen)), (0, int(T.List), int(T.Nonce)),
+     (0, int(T.ListLen), int(T.Nonce))]
+    + [(0, int(a), int(b)) for a, b in _LEGACY_ORDER]
+    + [(0, int(T.Zero2), int(T.Pad)), (0, int(T.Pad), int(T.List))]
+    + [(1, int(a), int(b)) for a, b in
+       _TYPED_COMMON + [(T.Nonce, T.GasPrice)]]
+    + [(2, int(a), int(b)) for a, b in
+       _TYPED_COMMON + [(T.Nonce, T.Prio), (T.Prio, T.GasPrice)]]
+    + [(t, int(T.Pad), int(T.TxTypeB)) for t in (1, 2)]
 )
 
 KECCAK_RATE = 136
@@ -92,39 +116,102 @@ class RlpParams:
     pass  # geometry is exactly the witness rows (no padding yet)
 
 
+def _list_prefix_len(enc: bytes) -> int:
+    assert enc[0] >= 0xC0
+    if enc[0] <= 0xF7:
+        return 1
+    return 1 + (enc[0] - 0xF7)
+
+
+def _field_rows(rows, tx_id, tag, val, ty):
+    enc = rlp_host.encode(val)
+    if len(enc) == 1 and enc[0] < 0x80:
+        rows.append((tx_id, int(tag), 1, 0, enc[0], ty))
+    else:
+        plen = enc[0] - 0x80
+        assert 0 <= plen <= 55, "long-form strings not in scope"
+        rows.append((tx_id, int(tag), plen + 1, 1, enc[0], ty))
+        for j in range(plen):
+            rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j], ty))
+    return len(enc)
+
+
 def _tx_rows(tx: Transaction, tx_id: int):
-    """(tx_id, tag, rem, is_pfx, byte) rows for one signing payload,
-    including the keccak pad10*1 rows."""
-    fields = [
-        tx.nonce, tx.gas_price, tx.gas,
-        b"" if tx.to is None else tx.to.to_bytes(20, "big"),
-        tx.value, tx.data, tx.chain_id, 0, 0,
-    ]
-    payload = rlp_host.encode(fields)
-    rows = [(tx_id, int(RlpTag.List), 1, 1, payload[0])]
-    if payload[0] == 0xF8:  # long list, one length byte
-        rows.append((tx_id, int(RlpTag.ListLen), 1, 0, payload[1]))
+    """(tx_id, tag, rem, is_pfx, byte, tx_type) rows for one signing
+    payload — EIP-155 legacy or EIP-2718 typed envelope (2930/1559) with
+    the access list walked structurally — plus keccak pad10*1 rows."""
+    from ..types.transaction import TxType
+
+    ty = int(tx.tx_type)
+    payload = tx.sign_payload()
+    rows = []
+    body = payload
+    if ty:
+        rows.append((tx_id, int(RlpTag.TxTypeB), 1, 0, payload[0], ty))
+        body = payload[1:]
+    rows.append((tx_id, int(RlpTag.List), 1, 1, body[0], ty))
+    if body[0] == 0xF8:  # long list, one length byte
+        rows.append((tx_id, int(RlpTag.ListLen), 1, 0, body[1], ty))
         pos = 2
     else:
-        assert 0xC0 <= payload[0] <= 0xF7, "list of this size not in scope"
+        assert 0xC0 <= body[0] <= 0xF7, "list of this size not in scope"
         pos = 1
-    for tag, val in zip(FIELD_TAGS, fields):
-        enc = rlp_host.encode(val)
-        if len(enc) == 1 and enc[0] < 0x80:
-            rows.append((tx_id, int(tag), 1, 0, enc[0]))
-        else:
-            plen = enc[0] - 0x80
-            assert 0 <= plen <= 55, "long-form strings not in scope"
-            rows.append((tx_id, int(tag), plen + 1, 1, enc[0]))
-            for j in range(plen):
-                rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j]))
-        pos += len(enc)
-    assert pos == len(payload)
+    to_f = b"" if tx.to is None else tx.to.to_bytes(20, "big")
+    if ty == 0:
+        fields = [tx.nonce, tx.gas_price, tx.gas, to_f, tx.value, tx.data,
+                  tx.chain_id, 0, 0]
+        order = FIELD_TAGS
+    elif ty == int(TxType.Eip2930):
+        fields = [tx.chain_id, tx.nonce, tx.gas_price, tx.gas, to_f,
+                  tx.value, tx.data]
+        order = [RlpTag.ChainId, RlpTag.Nonce, RlpTag.GasPrice, RlpTag.Gas,
+                 RlpTag.To, RlpTag.Value, RlpTag.Data]
+    else:
+        fields = [tx.chain_id, tx.nonce, tx.max_priority_fee_per_gas,
+                  tx.max_fee_per_gas, tx.gas, to_f, tx.value, tx.data]
+        order = [RlpTag.ChainId, RlpTag.Nonce, RlpTag.Prio,
+                 RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
+                 RlpTag.Data]
+    for tag, val in zip(order, fields):
+        pos += _field_rows(rows, tx_id, tag, val, ty)
+    if ty:
+        # access list: structural prefixes (AlPfx segments) + per-item
+        # address and storage-key string segments
+        al_enc = rlp_host.encode(tx._al_field())
+        p = _list_prefix_len(al_enc)
+        for j in range(p):
+            rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
+                         body[pos + j], ty))
+        pos += p
+        for addr, keys in tx.access_list:
+            item_enc = rlp_host.encode(
+                [addr.to_bytes(20, "big"),
+                 [k.to_bytes(32, "big") for k in keys]]
+            )
+            p = _list_prefix_len(item_enc)
+            for j in range(p):
+                rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
+                             body[pos + j], ty))
+            pos += p
+            pos += _field_rows(rows, tx_id, RlpTag.AlAddr,
+                               addr.to_bytes(20, "big"), ty)
+            keys_enc = rlp_host.encode(
+                [k.to_bytes(32, "big") for k in keys]
+            )
+            p = _list_prefix_len(keys_enc)
+            for j in range(p):
+                rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
+                             body[pos + j], ty))
+            pos += p
+            for k in keys:
+                pos += _field_rows(rows, tx_id, RlpTag.AlKey,
+                                   k.to_bytes(32, "big"), ty)
+    assert pos == len(body), (pos, len(body))
     # keccak pad10*1 rows: first byte 0x01, last 0x80 (0x81 if single)
     pad_len = KECCAK_RATE - len(payload) % KECCAK_RATE
     for j in range(pad_len):
         b = (1 if j == 0 else 0) + (128 if j == pad_len - 1 else 0)
-        rows.append((tx_id, int(RlpTag.Pad), pad_len - j, 0, b))
+        rows.append((tx_id, int(RlpTag.Pad), pad_len - j, 0, b, ty))
     return rows, payload
 
 
@@ -152,6 +239,7 @@ class RlpCircuit(Circuit):
         self.tbl_b7 = cs.fixed_column()  # 0..127
         self.tbl_56 = cs.fixed_column()  # 0..55
         self.q_rom = cs.fixed_column()
+        self.rom_t = cs.fixed_column()
         self.rom_a = cs.fixed_column()
         self.rom_b = cs.fixed_column()
 
@@ -164,6 +252,7 @@ class RlpCircuit(Circuit):
         self.c_inv = cs.advice_column()  # iszero witness for rem_prev - 1
         self.c_tot = cs.advice_column()  # list-payload countdown
         self.c_long = cs.advice_column()  # List rows: 0xf8 long form flag
+        self.c_type = cs.advice_column()  # EIP-2718 tx type (0/1/2, carried)
         self.c_acc = cs.advice_column(phase=1)  # per-tag value accumulator
         self.c_prlc = cs.advice_column(phase=1)  # payload byte-RLC fold
         self.c_hash = cs.advice_column(phase=1)  # sign-hash RLC (last pad)
@@ -197,9 +286,14 @@ class RlpCircuit(Circuit):
         for t, c in self.c_ind.items():
             term = Advice(c, -1) * int(t)
             tag_val_p = term if tag_val_p is None else tag_val_p + term
-        fld = None  # sum of field-tag indicators
-        for t in FIELD_TAGS:
+        fld = None  # sum of value-carrying tag indicators
+        for t in VALUE_TAGS:
             fld = ind[t] if fld is None else fld + ind[t]
+        typ, typ_p = Advice(self.c_type), Advice(self.c_type, -1)
+        # tx start: the envelope type byte, or a legacy List straight
+        # after the previous tx's padding (or on row 0)
+        prev_pad = Advice(self.c_ind[RlpTag.Pad], -1)
+        st = ind[RlpTag.TxTypeB] + ind[RlpTag.List] * (qz + prev_pad)
 
         cs.create_gate("rlp pfx bool", q * pfx * (pfx - 1))
         cs.create_gate("rlp entry bool", q * ent * (ent - 1))
@@ -219,21 +313,37 @@ class RlpCircuit(Circuit):
         cs.create_gate("rlp cont rem", cont * (rem - rem_p + 1))
         cs.create_gate("rlp cont not pfx", cont * pfx)
 
-        # entry tag order from the ROM (row 0 pinned to List)
+        # entry tag order from the TYPE-AWARE ROM (row 0 pinned below)
         g_ent = q * ent * (1 - qz)
         cs.lookup_logup(
             "rlp rom",
-            [[g_ent, g_ent * tag_val_p, g_ent * tag_val]],
-            [Fixed(self.q_rom), Fixed(self.rom_a), Fixed(self.rom_b)],
-        )
-        cs.create_gate("rlp row0 list", q * qz * (1 - ind[RlpTag.List]))
-        # tx id: List entries increment, all other rows carry
-        cs.create_gate(
-            "rlp tx id inc", q * ent * ind[RlpTag.List] * (txid - txid_p - 1)
+            [[g_ent, g_ent * typ, g_ent * tag_val_p, g_ent * tag_val]],
+            [Fixed(self.q_rom), Fixed(self.rom_t), Fixed(self.rom_a),
+             Fixed(self.rom_b)],
         )
         cs.create_gate(
-            "rlp tx id keep", q * ent * (1 - ind[RlpTag.List]) * (txid - txid_p)
+            "rlp row0 start",
+            q * qz * (1 - ind[RlpTag.List] - ind[RlpTag.TxTypeB]),
         )
+        # tx id: start entries increment, all other rows carry
+        cs.create_gate(
+            "rlp tx id inc", q * ent * st * (txid - txid_p - 1)
+        )
+        cs.create_gate(
+            "rlp tx id keep", q * ent * (1 - st) * (txid - txid_p)
+        )
+        # tx type: the envelope byte on TxTypeB starts (byte in {1, 2}),
+        # zero on legacy starts, carried everywhere else
+        g_tb = q * ind[RlpTag.TxTypeB]
+        cs.create_gate("rlp type byte", g_tb * (byte - 1) * (byte - 2))
+        cs.create_gate("rlp type pin", g_tb * (typ - byte))
+        cs.create_gate("rlp typeb rem", g_tb * (rem - 1))
+        cs.create_gate("rlp typeb pfx", g_tb * pfx)
+        cs.create_gate(
+            "rlp legacy type",
+            q * ind[RlpTag.List] * (qz + prev_pad) * typ,
+        )
+        cs.create_gate("rlp type carry", q * (1 - st) * (typ - typ_p))
 
         # List prefix row: 0xf8 (long, ListLen follows) or 0xc0+len
         # (short, the length lands in tot directly); single-row segment
@@ -296,12 +406,13 @@ class RlpCircuit(Circuit):
         cs.create_gate(
             "rlp pad pattern", g_pad * (byte - ent - 128 * is_last)
         )
-        # payload RLC: restarts at the List row, folds every byte after
+        # payload RLC: restarts at the tx's FIRST byte (the envelope type
+        # byte or the legacy List prefix), folds every byte after
         # (including pad rows) with the challenge r
-        cs.create_gate("rlp prlc start", g_list * (prlc - byte))
+        cs.create_gate("rlp prlc start", q * st * (prlc - byte))
         cs.create_gate(
             "rlp prlc fold",
-            q * (1 - ind[RlpTag.List]) * (prlc - prlc_p * self.r - byte),
+            q * (1 - st) * (prlc - prlc_p * self.r - byte),
         )
         g_lastpad = g_pad * is_last
         if self.has_hash_binding:
@@ -342,14 +453,19 @@ class RlpCircuit(Circuit):
         self.sign_hash_table = [
             g_lastpad, g_lastpad * txid, g_lastpad * Advice(self.c_hash),
         ]
+        # per-tx envelope type on tx-start rows (reference tx_type,
+        # witness/tx.rs:45-90): (enable, tx_id, type)
+        g_st = q * st
+        self.tx_type_table = [g_st, g_st * txid, g_st * typ]
 
     # ------------------------------------------------------------------
     def fixed_columns(self, n: int):
         t = len(self.rows)
         assert t <= usable_rows(n) and n >= 256 + len(ROM)
         mont = F.mont_from_ints
-        rom_a = [a for a, _ in ROM]
-        rom_b = [b for _, b in ROM]
+        rom_t = [t_ for t_, _, _ in ROM]
+        rom_a = [a for _, a, _ in ROM]
+        rom_b = [b for _, _, b in ROM]
         return {
             self.q_rlp: mont([1 if i < t else 0 for i in range(n)]),
             self.q_row0: mont([1 if i == 0 else 0 for i in range(n)]),
@@ -357,6 +473,7 @@ class RlpCircuit(Circuit):
             self.tbl_b7: mont([i if i < 128 else 0 for i in range(n)]),
             self.tbl_56: mont([i if i < 56 else 0 for i in range(n)]),
             self.q_rom: mont([1 if i < len(ROM) else 0 for i in range(n)]),
+            self.rom_t: mont(rom_t + [0] * (n - len(rom_t))),
             self.rom_a: mont(rom_a + [0] * (n - len(rom_a))),
             self.rom_b: mont(rom_b + [0] * (n - len(rom_b))),
         }
@@ -402,6 +519,7 @@ class RlpCircuit(Circuit):
             cols[self.c_long] = mont(
                 [int(r[1] == int(RlpTag.List) and r[4] == 0xF8) for r in rows]
             )
+            cols[self.c_type] = mont([r[5] for r in rows])
             return cols
         # phase 1: value accumulators + payload RLC + sign hashes
         r_chal = challenges[self.r.index]
@@ -418,8 +536,12 @@ class RlpCircuit(Circuit):
             else:
                 acc = (acc * m + r_[4]) % R
             accs.append(acc)
+            is_start = tag == RlpTag.TxTypeB or (
+                tag == RlpTag.List
+                and (i == 0 or RlpTag(rows[i - 1][1]) == RlpTag.Pad)
+            )
             prlc = (
-                r_[4] % R if tag == RlpTag.List
+                r_[4] % R if is_start
                 else (prlc * r_int + r_[4]) % R
             )
             prlcs.append(prlc)

@@ -265,6 +265,9 @@ class SuperCircuit(Circuit):
         self.tx.configure(
             cs, challenge=r_word, rlp_table=rlp_table,
             data_len_table=data_len_table, sig_table=tx_sig_table,
+            tx_type_table=(
+                self.rlp.tx_type_table if self.rlp is not None else None
+            ),
             sign_hash_table=sign_hash_table if tx_sig_table is not None
             else None,
         )

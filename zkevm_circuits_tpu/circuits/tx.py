@@ -102,6 +102,7 @@ class TxCircuit(Circuit):
 
     def configure(self, cs: ConstraintSystem, challenge=None,
                   rlp_table=None, data_len_table=None, sig_table=None,
+                  tx_type_table=None,
                   sign_hash_table=None):
         """`rlp_table`: RlpCircuit.rlp_table exprs (g, tx_id, tag, value);
         `data_len_table`: RlpCircuit.data_len_table exprs (g, tx_id, len).
@@ -133,6 +134,8 @@ class TxCircuit(Circuit):
         self.c_inv_tid = cs.advice_column()  # inverse witness for tx_id
         self.c_rec = cs.advice_column()  # SigV row: recovery bit
         self.c_chain = cs.advice_column()  # SigV row: chain id
+        self.c_txtype = cs.advice_column()  # SigV row: EIP-2718 type
+        self.c_inv_type = cs.advice_column()  # IsZero inverse for type
         self.c_cd_rlc = cs.advice_column(phase=1)  # calldata running RLC
         self.c_sign_hash = cs.advice_column(phase=1)  # SigV row: hash RLC
         self.r = challenge if challenge is not None else cs.challenge(phase=0)
@@ -184,10 +187,19 @@ class TxCircuit(Circuit):
             qd * qd_p * (1 - fin_p) * (cdr - cdr_p * self.r - val),
         )
 
-        # SigV row: v = 35 + 2*chain_id + rec (EIP-155)
+        # SigV row: legacy v = 35 + 2*chain_id + rec (EIP-155); typed
+        # envelopes carry the raw y-parity v = rec (EIP-2718/2930/1559)
         g_sv = qf * Fixed(self.f_issigv) * ir
+        ttype = Advice(self.c_txtype)
+        tinv = Advice(self.c_inv_type)
+        is_leg = 1 - ttype * tinv  # IsZero(type), complete both ways
+        cs.create_gate("sigv type kill", g_sv * (1 - ttype * tinv) * ttype)
         cs.create_gate("sigv rec bool", g_sv * rec * (rec - 1))
-        cs.create_gate("sigv eip155", g_sv * (val - 35 - rec - 2 * chain))
+        cs.create_gate(
+            "sigv rule",
+            g_sv * (is_leg * (val - 35 - rec - 2 * chain)
+                    + (1 - is_leg) * (val - rec)),
+        )
 
         if self.has_rlp:
             g_b = qf * Fixed(self.f_isbound) * ir
@@ -206,6 +218,12 @@ class TxCircuit(Circuit):
                 ],
                 rlp_table,
             )
+            if tx_type_table is not None:
+                cs.lookup_logup(
+                    "tx type binding",
+                    [[g_sv, g_sv * txid, g_sv * ttype]],
+                    tx_type_table,
+                )
             g_dl = qf * Fixed(self.f_isdlen) * ir
             cs.lookup_logup(
                 "tx data len binding",
@@ -299,7 +317,14 @@ class TxCircuit(Circuit):
             tid = ti + 1 if ti < len(self.txs) else 0
             fields = {
                 TxFieldTag.Nonce: tx.nonce,
-                TxFieldTag.GasPrice: tx.gas_price,
+                # typed txs: the GasPrice slot carries the RLP-bound fee
+                # field (max_fee_per_gas for 1559) — reference tx.rs keeps
+                # max_fee separately; the EVM-side effective-price
+                # anchoring is per-type (BEGIN_TX)
+                TxFieldTag.GasPrice: (
+                    tx.max_fee_per_gas if int(tx.tx_type) == 2
+                    else tx.gas_price
+                ),
                 TxFieldTag.Gas: tx.gas,
                 TxFieldTag.CalleeAddress: tx.to or 0,
                 TxFieldTag.CallerAddress: getattr(tx, "_sender", 0),
@@ -336,15 +361,24 @@ class TxCircuit(Circuit):
             raw_vals.append((TxFieldTag.CallData, 0))
         if phase == 0:
             recs, chains = [], []
+            types_, tinvs = [], []
             for i, tid in enumerate(tx_ids):
                 tg = FIXED_TAGS[i % len(FIXED_TAGS)] if i < n_fixed else None
                 if tg == TxFieldTag.SigV and tid:
                     tx = self.txs[tid - 1]
-                    recs.append((tx.v - 35 - 2 * tx.chain_id) & 1)
+                    ty_ = int(tx.tx_type)
+                    recs.append(
+                        tx.v & 1 if ty_
+                        else (tx.v - 35 - 2 * tx.chain_id) & 1
+                    )
                     chains.append(tx.chain_id)
+                    types_.append(ty_)
+                    tinvs.append(pow(ty_, -1, R) if ty_ else 0)
                 else:
                     recs.append(0)
                     chains.append(0)
+                    types_.append(0)
+                    tinvs.append(0)
             return {
                 self.c_tx_id: mont(tx_ids),
                 self.c_tag: mont(tags),
@@ -356,6 +390,8 @@ class TxCircuit(Circuit):
                 ),
                 self.c_rec: mont(recs),
                 self.c_chain: mont(chains),
+                self.c_txtype: mont(types_),
+                self.c_inv_type: mont(tinvs),
             }
         # phase 1: values (word tags RLC'd) + calldata running RLC
         r_chal = challenges[self.r.index]
