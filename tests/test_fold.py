@@ -125,9 +125,11 @@ def test_batch_in_circuit_end_to_end():
         layer = CompressionLayerCircuit(vk, proof, [[A_IN]])
         items.append((layer.claim, layer.instances()[0]))
     hashes = [
-        ChunkHash(chain_id=1337, prev_state_root=b"\x01" * 32,
-                  post_state_root=b"\x02" * 32, withdraw_root=b"\x03" * 32,
-                  data_hash=bytes([i]) * 32)
+        ChunkHash(chain_id=1337,
+                  prev_state_root=int.from_bytes(b"\x01" * 32, "big"),
+                  post_state_root=int.from_bytes(b"\x02" * 32, "big"),
+                  withdraw_root=int.from_bytes(b"\x03" * 32, "big"),
+                  data_hash=int.from_bytes(bytes([i]) * 32, "big"))
         for i in (7, 8)
     ]
     import tempfile
@@ -138,3 +140,46 @@ def test_batch_in_circuit_end_to_end():
     assert rec["n_chunks"] == 2
     assert len(rec["folded_acc"]) == 8
     assert rec["fold_proof"].proof
+
+
+def test_batch_in_circuit_glue(monkeypatch, tmp_path):
+    """Service glue for the in-circuit fold, with proving mocked (the
+    real-prove path is the slow e2e test above)."""
+    import zkevm_circuits_tpu.service.prover as sp
+    from zkevm_circuits_tpu.recursion.aggregation import ChunkHash
+    from zkevm_circuits_tpu.recursion.fold import AggregationFoldCircuit
+
+    srs, pairs = _valid_pairs(2)
+
+    # fabricate layer items whose accumulators are the valid pairs
+    class FakeClaim:
+        n_inner_instance = 0
+        w2_ref = ("p", 0)
+
+    items = []
+    for lhs, w2 in pairs:
+        vals = [w2[0] & ((1 << 128) - 1), w2[0] >> 128,
+                w2[1] & ((1 << 128) - 1), w2[1] >> 128,
+                lhs[0] & ((1 << 128) - 1), lhs[0] >> 128,
+                lhs[1] & ((1 << 128) - 1), lhs[1] >> 128]
+        items.append((FakeClaim(), vals))
+
+    monkeypatch.setattr(sp, "keygen", lambda c, k, s: ("pk", "vk"))
+    monkeypatch.setattr(sp, "prove", lambda *a, **k: b"fold-proof")
+    import zkevm_circuits_tpu.plonk.verifier as pv
+
+    monkeypatch.setattr(pv, "verify", lambda *a, **k: True)
+    hashes = [ChunkHash(
+        chain_id=1,
+        prev_state_root=int.from_bytes(b"\x01" * 32, "big"),
+        post_state_root=int.from_bytes(b"\x02" * 32, "big"),
+        withdraw_root=int.from_bytes(b"\x03" * 32, "big"),
+        data_hash=int.from_bytes(b"\x04" * 32, "big"),
+    )]
+    layers = sp.LayerProver(params_dir=str(tmp_path))
+    monkeypatch.setattr(layers, "srs", lambda k: srs)
+    rec = sp.BatchProver().gen_batch_in_circuit(
+        layers, items, hashes, _VK(srs)
+    )
+    assert rec["fold_proof"].proof == b"fold-proof"
+    assert len(rec["folded_acc"]) == 8
