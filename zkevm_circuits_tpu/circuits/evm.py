@@ -67,6 +67,7 @@ GADGETS = [
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
     "ERR_STACK", "ERR_OOG", "ERR_JUMP", "ERR_RDOOB",
+    "ERR_WRITE_PROT", "ERR_INVALID_OP",
     "STOP",
 ]
 
@@ -80,7 +81,8 @@ OPCODE_BYTE = {
     if g not in ("BEGIN_TX", "END_TX", "STOP", "PUSH", "DUP", "SWAP",
                  "CALL", "CREATE", "RET", "LOG", "ECRECOVER", "IDENTITY",
                  "ECADD", "ECMUL", "SHA256", "MODEXP", "ERR_STACK",
-                 "ERR_OOG", "ERR_JUMP", "ERR_RDOOB")
+                 "ERR_OOG", "ERR_JUMP", "ERR_RDOOB", "ERR_WRITE_PROT",
+                 "ERR_INVALID_OP")
 }
 
 
@@ -220,6 +222,10 @@ class EvmCircuit(Circuit):
         self.tbl_op_pops = cs.fixed_column()
         self.tbl_op_pushes = cs.fixed_column()
         self.tbl_op_gas = cs.fixed_column()
+        # 1 for undefined opcode bytes (+ 0xFE, the designated INVALID) —
+        # the reference's FixedTableTag::ResponsibleOpcode rows for
+        # ErrorInvalidOpcode (evm_circuit/execution/error_invalid_opcode.rs)
+        self.tbl_op_invalid = cs.fixed_column()
         self.tbl_sel256 = cs.fixed_column()
         self.tbl_pow2_lo = cs.fixed_column()
         self.tbl_pow2_hi = cs.fixed_column()
@@ -385,8 +391,16 @@ class EvmCircuit(Circuit):
         # root frames: call_id == tx_id (nested calls land with CALL*)
         cs.create_gate("BEGIN_TX cid", gbt * (Advice(self.c_call_id) - txid))
         # 6 ctx reads + 2 access-list warms + nonce bump + fee purchase +
-        # value-transfer pair + callee code-hash read (execution/begin_tx.rs)
-        transition(bt, 0, 13, 0)
+        # value-transfer pair + callee code-hash read, plus the EIP-2930
+        # prewarm rows (count in c_gas_aux, anchored to the TxTable's
+        # AccessListRows commitment below) — execution/begin_tx.rs
+        gate_bt_n = q * q_n * bt
+        al_n_cell = Advice(self.c_gas_aux)
+        cs.create_gate("BEGIN_TX pc step", gate_bt_n * (pc_n - pc))
+        cs.create_gate(
+            "BEGIN_TX rwc step", gate_bt_n * (rwc_n - rwc - 13 - al_n_cell)
+        )
+        cs.create_gate("BEGIN_TX sp step", gate_bt_n * (sp_n - sp))
         # END_TX: IsSuccess read + TxRefund + caller gas refund + coinbase
         # reward, plus rev reversion writes on failed txs (the count cell
         # c_gas_aux; exact binding lands with the reversible-write counter)
@@ -565,26 +579,39 @@ class EvmCircuit(Circuit):
         # rows, keep rw_counter, and must be followed by END_TX (root
         # frames; nested-frame error unwinding lands with the account
         # state machine). ------------------------------------------------
-        e_any = ind["ERR_STACK"] + ind["ERR_OOG"]
-        e_all = e_any + ind["ERR_JUMP"] + ind["ERR_RDOOB"]
+        e_any = ind["ERR_STACK"] + ind["ERR_OOG"] + ind["ERR_INVALID_OP"]
+        e_all = e_any + ind["ERR_JUMP"] + ind["ERR_RDOOB"] \
+            + ind["ERR_WRITE_PROT"]
+        self._e_all = e_all
         g_eany = q * e_any
         g_eall = q * e_all
         opb_e = Advice(self.c_depth_n)
         pops_e = Advice(self.c_ez)
         pushes_e = Advice(self.c_eo)
         g0_e = Advice(self.c_push_len)
+        # the 5th column pins ERR_INVALID_OP rows to undefined opcode
+        # bytes (their table rows carry invalid=1 and zero properties;
+        # defined opcodes carry invalid=0, so neither state can borrow
+        # the other's rows)
         cs.lookup_logup(
             "opcode properties",
             [[g_eall * opb_e, g_eall * pops_e, g_eall * pushes_e,
-              g_eall * g0_e]],
+              g_eall * g0_e, q * ind["ERR_INVALID_OP"]]],
             [Fixed(self.tbl_byte), Fixed(self.tbl_op_pops),
-             Fixed(self.tbl_op_pushes), Fixed(self.tbl_op_gas)],
+             Fixed(self.tbl_op_pushes), Fixed(self.tbl_op_gas),
+             Fixed(self.tbl_op_invalid)],
         )
-        # terminal: next row is END_TX; gas carries over (cost forced 0);
-        # the rw counter carries for the no-bus kinds and advances by the
-        # pop/bookkeeping count for ERR_JUMP / ERR_RDOOB (gates below)
+        # terminal: next row is END_TX (root frames) or an error-unwind
+        # RET row (nested frames; reference CommonErrorGadget's
+        # is_root branch, evm_circuit/execution/error_*.rs).  Gas
+        # carries over (cost forced 0); the rw counter carries for the
+        # no-bus kinds and advances by the pop/bookkeeping count for
+        # ERR_JUMP / ERR_RDOOB / ERR_WRITE_PROT (gates below)
         et_n = Advice(self.c_ind["END_TX"], 1)
-        cs.create_gate("error then end_tx", q * q_n * e_all * (1 - et_n))
+        ret_err_n = Advice(self.c_ind["RET"], 1) * Advice(self.c_carry[25], 1)
+        cs.create_gate(
+            "error terminal", q * q_n * e_all * (1 - et_n - ret_err_n)
+        )
         cs.create_gate("error rwc", q * q_n * e_any * (rwc_n - rwc))
         cs.create_gate("error gas cost", g_eall * cost_e)
         # ERR_STACK: underflow (sp + pops > 1024) or overflow (the net
@@ -617,6 +644,42 @@ class EvmCircuit(Circuit):
             g_eo2 * (g0_e - gas_e - 1 - Advice(self.c_bytes_a[0])
                      - 256 * Advice(self.c_bytes_a[1])),
         )
+        # ERR_WRITE_PROT (reference execution/error_write_protection.rs):
+        # a state-mutating opcode inside a static call frame.  One-hot
+        # family flags live in carry cells 0..9: SSTORE, LOG0..4,
+        # CREATE(+CREATE2 modifier), SELFDESTRUCT, CALL-with-value.  The
+        # gadget reads IsStatic == 1 from the call context (bus access
+        # below) and, for the CALL case, the value word from the stack
+        # with a nonzero witness inverse in c_acc_m (phase 1).
+        g_wp = q * ind["ERR_WRITE_PROT"]
+        wp_cr = [Advice(self.c_carry[i]) for i in range(10)]
+        (wp_sst, wp_l0, wp_l1, wp_l2, wp_l3, wp_l4, wp_crt, wp_c2,
+         wp_sd, wp_cv) = wp_cr
+        wp_flags = [wp_sst, wp_l0, wp_l1, wp_l2, wp_l3, wp_l4, wp_crt,
+                    wp_sd, wp_cv]
+        wp_sum = None
+        for j, f_ in enumerate(wp_cr):
+            cs.create_gate(f"ERR_WP flag {j} bool", g_wp * f_ * (f_ - 1))
+        for f_ in wp_flags:
+            wp_sum = f_ if wp_sum is None else wp_sum + f_
+        cs.create_gate("ERR_WP one family", g_wp * (wp_sum - 1))
+        cs.create_gate("ERR_WP c2 implies create", g_wp * wp_c2 * (1 - wp_crt))
+        wp_byte = (wp_sst * 0x55 + wp_l0 * 0xA0 + wp_l1 * 0xA1
+                   + wp_l2 * 0xA2 + wp_l3 * 0xA3 + wp_l4 * 0xA4
+                   + wp_crt * 0xF0 + wp_c2 * 5 + wp_sd * 0xFF
+                   + wp_cv * 0xF1)
+        cs.create_gate("ERR_WP op byte", g_wp * (opb_e - wp_byte))
+        # CALL family: the transferred value must be nonzero (zero-value
+        # CALLs are allowed in static frames, EIP-214)
+        cs.create_gate(
+            "ERR_WP call value nonzero",
+            g_wp * wp_cv * (Advice(self.c_val_a) * Advice(self.c_acc_m) - 1),
+        )
+        cs.create_gate(
+            "ERR_WP rwc",
+            q * q_n * ind["ERR_WRITE_PROT"] * (rwc_n - rwc - 1 - wp_cv),
+        )
+        self._wp_cv = wp_cv
 
         # ---- word-sum gadget (AddWords): x + y = z mod 2^256 over byte
         # cells, shared by ADD (va+vb=vc) and SUB (vc+vb=va) ----------------
@@ -1698,6 +1761,21 @@ class EvmCircuit(Circuit):
         gretn = q * q_n * ind["RET"]
         rtn, stp, rvt, fmin = cr[20], cr[21], cr[22], cr[23]
         cs.create_gate("RET variant one-hot", gret * (rtn + stp + rvt - 1))
+        # error-unwind modifier (carry cell 25): the frame ended on an
+        # error row, not on a terminator opcode — rides the STOP variant
+        # (no pops, no return data, no bytecode binding) but pushes 0 to
+        # the caller and exposes no return data (reference
+        # CommonErrorGadget restore_context, execution/error_*.rs).  A
+        # ferr row must directly follow an error-state row.
+        ferr = cr[25]
+        cs.create_gate("RET ferr bool", gret * ferr * (ferr - 1))
+        cs.create_gate("RET ferr variant", gret * ferr * (1 - stp))
+        e_all_prev = None
+        for ek in ("ERR_STACK", "ERR_OOG", "ERR_JUMP", "ERR_RDOOB",
+                   "ERR_WRITE_PROT", "ERR_INVALID_OP"):
+            t_ = Advice(self.c_ind[ek], -1)
+            e_all_prev = t_ if e_all_prev is None else e_all_prev + t_
+        cs.create_gate("RET ferr prev error", gret * ferr * (1 - e_all_prev))
         # init-frame return flag (create path of return_revert.rs): the
         # parent receives the created ADDRESS (success) / 0 (revert)
         # instead of a success bit, successful creates expose no return
@@ -1782,6 +1860,7 @@ class EvmCircuit(Circuit):
         self._ret_retoff4 = retoff4
         self._ret_retlen4 = retlen4
         self._ret_fcr = fcr
+        self._ret_ferr = ferr
         self._ret_caddr_rlc = caddr_rlc
 
         # ---- LOG0..LOG4 (reference execution/logs.rs): pops (offset,
@@ -2622,7 +2701,8 @@ class EvmCircuit(Circuit):
             # error rows: the failing opcode byte (c_depth_n) is the code
             # byte at pc, like any executed opcode
             err_any = (ind["ERR_STACK"] + ind["ERR_OOG"]
-                       + ind["ERR_JUMP"] + ind["ERR_RDOOB"])
+                       + ind["ERR_JUMP"] + ind["ERR_RDOOB"]
+                       + ind["ERR_WRITE_PROT"] + ind["ERR_INVALID_OP"])
             op_expr = op_expr + err_any * nd_e
             g_code = g_code + err_any
             for g, byte in OPCODE_BYTE.items():
@@ -2799,6 +2879,13 @@ class EvmCircuit(Circuit):
             access(g_rd, 2, 0, sp + 2, vc),
             access(g_rd, 3, 0, 0, fold4_int(ab4), tag=ctxtag,
                    field=int(CCF.LastCalleeReturnDataLength)),
+            # ERR_WRITE_PROT: the frame's IsStatic flag must be 1; the
+            # CALL family additionally proves the value word is nonzero
+            # (stack slot sp+2: gas, to, value, ...)
+            access(q * ind["ERR_WRITE_PROT"], 0, 0, 0, 1, tag=ctxtag,
+                   field=int(CCF.IsStatic)),
+            access(q * ind["ERR_WRITE_PROT"] * self._wp_cv, 1, 0, sp + 2,
+                   va),
             # block/tx context pushes: write va at sp-1
             access(
                 q * (ind["TIMESTAMP"] + ind["NUMBER"] + ind["COINBASE"]
@@ -2914,7 +3001,9 @@ class EvmCircuit(Circuit):
         # last-callee bookkeeping written to the CALLER's context.
         # Successful creates (fcr * (rtn+stp)) expose NO return data.
         fcr_b = self._ret_fcr
-        ret_ok = rtn_b + stp_b
+        # error-unwind rows push 0 and expose no data: the ferr modifier
+        # cancels the STOP variant's success contribution
+        ret_ok = rtn_b + stp_b - self._ret_ferr
         hide = fcr_b * ret_ok
         ret_writes = [
             (int(CallContextField.LastCalleeId), Advice(self.c_call_id)),
@@ -3192,12 +3281,19 @@ class EvmCircuit(Circuit):
                     [gbt * txid, gbt * int(TT.CallDataLength), gbt * 0,
                      gbt * vc],
                     # gas anchor: BEGIN_TX.gas is the tx gas limit; its
-                    # gas_cost is 21000 + calldata gas (the TxTable commits
-                    # CallDataGasCost, reference execution/begin_tx.rs)
+                    # gas_cost is 21000 + calldata gas + access-list gas
+                    # (the TxTable commits CallDataGasCost and the
+                    # EIP-2930 AccessListGasCost / AccessListRows,
+                    # reference execution/begin_tx.rs)
                     [gbt * txid, gbt * int(TT.Gas), gbt * 0,
                      gbt * Advice(self.c_gas_left)],
                     [gbt * txid, gbt * int(TT.CallDataGasCost), gbt * 0,
-                     gbt * (Advice(self.c_gas_cost) - 21000)],
+                     gbt * (Advice(self.c_gas_cost) - 21000
+                            - Advice(self.c_eo))],
+                    [gbt * txid, gbt * int(TT.AccessListGasCost), gbt * 0,
+                     gbt * Advice(self.c_eo)],
+                    [gbt * txid, gbt * int(TT.AccessListRows), gbt * 0,
+                     gbt * Advice(self.c_gas_aux)],
                 ],
                 self.tx_table,
             )
@@ -3341,6 +3437,11 @@ class EvmCircuit(Circuit):
                                     is not None) else 0
                 for i in range(n)
             ]),
+            self.tbl_op_invalid: mont([
+                1 if (i < 256 and (opcode_from_byte(i) is None
+                                   or i == 0xFE)) else 0
+                for i in range(n)
+            ]),
             self.tbl_pow2_lo: mont(
                 [(1 << i) if i < 128 else 0 for i in range(n)]
             ),
@@ -3452,7 +3553,8 @@ class EvmCircuit(Circuit):
             ]  # SHA3 rows overwrite theirs with the pad length below;
             # c_push_len is assigned after the per-step loop
             depth = [
-                int(s.op) if s.exec_state.startswith("ERR_")
+                (s.err_aux if s.exec_state == "ERR_INVALID_OP"
+                 else int(s.op)) if s.exec_state.startswith("ERR_")
                 else (s.op - 0x7F) if (s.op is not None and s.op.is_dup)
                 else (s.op - 0x8F) if (s.op is not None and s.op.is_swap)
                 else 0
@@ -3566,6 +3668,8 @@ class EvmCircuit(Circuit):
                 if kind in ("BEGIN_TX", "END_TX"):
                     if kind == "BEGIN_TX":
                         ez_col[si] = ops[8].value  # caller nonce_new (raw)
+                        gas_aux[si] = s.al_count  # EIP-2930 prewarm rows
+                        eo_col[si] = s.al_gas  # access-list intrinsic gas
                     else:
                         ez_col[si] = ops[1].value  # TxRefund counter (raw)
                         gas_aux[si] = s.rev_count
@@ -3618,6 +3722,24 @@ class EvmCircuit(Circuit):
                         ev_ = src_v + len_v - rdl_v - 1
                         for i in range(4):
                             gx_cols[3 + i][si] = (ev_ >> (8 * i)) & 0xFF
+                elif kind == "ERR_WRITE_PROT":
+                    op = s.op
+                    ez_col[si] = op.pops
+                    eo_col[si] = op.pushes
+                    plens[si] = op.constant_gas
+                    # family flags: carry cells 0..9 (gates above)
+                    if op == OpcodeId.SSTORE:
+                        carries[0][si] = 1
+                    elif op.is_log:
+                        carries[1 + (op - 0xA0)][si] = 1
+                    elif op in (OpcodeId.CREATE, OpcodeId.CREATE2):
+                        carries[6][si] = 1
+                        if op == OpcodeId.CREATE2:
+                            carries[7][si] = 1
+                    elif op == OpcodeId.SELFDESTRUCT:
+                        carries[8][si] = 1
+                    else:  # CALL with value
+                        carries[9][si] = 1
                 elif kind in ("ERR_STACK", "ERR_OOG"):
                     op = s.op
                     ez_col[si] = op.pops
@@ -4204,6 +4326,8 @@ class EvmCircuit(Circuit):
                         OpcodeId.REVERT: 22,
                     }[op_]
                     carries[flag_idx][si] = 1
+                    if s.is_err_ret:
+                        carries[25][si] = 1
                     dep_ = int(s.is_create_ret and op_ == OpcodeId.RETURN)
                     if s.is_create_ret:
                         carries[24][si] = 1
@@ -4532,6 +4656,18 @@ class EvmCircuit(Circuit):
             elif kind == "ERR_RDOOB":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
                 vc.append(rlc(ops[2]))
+            elif kind == "ERR_WRITE_PROT":
+                # ops[0] = IsStatic read; CALL family adds the value
+                # stack read whose RLC must be proven nonzero (inverse
+                # witness in c_acc_m)
+                if len(ops) > 1:
+                    va.append(rlc(ops[1]))
+                    # clamped, not asserted (corruption tests must fail
+                    # at the gate, not in witness generation)
+                    acc_m = pow(va[-1], -1, R) if va[-1] else 0
+                else:
+                    va.append(0)
+                vb.append(0); vc.append(0)
             else:
                 va.append(0); vb.append(0); vc.append(0)
             if inv_direct is not None:

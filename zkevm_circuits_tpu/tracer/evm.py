@@ -95,6 +95,13 @@ class Tx:
     value: int = 0
     data: bytes = b""
     nonce: int | None = None
+    # EIP-2930: [(address, [storage_key, ...]), ...] — prewarmed at tx
+    # start and charged intrinsic gas (2400/addr + 1900/key)
+    access_list: list = dataclasses.field(default_factory=list)
+    # EIP-1559 fee market: when max_fee_per_gas is set the effective
+    # gas price is min(max_fee, base_fee + max_priority_fee)
+    max_fee_per_gas: int | None = None
+    max_priority_fee_per_gas: int = 0
 
 
 class VmError(Exception):
@@ -165,6 +172,15 @@ class Interpreter:
         self.capture_memory = capture_memory
         self._tx_original = {}
         self._origin = tx.from_addr
+        # EIP-1559 effective gas price (geth core/state_transition.go):
+        # min(gasFeeCap, baseFee + gasTipCap); legacy txs pass gas_price
+        if tx.max_fee_per_gas is not None:
+            assert tx.max_fee_per_gas >= self.block.base_fee, \
+                "max fee per gas below block base fee"
+            tx.gas_price = min(
+                tx.max_fee_per_gas,
+                self.block.base_fee + tx.max_priority_fee_per_gas,
+            )
         self._gas_price = tx.gas_price
         self._revert_data = b""
         self._revert_gas = 0
@@ -176,10 +192,20 @@ class Interpreter:
         if tx.nonce is not None and sender.nonce != tx.nonce:
             raise ValueError("nonce mismatch")
 
+        # EIP-2930 access-list prewarm (geth core/state_transition.go
+        # Prepare): listed addresses + storage keys start warm
+        for al_addr, al_keys in tx.access_list:
+            self.warm_addrs.add(al_addr)
+            for k in al_keys:
+                self.warm_slots.add((al_addr, k))
+
         is_create = tx.to is None
         intrinsic = GasCost.TX + sum(
             GasCost.TX_DATA_ZERO if b == 0 else GasCost.TX_DATA_NONZERO
             for b in tx.data
+        )
+        intrinsic += sum(
+            2400 + 1900 * len(keys) for _, keys in tx.access_list
         )
         if is_create:
             intrinsic += GasCost.CREATE
@@ -390,7 +416,19 @@ class Interpreter:
     def _execute(self, fr: Frame) -> bytes:
         while True:
             if fr.pc >= len(fr.code):
-                return b""  # implicit STOP
+                # implicit STOP: geth fetches byte 0 past the code end and
+                # logs a STOP step (core/vm Contract.GetOp out-of-bounds
+                # semantics).  Empty-code frames emit no steps at all —
+                # geth never enters the interpreter for them.
+                if fr.code:
+                    self.steps.append(GethExecStep(
+                        pc=fr.pc, op=OpcodeId.STOP, gas=fr.gas, gas_cost=0,
+                        depth=fr.depth, refund=self.refund,
+                        stack=list(fr.stack),
+                        memory=(bytes(fr.memory) if self.capture_memory
+                                else b""),
+                    ))
+                return b""
             byte = fr.code[fr.pc]
             op = opcode_from_byte(byte)
             step = GethExecStep(

@@ -47,9 +47,13 @@ class ExecStep:
     rev_count: int = 0  # reversion rows appended to this step's rws
     mem_words: int = 0  # memory size in 32-byte words BEFORE this step
     is_create_ret: bool = False  # RET terminating an init-code frame
+    is_err_ret: bool = False  # RET unwinding an errored nested frame
+    al_count: int = 0  # BeginTx: EIP-2930 prewarm rows (addrs + keys)
+    al_gas: int = 0  # BeginTx: access-list intrinsic gas
     # ERR_JUMP aux: (code_len, byte_at_dest, is_code_at_dest, oor) —
-    # witness-fill inputs the circuit binds via bytecode-table lookups
-    err_aux: tuple | None = None
+    # witness-fill inputs the circuit binds via bytecode-table lookups;
+    # ERR_INVALID_OP aux: the raw undefined opcode byte
+    err_aux: tuple | int | None = None
 
 
 @dataclasses.dataclass
@@ -134,6 +138,8 @@ class TxContext:
     log_mark: int = 0  # tx log count at frame entry (revert tracking)
     gas: int = 0  # root frames: the tx gas limit (0 = derive from trace)
     gas_price: int = 0
+    # EIP-2930: [(address, [storage_key, ...]), ...] prewarmed at BeginTx
+    access_list: list = dataclasses.field(default_factory=list)
     journal_mark: int = 0  # reversible-write journal length at frame entry
     # last-callee return data bookkeeping (RETURNDATASIZE/COPY)
     last_callee_id: int = 0
@@ -271,6 +277,11 @@ class CircuitInputBuilder:
         # Account row needs it.  The first traced step starts at
         # limit - intrinsic (EIP-2028 calldata pricing).
         intrinsic = 21000 + sum(4 if b == 0 else 16 for b in ctx.calldata)
+        # EIP-2930 access-list intrinsic gas (reference
+        # eth-types tx_access_list_gas_cost)
+        intrinsic += sum(
+            2400 + 1900 * len(keys) for _, keys in ctx.access_list
+        )
         if logs:
             derived = logs[0].gas + intrinsic
             if ctx.gas == 0:
@@ -301,13 +312,14 @@ class CircuitInputBuilder:
             op = step.op
             if step.error is not None and step.error != "revert":
                 # errored step: terminal for its frame (reference
-                # bus-mapping error_* opcode modules); v1 covers root
-                # frames — the error gadgets force END_TX as successor
-                if len(frames) > 1:
-                    raise NotImplementedError(
-                        "nested-frame error unwinding pending"
-                    )
+                # bus-mapping error_* opcode modules).  Root frames are
+                # followed by END_TX; nested frames unwind to the caller
+                # through an error-RET step (reference CommonErrorGadget
+                # restore_context)
                 self._handle_error_step(fr, step)
+                if len(frames) > 1:
+                    self._handle_error_unwind(fr, frames[-2], step)
+                    frames.pop()
                 continue
             if op.is_call and nxt is not None and nxt.depth == step.depth + 1:
                 frames.append(self._handle_call(fr, step, hashes))
@@ -394,6 +406,32 @@ class CircuitInputBuilder:
         rws.append(self.rws.account_read(
             ctx.to_addr, AccountField.CodeHash, callee.code_hash
         ))
+        # EIP-2930 access-list prewarm rows, after the 13 fixed accesses
+        # (reference execution/begin_tx.rs access-list section +
+        # bus-mapping begin_tx warming): one TxAccessListAccount write
+        # per listed address, one TxAccessListAccountStorage write per
+        # listed key.  Count carried on the step (al_count) for the
+        # BEGIN_TX rwc transition.
+        al_rows = 0
+        warm_slots: set = set()
+        for al_addr, al_keys in ctx.access_list:
+            was_warm = int(al_addr in self._warm_addrs)
+            rws.append(self.rws.access_list_account_write(
+                ctx.tx_id, al_addr, 1, was_warm
+            ))
+            self._warm_addrs.add(al_addr)
+            al_rows += 1
+            for k in al_keys:
+                rws.append(self.rws.access_list_storage_write(
+                    ctx.tx_id, al_addr, k, 1,
+                    int((al_addr, k) in warm_slots),
+                ))
+                warm_slots.add((al_addr, k))
+                al_rows += 1
+        es.al_count = al_rows
+        es.al_gas = sum(
+            2400 + 1900 * len(keys) for _, keys in ctx.access_list
+        )
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
@@ -406,6 +444,8 @@ class CircuitInputBuilder:
         "out of gas": "ERR_OOG",
         "invalid jump destination": "ERR_JUMP",
         "return data out of bounds": "ERR_RDOOB",
+        "write protection": "ERR_WRITE_PROT",
+        "invalid opcode": "ERR_INVALID_OP",
     }
 
     def _handle_error_step(self, fr: TxContext, step: GethExecStep):
@@ -458,6 +498,69 @@ class CircuitInputBuilder:
                 fr.call_id, CallContextField.LastCalleeReturnDataLength,
                 len(fr.last_ret_data),
             ))
+        elif state == "ERR_WRITE_PROT":
+            # prove the frame is static + (CALL family) a nonzero value
+            # (reference execution/error_write_protection.rs)
+            rws.append(self.rws.call_context_read(
+                fr.call_id, CallContextField.IsStatic, 1
+            ))
+            if step.op == OpcodeId.CALL:
+                rws.append(self.rws.stack_read(
+                    fr.call_id, sp + 2, step.stack[-3]
+                ))
+        elif state == "ERR_INVALID_OP":
+            # no bus accesses; record the raw undefined byte (the tracer
+            # normalizes unknown bytes to OpcodeId.INVALID) — reference
+            # execution/error_invalid_opcode.rs
+            es.err_aux = fr.code[step.pc]
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
+
+    def _handle_error_unwind(self, fr: TxContext, parent: TxContext,
+                             step: GethExecStep):
+        """Error-RET step unwinding an errored nested frame: restore the
+        caller context, push 0, expose no return data, and undo the
+        frame's reversible writes (reference CommonErrorGadget's
+        restore_context, evm_circuit/execution/error_*.rs)."""
+        if self._tx_log_count > fr.log_mark:
+            raise NotImplementedError(
+                "reverting frames with logs need TxLog reversion rows"
+            )
+        es = ExecStep(
+            exec_state="RET", pc=step.pc, op=OpcodeId.STOP,
+            gas=step.gas, gas_cost=0, call_id=fr.call_id,
+            stack_pointer=STACK_BASE - len(step.stack),
+            mem_words=len(step.memory) // 32,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count, is_err_ret=True,
+            is_create_ret=fr.is_create,
+        )
+        CCF = CallContextField
+        r_ = self.rws.call_context_read
+        rws = [
+            r_(fr.call_id, CCF.CallerId, fr.caller_id),
+            r_(fr.call_id, CCF.ReturnPc, fr.ret_pc),
+            r_(fr.call_id, CCF.ReturnSp, fr.ret_sp),
+            r_(fr.call_id, CCF.ParentCalleeAddress, fr.parent_callee),
+            r_(fr.call_id, CCF.ParentCodeHash, fr.parent_code_hash),
+            r_(fr.call_id, CCF.RetOffset, fr.ret_offset),
+            r_(fr.call_id, CCF.RetLength, fr.ret_length),
+            r_(fr.call_id, CCF.IsCreate, int(fr.is_create)),
+        ]
+        w_ = self.rws.call_context_write
+        rws += [
+            w_(parent.call_id, CCF.LastCalleeId, fr.call_id),
+            w_(parent.call_id, CCF.LastCalleeReturnDataOffset, 0),
+            w_(parent.call_id, CCF.LastCalleeReturnDataLength, 0),
+        ]
+        parent.last_callee_id = fr.call_id
+        parent.last_ret_off = 0
+        parent.last_ret_data = b""
+        rws.append(self.rws.stack_write(parent.call_id, fr.ret_sp, 0))
+        undo = self._undo_journal(fr.journal_mark)
+        es.rev_count = len(undo)
+        rws += undo
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
