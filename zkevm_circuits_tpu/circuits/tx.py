@@ -61,6 +61,10 @@ class TxFieldTag(enum.IntEnum):
     SigR = 11
     SigS = 12
     CallData = 13  # per-byte rows
+    # EIP-2930 access-list commitments (reference tx.rs
+    # AccessListAddressesLen / AccessListStorageKeysLen / intrinsic gas)
+    AccessListGasCost = 14  # 2400/addr + 1900/key
+    AccessListRows = 15  # addresses + storage keys (BeginTx prewarm rows)
 
 
 FIXED_TAGS = [
@@ -68,6 +72,7 @@ FIXED_TAGS = [
     TxFieldTag.CalleeAddress, TxFieldTag.CallerAddress, TxFieldTag.IsCreate,
     TxFieldTag.Value, TxFieldTag.CallDataLength, TxFieldTag.CallDataGasCost,
     TxFieldTag.SigV, TxFieldTag.SigR, TxFieldTag.SigS,
+    TxFieldTag.AccessListGasCost, TxFieldTag.AccessListRows,
 ]
 
 # word-RLC-valued tags (the rest are raw integers)
@@ -337,6 +342,11 @@ class TxCircuit(Circuit):
                 TxFieldTag.SigV: tx.v,
                 TxFieldTag.SigR: tx.r,
                 TxFieldTag.SigS: tx.s,
+                TxFieldTag.AccessListGasCost:
+                    tx.intrinsic_access_list_gas(),
+                TxFieldTag.AccessListRows: sum(
+                    1 + len(keys) for _, keys in tx.access_list
+                ),
             }
             for tg in FIXED_TAGS:
                 tx_ids.append(tid)
