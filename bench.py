@@ -33,19 +33,26 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
-STAGE_TIMEOUT_TPU_S = 1200  # first compile via remote_compile is slow:
-# the k=18 NTT stage was measured at >420s cold / ~240s with a warm
-# compile cache through the axon tunnel (r02 timed out at 420s and fell
-# back to CPU — the budget, not the chip, was the problem)
-STAGE_TIMEOUT_CPU_S = 420
-# per-stage overrides: the MSM/prove graphs carry big EC-add inlines whose
-# first TPU compile through the axon tunnel can exceed the default budget
-STAGE_TIMEOUT_OVERRIDES = {("msm", False): 1500, ("prove", False): 1500}
+# r03 lesson (VERDICT W1): per-stage budgets of 1200-1500s summed past the
+# DRIVER's outer wall-clock cap and the whole script was killed before
+# printing anything.  The budget that matters is the driver's, not ours:
+# r02 finished (~2600s worst case) and r03 was killed (~5400s worst case),
+# so the parent now enforces ONE global deadline well under the r02-proven
+# envelope and sizes every stage budget from the time remaining.  A
+# SIGTERM/SIGINT handler prints the best-so-far line and exits 0, so even
+# an early outer kill records whatever has landed.
+TOTAL_BUDGET_S = float(os.environ.get("ZKEVM_BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
 ANCHOR_MBUTTERFLIES = 100.0  # fixed cross-round anchor (see docstring)
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.monotonic() - _T0)
 
 
 # ---------------------------------------------------------------- stages
@@ -177,69 +184,19 @@ STAGES = {"ntt": stage_ntt, "msm": stage_msm, "prove": stage_prove}
 # ---------------------------------------------------------------- parent
 
 
-def _run_stage(stage: str, cpu: bool, extra_env: dict | None = None) -> tuple[dict | None, str | None]:
-    """Run one stage in a subprocess; (result, error)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
-    if cpu:
-        cmd.append("--cpu")
-    timeout = STAGE_TIMEOUT_OVERRIDES.get(
-        (stage, cpu), STAGE_TIMEOUT_CPU_S if cpu else STAGE_TIMEOUT_TPU_S
-    )
-    env = dict(os.environ, **(extra_env or {}))
-    try:
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout, env=env)
-    except subprocess.TimeoutExpired:
-        return None, f"{stage}[{'cpu' if cpu else 'tpu'}]: timeout {timeout}s"
-    if r.returncode != 0:
-        tail = (r.stderr or r.stdout or "").strip().splitlines()
-        return None, f"{stage}[{'cpu' if cpu else 'tpu'}]: rc={r.returncode}: " + (
-            tail[-1][:200] if tail else ""
-        )
-    for line in reversed(r.stdout.strip().splitlines()):
-        try:
-            return json.loads(line), None
-        except json.JSONDecodeError:
-            continue
-    return None, f"{stage}: no JSON in stage output"
+_CHILD: subprocess.Popen | None = None
+_RESULTS: dict = {}
+_BACKENDS: dict = {}
+_ERRORS: dict = {}
+_EMITTED = False
 
 
-def main():
-    errors: dict = {}
-    results: dict = {}
-    stage_backend: dict = {}
-    tunnel_dead = False
-    for stage in ("ntt", "msm", "prove"):
-        # try TPU first (unless an earlier stage already proved it dead:
-        # an NTT-stage timeout means the tunnel hangs; a bigger-graph
-        # stage timing out does NOT condemn the tunnel for later stages)
-        if not tunnel_dead:
-            res, err = _run_stage(stage, cpu=False)
-            if res is None and err and "timeout" not in err:
-                # stage ran but died — could be a Mosaic/pallas issue
-                # through the tunnel; one retry with pallas disabled
-                res, err2 = _run_stage(
-                    stage, cpu=False, extra_env={"ZKEVM_TPU_PALLAS": "0"}
-                )
-                err = f"{err}; nopallas-retry: {err2}" if res is None else err
-            if res is not None:
-                results[stage] = res
-                stage_backend[stage] = "tpu"
-                continue
-            errors[stage + "_tpu"] = err
-            if stage == "ntt":
-                tunnel_dead = True  # the cheapest graph hung: tunnel is down
-        res, err = _run_stage(stage, cpu=True)
-        if res is not None:
-            results[stage] = res
-            stage_backend[stage] = "cpu"
-        else:
-            errors[stage + "_cpu"] = err
-
-    primary = results.get("ntt") or results.get("msm") or {
+def _compose_line() -> dict:
+    primary = _RESULTS.get("ntt") or _RESULTS.get("msm") or {
         "name": "bench_failed",
         "value": 0.0,
     }
-    is_ntt = primary is results.get("ntt")
+    is_ntt = primary is _RESULTS.get("ntt")
     # headline backend = the backend the HEADLINE metric ran on (r02 bug:
     # a later stage's fallback overwrote this even when NTT ran on-chip)
     line = {
@@ -247,18 +204,118 @@ def main():
         "value": primary["value"],
         "unit": "Mbutterflies/s" if is_ntt else "",
         "vs_baseline": round(primary["value"] / ANCHOR_MBUTTERFLIES, 4) if is_ntt else 0.0,
-        "backend": stage_backend.get("ntt" if is_ntt else "msm", "none"),
-        "backends": stage_backend,
+        "backend": _BACKENDS.get("ntt" if is_ntt else "msm", "none"),
+        "backends": dict(_BACKENDS),
     }
-    if "msm" in results:
-        line["msm_mpoints_per_s"] = results["msm"]["value"]
-        line["msm_metric"] = results["msm"]["name"]
-    if "prove" in results:
-        line["prove_seconds"] = results["prove"]["value"]
-        line["prove_metric"] = results["prove"]["name"]
-    if errors:
-        line["error"] = errors
-    print(json.dumps(line))
+    if "msm" in _RESULTS:
+        line["msm_mpoints_per_s"] = _RESULTS["msm"]["value"]
+        line["msm_metric"] = _RESULTS["msm"]["name"]
+        if "pallas" in _RESULTS["msm"]:
+            line["msm_pallas"] = _RESULTS["msm"]["pallas"]
+    if "prove" in _RESULTS:
+        line["prove_seconds"] = _RESULTS["prove"]["value"]
+        line["prove_metric"] = _RESULTS["prove"]["name"]
+    if _ERRORS:
+        line["error"] = dict(_ERRORS)
+    return line
+
+
+def _emit_and_exit(signum=None, frame=None):
+    """Print the best-so-far line exactly once and exit 0 — the driver's
+    outer `timeout` sends SIGTERM, which must still record a result."""
+    global _EMITTED
+    if _EMITTED:
+        os._exit(0)
+    _EMITTED = True
+    if _CHILD is not None and _CHILD.poll() is None:
+        try:
+            _CHILD.kill()
+        except OSError:
+            pass
+    if signum is not None:
+        _ERRORS["killed"] = f"signal {signum} at t={time.monotonic() - _T0:.0f}s"
+    sys.stdout.write(json.dumps(_compose_line()) + "\n")
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _run_stage(stage: str, cpu: bool, timeout: float,
+               extra_env: dict | None = None) -> tuple[dict | None, str | None]:
+    """Run one stage in a subprocess; (result, error)."""
+    global _CHILD
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    if cpu:
+        cmd.append("--cpu")
+    env = dict(os.environ, **(extra_env or {}))
+    try:
+        _CHILD = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env
+        )
+        out, err_out = _CHILD.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _CHILD.kill()
+        _CHILD.communicate()
+        return None, f"{stage}[{'cpu' if cpu else 'tpu'}]: timeout {timeout:.0f}s"
+    finally:
+        child, _CHILD = _CHILD, None
+    if child.returncode != 0:
+        tail = (err_out or out or "").strip().splitlines()
+        return None, f"{stage}[{'cpu' if cpu else 'tpu'}]: rc={child.returncode}: " + (
+            tail[-1][:200] if tail else ""
+        )
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, f"{stage}: no JSON in stage output"
+
+
+def _try(stage: str, cpu: bool, budget: float, reserve: float) -> bool:
+    """Run a stage if the remaining global budget allows, keeping
+    `reserve` seconds for the stages after it.  Records result/error."""
+    timeout = min(budget, _remaining() - reserve)
+    if timeout < 30:
+        _ERRORS[f"{stage}_{'cpu' if cpu else 'tpu'}"] = "skipped: budget exhausted"
+        return False
+    res, err = _run_stage(stage, cpu, timeout)
+    if res is None and err and not cpu and "timeout" not in err:
+        # stage ran but died — could be a Mosaic/pallas issue through the
+        # tunnel; one retry with pallas disabled if budget allows
+        retry_t = min(budget, _remaining() - reserve)
+        if retry_t >= 30:
+            res, err2 = _run_stage(
+                stage, cpu, retry_t, extra_env={"ZKEVM_TPU_PALLAS": "0"}
+            )
+            err = f"{err}; nopallas-retry: {err2}" if res is None else err
+    if res is not None:
+        _RESULTS[stage] = res
+        _BACKENDS[stage] = "cpu" if cpu else "tpu"
+        return True
+    _ERRORS[f"{stage}_{'cpu' if cpu else 'tpu'}"] = err
+    return False
+
+
+def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+
+    # Stage order = value order.  Reserves keep enough budget for a CPU
+    # fallback of everything after the current stage.  `prove` runs on
+    # CPU only: per-dispatch tunnel latency makes the many small jits of
+    # prove() measure the tunnel, not the chip (r03 notes: 1059s TPU vs
+    # 37s CPU at k=5) — on-chip it would be compute-bound, but through
+    # the tunnel the number is meaningless.
+    tunnel_dead = False
+    if not _try("ntt", cpu=False, budget=700, reserve=420):
+        tunnel_dead = "timeout" in str(_ERRORS.get("ntt_tpu", ""))
+        _try("ntt", cpu=True, budget=180, reserve=260)
+    if not tunnel_dead:
+        _try("msm", cpu=False, budget=600, reserve=160)
+    if "msm" not in _RESULTS:
+        _try("msm", cpu=True, budget=180, reserve=120)
+    _try("prove", cpu=True, budget=300, reserve=10)
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
@@ -271,9 +328,9 @@ if __name__ == "__main__":
     except BaseException:  # belt and braces: one JSON line, rc=0, always
         import traceback
 
-        print(json.dumps({
-            "metric": "bench_failed", "value": 0.0, "unit": "",
-            "vs_baseline": 0.0,
-            "error": traceback.format_exc(limit=3).strip().splitlines()[-1][:300],
-        }))
+        if not _EMITTED:
+            _ERRORS["driver"] = (
+                traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
+            )
+            _emit_and_exit()
     sys.exit(0)

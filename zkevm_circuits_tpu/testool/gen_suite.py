@@ -26,6 +26,11 @@ from ..crypto.keccak import keccak256
 M256 = 1 << 256
 M255 = 1 << 255
 SENDER = 0xA94F5374FCE5EDBC8E2A8697C15331677E6EBF0B  # classic tests sender
+# The official corpus's well-known sender key (GeneralStateTests fillers all
+# sign with it; SENDER above is exactly its derived address — asserted in
+# tests/test_testool_suite.py).  Without it `run_state_test` skips the mock
+# level ("no secret key for the Tx circuit", statetest.py).
+SENDER_SK = 0x45A915E4D060149EB4365960E6A7A45F334393093061116B197E3240065FF2D8
 CONTRACT = 0x095E7BAEA6A6C7C4C2DFEB977EFAC326AF552D87  # classic tests to
 
 
@@ -145,6 +150,7 @@ def _filler(name: str, code: bytes, storage_expect: dict,
             "gasLimit": ["0x989680"],
             "gasPrice": "0x0a",
             "nonce": "0x0",
+            "secretKey": f"0x{SENDER_SK:064x}",
             "sender": f"0x{SENDER:040x}",
             "to": f"0x{CONTRACT:040x}",
             "value": [hex(value)],
