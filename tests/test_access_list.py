@@ -33,12 +33,14 @@ def _run(code: Bytecode, access_list=None, **tx_kw):
     )
     tx = Tx(from_addr=SENDER, to=CONTRACT,
             access_list=access_list or [], **tx_kw)
-    tr = Interpreter(state).run_tx(tx)
+    it = Interpreter(state)
+    tr = it.run_tx(tx)
     assert not tr.failed
     b = CircuitInputBuilder()
     b.handle_tx(
         dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b"",
-             access_list=access_list or [], gas_price=tx.gas_price),
+             access_list=access_list or [],
+             gas_price=tx.effective_gas_price(it.block.base_fee)),
         tr, code_db={CONTRACT: code.to_bytes()},
     )
     return b, tr, state
@@ -105,8 +107,10 @@ def test_effective_gas_price_1559():
     cb_before = state.account(it.block.coinbase).balance
     tr = it.run_tx(tx)
     assert not tr.failed
-    # effective price = min(max_fee, base + priority) = base + 3
-    assert tx.gas_price == base + 3
+    # effective price = min(max_fee, base + priority) = base + 3;
+    # the caller's Tx is never mutated (stale-price hazard)
+    assert tx.gas_price == Tx(from_addr=0, to=0).gas_price
+    assert tx.effective_gas_price(base) == base + 3
     gp = next(s for s in tr.struct_logs if s.op.name == "GASPRICE")
     nxt = tr.struct_logs[tr.struct_logs.index(gp) + 1]
     assert nxt.stack[-1] == base + 3
@@ -123,7 +127,77 @@ def test_effective_price_capped_by_max_fee():
     )
     it = Interpreter(state)
     base = it.block.base_fee
+    # tip <= cap (valid) but base + tip > cap: price caps at max_fee
+    tx = Tx(from_addr=SENDER, to=CONTRACT, max_fee_per_gas=base + 2,
+            max_priority_fee_per_gas=base + 2)
+    tr = it.run_tx(tx)
+    assert not tr.failed
+    assert tx.effective_gas_price(base) == base + 2
+    gas_cost = (10**18 - state.account(SENDER).balance)
+    assert gas_cost == tr.gas * (base + 2)
+
+
+def test_tip_above_fee_cap_rejected():
+    """geth preCheck ErrTipAboveFeeCap: consensus-invalid on mainnet —
+    the tracer must reject, not silently execute at the fee cap."""
+    import pytest
+
+    code = Bytecode().op("STOP")
+    state = StateDB(
+        {SENDER: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    it = Interpreter(state)
+    base = it.block.base_fee
     tx = Tx(from_addr=SENDER, to=CONTRACT, max_fee_per_gas=base + 2,
             max_priority_fee_per_gas=50)
-    tr = it.run_tx(tx)
-    assert not tr.failed and tx.gas_price == base + 2
+    with pytest.raises(ValueError, match="priority fee"):
+        it.run_tx(tx)
+    # fee cap below base fee also rejected (ErrFeeCapTooLow)
+    tx = Tx(from_addr=SENDER, to=CONTRACT, max_fee_per_gas=base - 1)
+    with pytest.raises(ValueError, match="base fee"):
+        it.run_tx(tx)
+    # balance check is against cap * gas + value, not effective price
+    poor = 0xB0B
+    state.account(poor).balance = 21000 * (base + 1)
+    tx = Tx(from_addr=poor, to=CONTRACT, gas=21000,
+            max_fee_per_gas=base + 100, max_priority_fee_per_gas=1)
+    with pytest.raises(ValueError, match="insufficient funds"):
+        it.run_tx(tx)
+
+
+def test_access_list_and_error_rows_through_state_circuit():
+    """ADVICE r3: the TxAccessListAccountStorage rows and the err-RET rw
+    sequences were only ever proven through EvmCircuit — run both row
+    kinds through the StateCircuit's ordering/value_prev rules too."""
+    from zkevm_circuits_tpu.circuits.state import StateCircuit, StateParams
+
+    sp = StateParams(limb_bits=4, id_bits=8, addr_bits=16, key_bits=16,
+                     rwc_bits=8, target_rows=160)
+
+    # access-list tx: prewarm account + storage-key rows
+    code = Bytecode().push(1, 0).op("SLOAD").op("POP").op("STOP")
+    b, _, _ = _run(code, access_list=[(CONTRACT, [0, 7]), (OTHER, [])])
+    tags = {r.tag for r in b.rws.rws}
+    assert RwTag.TxAccessListAccountStorage in tags
+    MockProver(11, StateCircuit(b.rws, sp)).assert_satisfied()
+
+    # nested errored frame: err-RET unwinding rws
+    callee = Bytecode().op("ADD")  # stack underflow in the callee
+    caller = Bytecode().push(1, 0).push(1, 0).push(1, 0).push(1, 0)
+    caller.push(1, 0).push(3, OTHER).push(2, 0xFFFF).op("CALL")
+    caller.op("POP").op("STOP")
+    state = StateDB({
+        SENDER: Account(balance=10**18),
+        CONTRACT: Account(code=caller.to_bytes()),
+        OTHER: Account(code=callee.to_bytes()),
+    })
+    tr = Interpreter(state).run_tx(Tx(from_addr=SENDER, to=CONTRACT))
+    assert not tr.failed  # error is swallowed by the caller
+    b2 = CircuitInputBuilder()
+    b2.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""),
+        tr, code_db={CONTRACT: caller.to_bytes(), OTHER: callee.to_bytes()},
+    )
+    assert any("ERR" in s.exec_state for s in b2.steps)
+    MockProver(11, StateCircuit(b2.rws, sp)).assert_satisfied()

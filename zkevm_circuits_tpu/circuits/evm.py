@@ -393,7 +393,15 @@ class EvmCircuit(Circuit):
         # 6 ctx reads + 2 access-list warms + nonce bump + fee purchase +
         # value-transfer pair + callee code-hash read, plus the EIP-2930
         # prewarm rows (count in c_gas_aux, anchored to the TxTable's
-        # AccessListRows commitment below) — execution/begin_tx.rs
+        # AccessListRows commitment below) — execution/begin_tx.rs.
+        # STAGED: the prewarm rows are bound by COUNT + aggregate gas
+        # only; the per-entry addresses/keys of the TxAccessListAccount
+        # (Storage) rws are not yet tied to the tx's declared access list
+        # (the reference binds them via an access-list copy event,
+        # copy_circuit.rs CopyDataType::AccessListAddresses).  Exact
+        # per-entry binding lands with the access-list copy kind; until
+        # the AL value_prev gas binding lands this is latent (warm/cold
+        # gas is itself membership-only above).
         gate_bt_n = q * q_n * bt
         al_n_cell = Advice(self.c_gas_aux)
         cs.create_gate("BEGIN_TX pc step", gate_bt_n * (pc_n - pc))

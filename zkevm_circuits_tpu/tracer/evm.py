@@ -103,6 +103,15 @@ class Tx:
     max_fee_per_gas: int | None = None
     max_priority_fee_per_gas: int = 0
 
+    def effective_gas_price(self, base_fee: int) -> int:
+        """geth core/state_transition.go effectiveGasPrice — pure; the
+        interpreter never mutates the caller's Tx (it used to write
+        tx.gas_price, which carried stale prices across blocks)."""
+        if self.max_fee_per_gas is None:
+            return self.gas_price
+        return min(self.max_fee_per_gas,
+                   base_fee + self.max_priority_fee_per_gas)
+
 
 class VmError(Exception):
     def __init__(self, name: str):
@@ -172,16 +181,19 @@ class Interpreter:
         self.capture_memory = capture_memory
         self._tx_original = {}
         self._origin = tx.from_addr
-        # EIP-1559 effective gas price (geth core/state_transition.go):
-        # min(gasFeeCap, baseFee + gasTipCap); legacy txs pass gas_price
+        # EIP-1559 preCheck + effective gas price (geth
+        # core/state_transition.go): reject ErrTipAboveFeeCap and
+        # ErrFeeCapTooLow, then price = min(gasFeeCap, baseFee + tip);
+        # legacy txs pass gas_price.  The Tx object is NOT mutated.
         if tx.max_fee_per_gas is not None:
-            assert tx.max_fee_per_gas >= self.block.base_fee, \
-                "max fee per gas below block base fee"
-            tx.gas_price = min(
-                tx.max_fee_per_gas,
-                self.block.base_fee + tx.max_priority_fee_per_gas,
-            )
-        self._gas_price = tx.gas_price
+            if tx.max_priority_fee_per_gas > tx.max_fee_per_gas:
+                raise ValueError(
+                    "max priority fee per gas higher than max fee per gas"
+                )
+            if tx.max_fee_per_gas < self.block.base_fee:
+                raise ValueError("max fee per gas less than block base fee")
+        gas_price = tx.effective_gas_price(self.block.base_fee)
+        self._gas_price = gas_price
         self._revert_data = b""
         self._revert_gas = 0
         self.warm_addrs = {tx.from_addr, self.block.coinbase}
@@ -213,8 +225,13 @@ class Interpreter:
         if tx.gas < intrinsic:
             raise ValueError("intrinsic gas too low")
 
-        sender.balance -= tx.gas * tx.gas_price
-        assert sender.balance >= 0, "insufficient balance for gas"
+        # geth buyGas: the balance check is against the FEE CAP (worst
+        # case) + value, the deduction against the effective price
+        cap = tx.max_fee_per_gas if tx.max_fee_per_gas is not None \
+            else gas_price
+        if sender.balance < tx.gas * cap + tx.value:
+            raise ValueError("insufficient funds for gas * price + value")
+        sender.balance -= tx.gas * gas_price
         sender.nonce += 1
         gas = tx.gas - intrinsic
 
@@ -235,9 +252,9 @@ class Interpreter:
         gas_used = tx.gas - gas_left
         refund = min(self.refund, gas_used // 5)
         gas_used -= refund
-        sender.balance += (tx.gas - gas_used) * tx.gas_price
+        sender.balance += (tx.gas - gas_used) * gas_price
         st.account(self.block.coinbase).balance += gas_used * max(
-            0, tx.gas_price - self.block.base_fee
+            0, gas_price - self.block.base_fee
         )
         return GethExecTrace(
             gas=gas_used,
