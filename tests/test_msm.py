@@ -5,6 +5,7 @@ compiles once (the EC graphs are compile-heavy on CPU).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -61,3 +62,30 @@ def test_msm_sharded_matches(rng):
     fn = make_sharded_msm(mesh, "x", lanes=LANES)
     got = cv.g1_to_affine_ints(jax.tree.map(lambda x: x[None], fn(pts, sc)))
     assert got[0] == _oracle(base, scalars)
+
+
+@pytest.mark.slow
+def test_msm_grid_matches_oracle(rng):
+    """Bucket-grid MSM (the TPU fast path, jnp-add flavour) + the fused
+    Pallas add kernel in interpret mode vs the host oracle.  Covers zero
+    scalars (masked digit-0 buckets), duplicate points (bucket
+    collisions -> in-kernel doubling branch) and infinity padding."""
+    from zkevm_circuits_tpu.poly.msm import msm_grid
+
+    n = 24
+    base = [cv.host_g1_mul(G1_GEN, int(rng.integers(1, 1 << 60)))
+            for _ in range(n - 2)]
+    base += [base[0], base[1]]  # duplicate points
+    scalars = [int.from_bytes(rng.bytes(40), "little") % FR_MODULUS
+               for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    pts = cv.g1_from_affine_ints(base)
+    sc = jnp.asarray(np.array([to_digits(s) for s in scalars], np.uint8))
+    want = _oracle(base, scalars)
+    got = msm_grid(pts, sc, use_pallas=False)
+    assert cv.g1_to_affine_ints(jax.tree.map(lambda x: x[None], got))[0] \
+        == want
+    got2 = msm_grid(pts, sc, use_pallas=True, interpret=True)
+    assert cv.g1_to_affine_ints(jax.tree.map(lambda x: x[None], got2))[0] \
+        == want

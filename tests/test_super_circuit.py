@@ -581,7 +581,9 @@ def test_super_circuit_full_catches_copy_corruption():
                 # tx table claims a different calldata byte than the copy
                 arr = np.array(cols[self.tx.c_value])
                 # calldata rows start after the fixed-field region
-                row = self.tx.params.max_txs * 12  # len(FIXED_TAGS)
+                from zkevm_circuits_tpu.circuits.tx import FIXED_TAGS
+
+                row = self.tx.params.max_txs * len(FIXED_TAGS)
                 arr[row] = F.from_int(0x99 * F.R % F.modulus)
                 cols[self.tx.c_value] = arr
             return cols

@@ -1,0 +1,118 @@
+"""SuperCircuit <-> two-level MPT composition + PI state-root imports.
+
+VERDICT r3 item 5: the account-level trie existed standalone but the
+SuperCircuit composed no MptCircuit (reference wires it at
+super_circuit.rs:310-314) and the PI state roots were free witness
+(super_circuit.rs:698-707).  These tests prove the composed chain:
+State groups -> storage subtries -> account trie -> PI root byte folds.
+"""
+
+import numpy as np
+import pytest
+
+from zkevm_circuits_tpu.circuits.pi import PublicData
+from zkevm_circuits_tpu.circuits.super_circuit import SuperCircuit
+from zkevm_circuits_tpu.crypto.field import fr
+from zkevm_circuits_tpu.crypto.keccak import keccak256
+from zkevm_circuits_tpu.crypto.params import FR_MODULUS as R
+from zkevm_circuits_tpu.plonk.mock import MockProver
+from zkevm_circuits_tpu.tracer import Account, Interpreter, StateDB, Tx
+from zkevm_circuits_tpu.types import Bytecode
+from zkevm_circuits_tpu.types.transaction import Transaction
+from zkevm_circuits_tpu.witness.builder import CircuitInputBuilder
+from zkevm_circuits_tpu.witness.mpt import AccountFields
+
+F = fr()
+CONTRACT = 0xC0DE
+SK = 0x3333333333333333333333333333333333333333333333333333333333333333
+
+
+@pytest.fixture(scope="module")
+def witness():
+    code = (
+        Bytecode()
+        .push(1, 0x2A).push(1, 5).op("SSTORE")
+        .push(2, 0x1234).push(1, 7).op("SSTORE")
+        .op("STOP")
+    )
+    txs = [Transaction(nonce=0, to=CONTRACT, chain_id=1337).sign(SK)]
+    sender = txs[0].recover_sender()
+    state = StateDB(
+        {sender: Account(balance=10**18),
+         CONTRACT: Account(code=code.to_bytes())}
+    )
+    tr = Interpreter(state).run_tx(Tx(from_addr=sender, to=CONTRACT))
+    assert not tr.failed
+    ch = int.from_bytes(keccak256(code.to_bytes()), "big")
+    b = CircuitInputBuilder(
+        accounts={sender: (0, 10**18, 0), CONTRACT: (0, 0, ch)}
+    )
+    b.handle_tx(
+        dict(from_addr=sender, to_addr=CONTRACT, value=0, calldata=b"",
+             code_hash=ch),
+        tr, code_db={CONTRACT: code.to_bytes()},
+    )
+    before = {
+        sender: AccountFields(balance=10**18),
+        CONTRACT: AccountFields(code_hash=ch, code_size=len(code)),
+    }
+    return b, [code], txs, before
+
+
+def test_super_two_level_composed(witness):
+    b, codes, txs, before = witness
+    circ = SuperCircuit(b, codes, txs, accounts_before=before)
+    assert circ.mpt_stor is not None and circ.mpt_acct is not None
+    old_root, new_root = circ.state_roots
+    assert old_root != new_root  # the block changed state
+    MockProver(11, circ).assert_satisfied()
+
+
+def test_super_two_level_hidden_write_rejected(witness):
+    """Dropping the account-trie updates' effect (stale storage root in
+    the CONTRACT leaf) must fail the composed proof."""
+    import dataclasses as dc
+
+    b, codes, txs, before = witness
+    circ = SuperCircuit(b, codes, txs, accounts_before=before)
+    # forge: CONTRACT's new leaf keeps the OLD storage root
+    for i, au in enumerate(circ.mpt_acct.updates):
+        pass
+    for i, au in enumerate(circ._mpt_accounts):
+        if au.addr == CONTRACT:
+            circ._mpt_accounts[i] = dc.replace(
+                au, new=dc.replace(au.new, storage_root=au.old.storage_root)
+            )
+    circ.mpt_acct.accounts = circ._mpt_accounts
+    circ.mpt_acct.updates = [a.mpt for a in circ._mpt_accounts]
+    failures = MockProver(11, circ).verify()
+    assert failures, "stale storage root must break the composition"
+
+
+@pytest.mark.slow
+def test_super_pi_binds_state_roots(witness):
+    """PI prev/post_state_root bytes are copy-bound to the account-trie
+    roots: matching roots satisfy; foreign roots break the copy."""
+    b, codes, txs, before = witness
+    probe = SuperCircuit(b, codes, txs, accounts_before=before)
+    old_root, new_root = probe.state_roots
+
+    def pd_with(prev: int, post: int) -> PublicData:
+        return PublicData(
+            chain_id=1337,
+            prev_state_root=prev.to_bytes(32, "big"),
+            post_state_root=post.to_bytes(32, "big"),
+            withdraw_root=b"\x00" * 32,
+            data_hash=keccak256(b"d"),
+        )
+
+    pd = pd_with(old_root, new_root)
+    circ = SuperCircuit(b, codes, txs, accounts_before=before,
+                        public_data=pd)
+    MockProver(13, circ, [pd.instance()]).assert_satisfied()
+
+    bad_pd = pd_with(old_root, (new_root + 1) % R)
+    bad = SuperCircuit(b, codes, txs, accounts_before=before,
+                       public_data=bad_pd)
+    failures = MockProver(13, bad, [bad_pd.instance()]).verify()
+    assert failures, "foreign post_state_root must break the PI binding"

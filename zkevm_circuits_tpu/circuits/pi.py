@@ -73,6 +73,10 @@ class PublicData:
         return [int.from_bytes(d[:16], "big"), int.from_bytes(d[16:], "big")]
 
 
+ROOT_PREV_OFF = 8  # byte offset of prev_state_root in pi_bytes
+ROOT_POST_OFF = 40
+
+
 class PiCircuit(Circuit):
     def __init__(self, public_data: PublicData):
         self.pd = public_data
@@ -159,9 +163,38 @@ class PiCircuit(Circuit):
         inputs = [[q * byte]] + [[q1 * d_] for d_ in dig]
         cs.lookup_logup("pi byte ranges", inputs, byte_table)
 
+        # state-root byte folds: a running big-endian fold column over the
+        # prev_state_root (rows 8..39) and post_state_root (rows 40..71)
+        # byte rows; the cells at rows 39/71 equal the root FIELD values
+        # and are exposed for copy-binding to the account-trie MPT
+        # circuit's root cells (reference super_circuit.rs:698-707 state
+        # root imports).  Mod-R encoding note: fold(bytes) == root mod R;
+        # a non-canonical byte encoding (root + R) would satisfy the fold
+        # but change the keccak digest, which the L1-side chunk-hash
+        # recomputation rejects — the digest, not the fold, carries the
+        # statement (documented divergence from the reference's hi/lo
+        # split).
+        self.q_rstart = cs.fixed_column()  # rows 8 and 40
+        self.q_rstep = cs.fixed_column()  # rows 9..39 and 41..71
+        self.c_rfold = cs.advice_column()
+        rf, rf_prev = Advice(self.c_rfold), Advice(self.c_rfold, -1)
+        cs.create_gate("pi root fold start", Fixed(self.q_rstart) * (rf - byte))
+        cs.create_gate(
+            "pi root fold step",
+            Fixed(self.q_rstep) * (rf - rf_prev * 256 - byte),
+        )
+        cs.enable_equality("advice", self.c_rfold)
         cs.enable_equality("advice", self.c_hi)
         cs.enable_equality("advice", self.c_lo)
         cs.enable_equality("instance", self.inst)
+
+    def state_root_cells(self):
+        """(prev_root, post_root) fold cells — copy these to the account
+        MPT circuit's first old_root / last new_root cells."""
+        return (
+            Cell("advice", self.c_rfold, ROOT_PREV_OFF + 31),
+            Cell("advice", self.c_rfold, ROOT_POST_OFF + 31),
+        )
 
     def copy_constraints(self, n: int):
         return [
@@ -184,6 +217,15 @@ class PiCircuit(Circuit):
                 [padded[i] if N_PI_BYTES <= i < N_PADDED else 0
                  for i in range(n)]
             ),
+            self.q_rstart: mont(
+                [1 if i in (ROOT_PREV_OFF, ROOT_POST_OFF) else 0
+                 for i in range(n)]
+            ),
+            self.q_rstep: mont(
+                [1 if (ROOT_PREV_OFF < i < ROOT_PREV_OFF + 32
+                       or ROOT_POST_OFF < i < ROOT_POST_OFF + 32) else 0
+                 for i in range(n)]
+            ),
         }
         if hasattr(self, "tbl_byte"):
             out[self.tbl_byte] = mont([i if i < 256 else 0 for i in range(n)])
@@ -202,6 +244,13 @@ class PiCircuit(Circuit):
             hi, lo = self.pd.instance()
             cols[self.c_hi] = mont([hi])
             cols[self.c_lo] = mont([lo])
+            rfold = [0] * N_PADDED
+            for off in (ROOT_PREV_OFF, ROOT_POST_OFF):
+                acc = 0
+                for j in range(32):
+                    acc = (acc * 256 + pi[off + j]) % R
+                    rfold[off + j] = acc
+            cols[self.c_rfold] = mont(rfold)
             return cols
         # phase 1: RLC accumulators under the keccak challenge
         r_chal = challenges[self.r.index]

@@ -83,7 +83,14 @@ class SuperCircuit(Circuit):
                  public_data: PublicData | None = None,
                  poseidon_events: list[PoseidonEvent] | None = None,
                  with_keccak: bool = False, with_sig: bool = False,
-                 block=None):
+                 block=None, accounts_before: dict | None = None):
+        """accounts_before: {addr: AccountFields} pre-state — enables the
+        TWO-LEVEL MPT composition (reference super_circuit.rs:310-314):
+        per-account storage subtries + the account trie, coupled to the
+        State circuit's Storage/Account groups, with the account-trie
+        roots copy-bound into the PI circuit's state-root byte folds
+        (super_circuit.rs:698-707).  `self.state_roots` then carries the
+        (old, new) account-trie roots the PublicData must match."""
         p = params or SuperParams()
         self.params = p
         self.state = StateCircuit(builder.rws, p.state)
@@ -217,9 +224,45 @@ class SuperCircuit(Circuit):
             self.block = BlockCircuit(block)
             self.subs.append(self.block)
 
+        # two-level MPT: storage subtries + account trie
+        self.mpt_stor = self.mpt_acct = None
+        self.state_roots = None
+        self._mpt_groups = None
+        if accounts_before is not None:
+            from ..witness.mpt import two_level_updates_from_rws
+            from .mpt import MptCircuit
+
+            storage, groups, accounts, (atrie, _subtries) = \
+                two_level_updates_from_rws(builder.rws.rws, accounts_before)
+            self._mpt_groups = groups
+            self._mpt_accounts = accounts
+            if storage:
+                self.mpt_stor = MptCircuit(
+                    storage=storage, two_level=True,
+                    chain_groups=[g[1] for g in groups],
+                )
+                self.subs.append(self.mpt_stor)
+            self.mpt_acct = MptCircuit(accounts=accounts)
+            self.subs.append(self.mpt_acct)
+            if accounts:
+                first = self.mpt_acct.updates[0]
+                last = self.mpt_acct.updates[-1]
+                self.state_roots = (first.old_root, last.new_root)
+
     def configure(self, cs: ConstraintSystem):
         r_word = cs.challenge(phase=0)
-        self.state.configure(cs, challenge=r_word)
+        mpt_storage_table = mpt_account_table = None
+        if self.mpt_acct is not None:
+            if self.mpt_stor is not None:
+                self.mpt_stor.configure(cs, challenge=r_word)
+                mpt_storage_table = self.mpt_stor.storage_table
+            self.mpt_acct.configure(cs, challenge=r_word)
+            mpt_account_table = self.mpt_acct.account_table
+        self.state.configure(
+            cs, challenge=r_word,
+            mpt_storage_table=mpt_storage_table,
+            mpt_account_table=mpt_account_table,
+        )
         rw_table = self.state.rw_table_exprs()
         keccak_table = None
         if self.keccak is not None:
@@ -324,6 +367,40 @@ class SuperCircuit(Circuit):
         out = []
         for sub in self.subs:
             out.extend(sub.copy_constraints(n))
+        # two-level glue: subtrie roots <-> account leaf sroot cells,
+        # addresses carried (the TwoLevel pattern, tests/test_account_trie)
+        if self.mpt_acct is not None and self._mpt_groups is not None:
+            group_span = {}
+            j = 0
+            for addr, cnt, _, _ in self._mpt_groups:
+                group_span[addr] = (j, j + cnt - 1)
+                j += cnt
+            for i, au in enumerate(self._mpt_accounts):
+                cells = self.mpt_acct.account_cells(i)
+                if self.mpt_stor is not None and au.addr in group_span:
+                    j0, j1 = group_span[au.addr]
+                    out.append((cells["sroot_old"],
+                                self.mpt_stor.update_root_cells(j0)[0]))
+                    out.append((cells["sroot_new"],
+                                self.mpt_stor.update_root_cells(j1)[1]))
+                    for jj in range(j0, j1 + 1):
+                        out.append((self.mpt_stor.storage_addr_cell(jj),
+                                    cells["addr"]))
+                else:
+                    out.append((cells["sroot_old"], cells["sroot_new"]))
+            # PI state-root imports: the byte folds of prev/post roots in
+            # the chunk header equal the account trie's chain endpoints
+            if self.pi is not None and self.mpt_acct.updates:
+                prev_c, post_c = self.pi.state_root_cells()
+                out.append((
+                    prev_c, self.mpt_acct.update_root_cells(0)[0]
+                ))
+                out.append((
+                    post_c,
+                    self.mpt_acct.update_root_cells(
+                        len(self.mpt_acct.updates) - 1
+                    )[1],
+                ))
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):

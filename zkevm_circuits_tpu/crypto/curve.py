@@ -197,6 +197,25 @@ def g1_scalar_mul(p: G1, scalar_digits: jnp.ndarray) -> G1:
     return jax.lax.fori_loop(0, 32, body2, acc)
 
 
+def g1_normalize(p: G1) -> G1:
+    """Batch-normalize Jacobian points to affine form (z in {0, mont(1)}):
+    one batched inversion over the whole batch.  Infinity rows stay
+    (1, 1, 0).  Needed by the MSM grid's affine fast path (SRS layout)."""
+    import jax
+
+    flat_z = p.z.reshape(-1, 32)
+    zinv = F.batch_inv(flat_z, axis=0).reshape(p.z.shape)
+    zinv2 = F.square(zinv)
+    zinv3 = F.mul(zinv2, zinv)
+    inf = F.is_zero(p.z)
+    one = jnp.broadcast_to(jnp.asarray(F.ONE_MONT), p.z.shape).astype(jnp.uint8)
+    return G1(
+        F.select(inf, p.x, F.mul(p.x, zinv2)),
+        F.select(inf, p.y, F.mul(p.y, zinv3)),
+        F.select(inf, jnp.zeros_like(p.z), one),
+    )
+
+
 def g1_generator(shape=()) -> G1:
     pts = g1_from_affine_ints([G1_GEN])
     if shape == ():

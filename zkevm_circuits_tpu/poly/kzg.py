@@ -84,6 +84,12 @@ class Srs:
         scalars = F.from_mont(F.power_table(tau, n))
         gen = g1_generator((n,))
         g1_powers = g1_scalar_mul(gen, scalars)
+        from ..crypto.curve import g1_normalize
+
+        # affine layout (z in {0, mont(1)}): production SRS files ship
+        # affine points too, and the MSM grid's 6-mul level-0 kernel
+        # requires it (poly/msm.py msm_grid distinct=True)
+        g1_powers = g1_normalize(G1(*g1_powers))
         g1_powers = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), g1_powers)
         s_g2 = pr.g2_scalar_mul(pr.G2_GENERATOR, tau)
         return cls(k=k, g1_powers=G1(*g1_powers), g2=pr.G2_GENERATOR, s_g2=s_g2)
@@ -93,7 +99,8 @@ class Srs:
         m = coeffs.shape[0]
         plain = F.from_mont(coeffs)  # MSM scalars are plain LE bytes
         pts = G1(self.g1_powers.x[:m], self.g1_powers.y[:m], self.g1_powers.z[:m])
-        return msm(pts, plain)
+        # SRS powers are pairwise-distinct affine points -> fast kernels
+        return msm(pts, plain, distinct=True)
 
     def _host_powers(self) -> list:
         """Affine int pairs of the G1 powers (cached; one device sync)."""

@@ -188,15 +188,165 @@ def _msm_jit(points: G1, scalars_u8, lanes: int):
     return _msm_impl(points.x, points.y, points.z, scalars_u8, lanes)
 
 
+# ---------------------------------------------------------------------------
+# bucket-grid MSM (the single-chip fast path)
+# ---------------------------------------------------------------------------
+# Scatter-free Pippenger: per window, argsort the digits and GATHER the
+# points into a (256 buckets, S slots) grid padded with infinity — bucket
+# sums then reduce by uniform tree halvings (dense vectorized complete
+# adds, no scatter, no lane-private bucket arrays).  Each halving level is
+# ONE fused Pallas g1_add kernel pass (ops/pallas_curve.py), so the HBM
+# traffic per add is coordinate I/O only.  S is the max occupancy of any
+# nonzero bucket (one tiny host sync, rounded up to a power of two so jit
+# recompiles stay O(log n)); digit-0 points are masked out entirely, so
+# zero-heavy scalar vectors (padded polynomials) cost nothing.
+
+
+def _grid_add(ax, ay, az, bx, by, bz, use_pallas: bool, interpret: bool,
+              mode: str = "complete"):
+    if use_pallas:
+        from ..ops.pallas_curve import g1_add_fused
+
+        return g1_add_fused(ax, ay, az, bx, by, bz, interpret, mode)
+    s = g1_add(G1(ax, ay, az), G1(bx, by, bz))
+    return s.x, s.y, s.z
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _msm_grid_jit(px, py, pz, digits, s_slots: int, use_pallas: bool,
+                  interpret: bool = False, distinct: bool = False):
+    """px/py/pz: (n+1, 32) u8 with row n = infinity sentinel;
+    digits: (32, n) int32 window digits."""
+    n = digits.shape[1]
+    n_win = digits.shape[0]
+    S = s_slots
+    b_idx = jnp.arange(N_BUCKETS)
+
+    def window_buckets(w, acc):
+        d = digits[w]
+        order = jnp.argsort(d)
+        sd = d[order]
+        starts = jnp.searchsorted(sd, b_idx)  # (256,)
+        counts = jnp.concatenate([starts[1:], jnp.array([n])]) - starts
+        r = jnp.arange(S)
+        pos = jnp.clip(starts[:, None] + r[None, :], 0, max(n - 1, 0))
+        valid = (r[None, :] < counts[:, None]) & (b_idx > 0)[:, None]
+        idx = jnp.where(valid, order[pos], n)  # sentinel -> infinity row
+        gx = px[idx].reshape(N_BUCKETS * S, 32)
+        gy = py[idx].reshape(N_BUCKETS * S, 32)
+        gz = pz[idx].reshape(N_BUCKETS * S, 32)
+        cur = S
+        first = True
+        while cur > 1:
+            half = cur // 2
+            gx = gx.reshape(N_BUCKETS, cur, 32)
+            gy = gy.reshape(N_BUCKETS, cur, 32)
+            gz = gz.reshape(N_BUCKETS, cur, 32)
+            m = N_BUCKETS * half
+            # distinct-input mode: level 0 operands are affine SRS points
+            # (z in {0, mont(1)}: 6-mul kernel), later levels distinct
+            # partial sums (16-mul incomplete kernel).
+            mode = ("affine" if first else "incomplete") if distinct \
+                else "complete"
+            gx, gy, gz = _grid_add(
+                gx[:, 0::2].reshape(m, 32), gy[:, 0::2].reshape(m, 32),
+                gz[:, 0::2].reshape(m, 32), gx[:, 1::2].reshape(m, 32),
+                gy[:, 1::2].reshape(m, 32), gz[:, 1::2].reshape(m, 32),
+                use_pallas, interpret, mode,
+            )
+            cur = half
+            first = False
+        ax, ay, az = acc
+        ax = jax.lax.dynamic_update_index_in_dim(
+            ax, gx.reshape(N_BUCKETS, 32), w, 0)
+        ay = jax.lax.dynamic_update_index_in_dim(
+            ay, gy.reshape(N_BUCKETS, 32), w, 0)
+        az = jax.lax.dynamic_update_index_in_dim(
+            az, gz.reshape(N_BUCKETS, 32), w, 0)
+        return ax, ay, az
+
+    acc0 = g1_infinity((n_win, N_BUCKETS))
+    bx, by, bz = jax.lax.fori_loop(
+        0, n_win, window_buckets,
+        (acc0.x.astype(jnp.uint8), acc0.y.astype(jnp.uint8),
+         acc0.z.astype(jnp.uint8)),
+    )
+    wsum = _bucket_weighted_sum(G1(bx, by, bz))  # (32,) window sums
+
+    rx, ry, rz = jnp.flip(wsum.x, 0), jnp.flip(wsum.y, 0), jnp.flip(wsum.z, 0)
+
+    def horner(acc, s):
+        def dbl(_, q):
+            q2 = g1_double(G1(*q))
+            return (q2.x, q2.y, q2.z)
+
+        accp = G1(*jax.lax.fori_loop(0, 8, dbl, acc))
+        out = g1_add(accp, G1(*s))
+        return (out.x, out.y, out.z), None
+
+    (ox, oy, oz), _ = jax.lax.scan(
+        horner, (rx[0], ry[0], rz[0]), (rx[1:], ry[1:], rz[1:])
+    )
+    return ox, oy, oz
+
+
+@jax.jit
+def _grid_max_count(digits):
+    """Max occupancy over all (window, nonzero-bucket) pairs."""
+    sd = jnp.sort(digits, axis=1)  # (32, n)
+    n = digits.shape[1]
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, jnp.arange(N_BUCKETS))
+    )(sd)
+    counts = jnp.concatenate(
+        [starts[:, 1:], jnp.full((starts.shape[0], 1), n)], axis=1
+    ) - starts
+    return jnp.max(counts[:, 1:])
+
+
+def msm_grid(points: G1, scalars_u8, use_pallas: bool | None = None,
+             interpret: bool = False, distinct: bool = False) -> G1:
+    """Bucket-grid MSM (eager entry: one tiny host sync to size S).
+
+    distinct=True enables the cheap add kernels (6-mul affine level 0,
+    16-mul incomplete above) — REQUIRES all points pairwise distinct and
+    affine (z in {0, mont(1)}), the layout of SRS power batches.  The
+    default complete kernels have no preconditions."""
+    n = points.x.shape[0]
+    digits = jnp.transpose(scalars_u8.astype(jnp.int32))  # (32, n)
+    maxc = int(_grid_max_count(digits))
+    S = 1 << max(3, (maxc - 1).bit_length()) if maxc else 8
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    inf = g1_infinity((1,))
+    px = jnp.concatenate([points.x, inf.x.astype(points.x.dtype)])
+    py = jnp.concatenate([points.y, inf.y.astype(points.y.dtype)])
+    pz = jnp.concatenate([points.z, inf.z.astype(points.z.dtype)])
+    return G1(*_msm_grid_jit(
+        px, py, pz, digits, S, use_pallas, interpret, distinct
+    ))
+
+
 def default_lanes(n: int) -> int:
     """Pick lane width: wide enough to feed the VPU, small enough that the
     (lanes, 32, 256) private bucket array stays ~100s of MB."""
     return max(1, min(512, 1 << max(0, (n.bit_length() - 4))))
 
 
-def msm(points: G1, scalars_u8, lanes: int | None = None) -> G1:
-    """sum_i scalars[i] * points[i] -> single Jacobian point."""
+def msm(points: G1, scalars_u8, lanes: int | None = None,
+        distinct: bool = False) -> G1:
+    """sum_i scalars[i] * points[i] -> single Jacobian point.
+
+    Dispatch: on the TPU backend large inputs take the bucket-grid path
+    (fused Pallas adds); elsewhere (CPU tests, and inside shard_map where
+    the host sync for S is impossible) the lane-private scan path.
+    distinct=True: see msm_grid (SRS-batch fast path)."""
     n = points.x.shape[0]
+    if jax.default_backend() == "tpu" and n >= 4096:
+        try:
+            return msm_grid(points, scalars_u8, distinct=distinct)
+        except jax.errors.ConcretizationTypeError:
+            pass  # called under a trace: fall through to the scan path
     lanes = lanes if lanes is not None else default_lanes(n)
     return G1(*_msm_jit(points, scalars_u8, lanes))
 
