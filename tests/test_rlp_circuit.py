@@ -9,7 +9,7 @@ from zkevm_circuits_tpu.types import rlp as rlp_host
 from zkevm_circuits_tpu.types.transaction import Transaction
 
 F = fr()
-K = 9
+K = 11  # each tx now carries sign + signed-envelope segments
 
 TX_SHORT = Transaction(nonce=0, gas_price=10, gas=1_000_000, to=0xC0DE,
                        value=0x1234, data=bytes([0xAA, 0xBB]), chain_id=1337)
@@ -21,7 +21,7 @@ TX_CREATE = Transaction(nonce=1, gas_price=1, gas=53000, to=None, value=0,
 
 def test_tx_rows_cover_payload():
     for tx in (TX_SHORT, TX_LONG, TX_CREATE):
-        rows, payload = _tx_rows(tx, 1)
+        rows, payload = _tx_rows(tx, 1, 0)
         body = [r for r in rows if r[1] != int(RlpTag.Pad)]
         assert bytes(r[4] for r in body) == payload
         # pad rows complete the keccak 136-byte block with pad10*1
@@ -33,8 +33,8 @@ def test_tx_rows_cover_payload():
             b"" if tx.to is None else tx.to.to_bytes(20, "big"),
             tx.value, tx.data, tx.chain_id, 0, 0,
         ])
-    assert _tx_rows(TX_LONG, 1)[1][0] == 0xF8  # long form exercised
-    assert _tx_rows(TX_SHORT, 1)[1][0] != 0xF8  # short form exercised
+    assert _tx_rows(TX_LONG, 1, 0)[1][0] == 0xF8  # long form exercised
+    assert _tx_rows(TX_SHORT, 1, 0)[1][0] != 0xF8  # short form exercised
 
 
 def test_rlp_circuit_satisfied():
@@ -124,7 +124,7 @@ TX_1559 = Transaction(
 
 def test_typed_tx_rows_cover_payload():
     for tx in (TX_2930, TX_1559):
-        rows, payload = _tx_rows(tx, 1)
+        rows, payload = _tx_rows(tx, 1, 0)
         body = [r for r in rows if r[1] != int(RlpTag.Pad)]
         assert bytes(r[4] for r in body) == payload
         assert body[0][1] == int(RlpTag.TxTypeB)
@@ -138,7 +138,7 @@ def test_rlp_circuit_typed_satisfied():
     """Legacy + 2930 + 1559 in one region: the type-aware ROM drives all
     three field orders (reference rlp_circuit_fsm.rs covers 4 tx types)."""
     MockProver(
-        10, RlpCircuit([TX_SHORT, TX_2930, TX_1559])
+        11, RlpCircuit([TX_SHORT, TX_2930, TX_1559])
     ).assert_satisfied()
 
 

@@ -116,3 +116,44 @@ def test_super_pi_binds_state_roots(witness):
                        public_data=bad_pd)
     failures = MockProver(13, bad, [bad_pd.instance()]).verify()
     assert failures, "foreign post_state_root must break the PI binding"
+
+
+@pytest.mark.slow
+def test_super_pi_derives_data_hash(witness):
+    """Full public-input chain: data_hash derived in-circuit from the
+    BlockTable + the RLP circuit's tx-hash table (keccak of each signed
+    envelope), digest bytes bound into the chunk header, state roots
+    imported from the account trie.  Corrupting the claimed tx hash or
+    base fee must break the proof."""
+    from zkevm_circuits_tpu.tracer import Interpreter
+
+    b, codes, txs, before = witness
+    probe = SuperCircuit(b, codes, txs, accounts_before=before)
+    old_root, new_root = probe.state_roots
+    blk = Interpreter.__init__.__defaults__  # noqa: F841 (doc only)
+    from zkevm_circuits_tpu.tracer.evm import BlockEnv
+
+    block = BlockEnv(chain_id=1337)
+
+    def build(tx_hashes):
+        pd = PublicData(
+            chain_id=1337,
+            prev_state_root=old_root.to_bytes(32, "big"),
+            post_state_root=new_root.to_bytes(32, "big"),
+            withdraw_root=b"\x00" * 32,
+            block=block, tx_hashes=tx_hashes,
+        )
+        circ = SuperCircuit(b, codes, txs, accounts_before=before,
+                            public_data=pd, block=block)
+        return pd, circ
+
+    # K=14: six keccak messages at the bit-plane layout's 1600
+    # rows/permutation need > 2^13 rows (the packed-layout item)
+    pd, circ = build([tx.tx_hash() for tx in txs])
+    assert circ.pi.derive
+    MockProver(14, circ, [pd.instance()]).assert_satisfied()
+
+    # a foreign tx hash in the chunk data must miss the tx-hash table
+    bad_pd, bad = build([keccak256(b"not the tx")])
+    failures = MockProver(14, bad, [bad_pd.instance()]).verify()
+    assert failures, "foreign tx hash must break the data_hash derivation"

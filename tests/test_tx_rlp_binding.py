@@ -12,7 +12,7 @@ from zkevm_circuits_tpu.plonk.mock import MockProver
 from zkevm_circuits_tpu.types.transaction import Transaction
 
 F = fr()
-K = 9
+K = 11  # each tx now carries sign + signed-envelope segments
 SK1 = 0x1111111111111111111111111111111111111111111111111111111111111111
 SK2 = 0x2222222222222222222222222222222222222222222222222222222222222222
 
@@ -192,7 +192,7 @@ def test_typed_tx_rlp_binding_1559():
             out.update(self.tx.synthesize(phase, n, challenges, instances))
             return out
 
-    MockProver(10, TxRlp()).assert_satisfied()
+    MockProver(11, TxRlp()).assert_satisfied()
 
 
 def test_typed_tx_wrong_parity_rejected():
@@ -235,5 +235,5 @@ def test_typed_tx_wrong_parity_rejected():
             out.update(self.tx.synthesize(phase, n, challenges, instances))
             return out
 
-    failures = MockProver(10, TxRlp()).verify()
+    failures = MockProver(11, TxRlp()).verify()
     assert failures, "legacy v on a typed tx must fail"

@@ -36,6 +36,7 @@ F = fr()
 
 N_PI_BYTES = 136
 N_PADDED = 272  # pi_bytes || pad10*1 fills exactly two keccak blocks
+KECCAK_RATE = 136
 
 
 def padded_pi_bytes(pi: bytes) -> bytes:
@@ -48,18 +49,44 @@ def padded_pi_bytes(pi: bytes) -> bytes:
 
 @dataclasses.dataclass
 class PublicData:
-    """The chunk statement (reference ChunkHash fields)."""
+    """The chunk statement (reference ChunkHash fields).
+
+    When `block` (a tracer BlockEnv) and `tx_hashes` are given, the
+    data_hash is DERIVED: data_hash = keccak(data_bytes()) where
+    data_bytes = number(8) || timestamp(8) || base_fee(32) ||
+    gas_limit(8) || num_txs(2) || tx_hash_1(32) || ... — the chunk-data
+    commitment the reference derives in-circuit from the block/tx tables
+    (pi_circuit.rs:140-217).  `data_hash` is then ignored/overwritten."""
 
     chain_id: int
     prev_state_root: bytes
     post_state_root: bytes
     withdraw_root: bytes
-    data_hash: bytes
+    data_hash: bytes = b"\x00" * 32
+    block: object = None
+    tx_hashes: list = None
+
+    def data_bytes(self) -> bytes:
+        assert self.block is not None
+        b = self.block
+        out = b.number.to_bytes(8, "big")
+        out += b.timestamp.to_bytes(8, "big")
+        out += b.base_fee.to_bytes(32, "big")
+        out += b.gas_limit.to_bytes(8, "big")
+        out += len(self.tx_hashes or []).to_bytes(2, "big")
+        for h in self.tx_hashes or []:
+            assert len(h) == 32
+            out += h
+        return out
+
+    def derived_data_hash(self) -> bytes:
+        return keccak256(self.data_bytes()) if self.block is not None \
+            else self.data_hash
 
     def pi_bytes(self) -> bytes:
         out = self.chain_id.to_bytes(8, "big")
         for fld in (self.prev_state_root, self.post_state_root,
-                    self.withdraw_root, self.data_hash):
+                    self.withdraw_root, self.derived_data_hash()):
             assert len(fld) == 32
             out += fld
         assert len(out) == N_PI_BYTES
@@ -77,15 +104,37 @@ ROOT_PREV_OFF = 8  # byte offset of prev_state_root in pi_bytes
 ROOT_POST_OFF = 40
 
 
+# data region geometry: starts right after the chunk-header block
+DATA_OFF = N_PADDED
+# (BlockFieldTag value, byte width) in data_bytes order; num_txs follows
+_DATA_BLOCK_FIELDS = [(3, 8), (2, 8), (7, 32), (5, 8)]  # Num, Ts, Fee, GL
+
+
 class PiCircuit(Circuit):
     def __init__(self, public_data: PublicData):
         self.pd = public_data
+        self.derive = public_data.block is not None
+
+    def _data_geometry(self):
+        n_tx = len(self.pd.tx_hashes or [])
+        data_len = 58 + 32 * n_tx
+        pad = KECCAK_RATE - data_len % KECCAK_RATE
+        return n_tx, data_len, data_len + pad
 
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, keccak_table=None,
-                  byte_table=None, challenge=None):
+                  byte_table=None, challenge=None, block_table=None,
+                  tx_hash_table=None):
         """keccak_table: (is_enabled, input_rlc, output_rlc) exprs from the
-        Keccak circuit; standalone mode allocates witness columns."""
+        Keccak circuit; standalone mode allocates witness columns.
+
+        block_table + tx_hash_table (SuperCircuit mode): activate the
+        DATA REGION — data_bytes rows whose block-context fields are
+        looked up in the BlockTable, whose tx hashes are looked up in the
+        RLP circuit's tx_hash_table (keccak of each signed envelope), and
+        whose keccak digest is constrained to equal the chunk header's
+        data_hash bytes — the reference's in-circuit data_hash derivation
+        (pi_circuit.rs:140-217)."""
         self.standalone = keccak_table is None
         self.q_pi = cs.fixed_column()  # 1 on the N_PADDED byte rows
         self.q_one = cs.fixed_column()  # 1 on row 0 only
@@ -183,6 +232,97 @@ class PiCircuit(Circuit):
             "pi root fold step",
             Fixed(self.q_rstep) * (rf - rf_prev * 256 - byte),
         )
+        # ---- data region: in-circuit data_hash derivation ----------------
+        self.has_data_region = (
+            self.derive and block_table is not None
+            and tx_hash_table is not None
+        )
+        if self.has_data_region:
+            n_tx, data_len, padded_len = self._data_geometry()
+            self.q_dstart = cs.fixed_column()  # first data row
+            self.q_dstep = cs.fixed_column()  # all later data+pad rows
+            self.q_dpad = cs.fixed_column()
+            self.f_dpad = cs.fixed_column()
+            self.q_drows = cs.fixed_column()  # data byte rows (no pads)
+            self.f_fstart = cs.fixed_column()  # block-field fold anchors
+            self.f_fstep = cs.fixed_column()
+            self.f_flast = cs.fixed_column()
+            self.f_ftag = cs.fixed_column()
+            self.f_hlast = cs.fixed_column()  # tx-hash reverse-fold anchor
+            self.f_hstep = cs.fixed_column()
+            self.f_hfirst = cs.fixed_column()
+            self.f_hidx = cs.fixed_column()
+            self.f_ntxlast = cs.fixed_column()
+            self.f_ntxv = cs.fixed_column()
+            self.c_dacc = cs.advice_column(phase=1)  # keccak input RLC
+            self.c_bfold = cs.advice_column(phase=1)  # per-field folds
+
+            dacc, dacc_p = Advice(self.c_dacc), Advice(self.c_dacc, -1)
+            bf = Advice(self.c_bfold)
+            bf_p, bf_n = Advice(self.c_bfold, -1), Advice(self.c_bfold, 1)
+            cs.create_gate(
+                "pi data pad", Fixed(self.q_dpad) * (byte - Fixed(self.f_dpad))
+            )
+            cs.create_gate(
+                "pi dacc start", Fixed(self.q_dstart) * (dacc - byte)
+            )
+            cs.create_gate(
+                "pi dacc step",
+                Fixed(self.q_dstep) * (dacc - dacc_p * self.r - byte),
+            )
+            # block-context fields fold big-endian to their raw values
+            cs.create_gate(
+                "pi bfold start", Fixed(self.f_fstart) * (bf - byte)
+            )
+            cs.create_gate(
+                "pi bfold step",
+                Fixed(self.f_fstep) * (bf - bf_p * 256 - byte),
+            )
+            # tx hashes fold in REVERSE row order with the challenge so
+            # the first-row cell equals the KeccakTable's output-RLC
+            # convention (sum byte_k * r^k, k ascending)
+            cs.create_gate("pi hfold last", Fixed(self.f_hlast) * (bf - byte))
+            cs.create_gate(
+                "pi hfold step",
+                Fixed(self.f_hstep) * (bf - bf_n * self.r - byte),
+            )
+            # num_txs bytes fold to the witnessed tx count (layout const)
+            cs.create_gate(
+                "pi numtx",
+                Fixed(self.f_ntxlast) * (bf - Fixed(self.f_ntxv)),
+            )
+            gl_ = Fixed(self.f_flast)
+            cs.lookup_logup(
+                "pi block fields",
+                [[gl_, gl_ * Fixed(self.f_ftag), gl_ * 0, gl_ * bf]],
+                block_table,
+            )
+            gh_ = Fixed(self.f_hfirst)
+            cs.lookup_logup(
+                "pi tx hashes",
+                [[gh_, gh_ * Fixed(self.f_hidx), gh_ * bf]],
+                tx_hash_table,
+            )
+            # data digest == the chunk header's data_hash bytes: lookup
+            # (padded data RLC, digest RLC over header rows 104..135)
+            total2 = Advice(self.c_dacc, DATA_OFF + padded_len - 1)
+            out2 = None
+            rpow2 = None
+            for k in range(32):
+                cell = Advice(self.c_byte, 104 + k)
+                term = cell if k == 0 else cell * rpow2
+                out2 = term if out2 is None else out2 + term
+                rpow2 = self.r if rpow2 is None else rpow2 * self.r
+            cs.lookup_logup(
+                "pi data keccak", [[q1, q1 * total2, q1 * out2]],
+                keccak_table,
+            )
+            # data bytes ride the byte-range table too
+            cs.lookup_logup(
+                "pi data byte range",
+                [[Fixed(self.q_drows) * byte]], byte_table,
+            )
+
         cs.enable_equality("advice", self.c_rfold)
         cs.enable_equality("advice", self.c_hi)
         cs.enable_equality("advice", self.c_lo)
@@ -203,8 +343,34 @@ class PiCircuit(Circuit):
         ]
 
     # ------------------------------------------------------------------
+    def _data_spans(self):
+        """[(kind, meta, off, width)] in data_bytes order; off relative
+        to DATA_OFF.  kind: 'blk' (meta = BlockFieldTag), 'ntx', 'hash'
+        (meta = tx index, 1-based)."""
+        spans = []
+        off = 0
+        for tag, w in _DATA_BLOCK_FIELDS:
+            spans.append(("blk", tag, off, w))
+            off += w
+        spans.append(("ntx", 0, off, 2))
+        off += 2
+        for t in range(len(self.pd.tx_hashes or [])):
+            spans.append(("hash", t + 1, off, 32))
+            off += 32
+        return spans
+
+    def _padded_data(self) -> bytes:
+        data = self.pd.data_bytes()
+        pad_len = KECCAK_RATE - len(data) % KECCAK_RATE
+        pad = bytearray(pad_len)
+        pad[0] |= 0x01
+        pad[-1] |= 0x80
+        return data + bytes(pad)
+
     def fixed_columns(self, n: int):
-        assert usable_rows(n) >= max(N_PADDED, 256)
+        end = DATA_OFF + (self._data_geometry()[2]
+                          if getattr(self, "has_data_region", False) else 0)
+        assert usable_rows(n) >= max(N_PADDED, 256, end)
         mont = F.mont_from_ints
         padded = padded_pi_bytes(self.pd.pi_bytes())
         out = {
@@ -231,6 +397,53 @@ class PiCircuit(Circuit):
             out[self.tbl_byte] = mont([i if i < 256 else 0 for i in range(n)])
         if self.standalone:
             out[self.t_en] = mont([1 if i == 0 else 0 for i in range(n)])
+        if getattr(self, "has_data_region", False):
+            n_tx, data_len, padded_len = self._data_geometry()
+            pdata = self._padded_data()
+            z = lambda: [0] * n
+            q_dstart, q_dstep, q_dpad, f_dpad, q_drows = (
+                z(), z(), z(), z(), z()
+            )
+            f_fstart, f_fstep, f_flast, f_ftag = z(), z(), z(), z()
+            f_hlast, f_hstep, f_hfirst, f_hidx = z(), z(), z(), z()
+            f_ntxlast, f_ntxv = z(), z()
+            q_dstart[DATA_OFF] = 1
+            for i in range(1, padded_len):
+                q_dstep[DATA_OFF + i] = 1
+            for i in range(data_len, padded_len):
+                q_dpad[DATA_OFF + i] = 1
+                f_dpad[DATA_OFF + i] = pdata[i]
+            for i in range(data_len):
+                q_drows[DATA_OFF + i] = 1
+            for kind, meta, off, w in self._data_spans():
+                first = DATA_OFF + off
+                last = first + w - 1
+                if kind in ("blk", "ntx"):
+                    f_fstart[first] = 1
+                    for i in range(first + 1, last + 1):
+                        f_fstep[i] = 1
+                    if kind == "blk":
+                        f_flast[last] = 1
+                        f_ftag[last] = meta
+                    else:
+                        f_ntxlast[last] = 1
+                        f_ntxv[last] = n_tx
+                else:
+                    f_hlast[last] = 1
+                    f_hfirst[first] = 1
+                    f_hidx[first] = meta
+                    for i in range(first, last):
+                        f_hstep[i] = 1
+            out.update({
+                self.q_dstart: mont(q_dstart), self.q_dstep: mont(q_dstep),
+                self.q_dpad: mont(q_dpad), self.f_dpad: mont(f_dpad),
+                self.q_drows: mont(q_drows),
+                self.f_fstart: mont(f_fstart), self.f_fstep: mont(f_fstep),
+                self.f_flast: mont(f_flast), self.f_ftag: mont(f_ftag),
+                self.f_hlast: mont(f_hlast), self.f_hstep: mont(f_hstep),
+                self.f_hfirst: mont(f_hfirst), self.f_hidx: mont(f_hidx),
+                self.f_ntxlast: mont(f_ntxlast), self.f_ntxv: mont(f_ntxv),
+            })
         return out
 
     def synthesize(self, phase: int, n: int, challenges: dict, instances):
@@ -238,7 +451,10 @@ class PiCircuit(Circuit):
         pi = padded_pi_bytes(self.pd.pi_bytes())
         dig = self.pd.digest()
         if phase == 0:
-            cols = {self.c_byte: mont(list(pi))}
+            byte_vals = list(pi)
+            if getattr(self, "has_data_region", False):
+                byte_vals += list(self._padded_data())
+            cols = {self.c_byte: mont(byte_vals)}
             for k in range(32):
                 cols[self.c_dig[k]] = mont([dig[k]])
             hi, lo = self.pd.instance()
@@ -270,4 +486,27 @@ class PiCircuit(Circuit):
         if self.standalone:
             cols[self.t_in] = mont([accs[-1]])
             cols[self.t_out] = mont([out_rlc])
+        if getattr(self, "has_data_region", False):
+            n_tx, data_len, padded_len = self._data_geometry()
+            pdata = self._padded_data()
+            dacc_vals = [0] * (DATA_OFF + padded_len)
+            acc = 0
+            for i, b in enumerate(pdata):
+                acc = (acc * r_int + b) % R if i else b % R
+                dacc_vals[DATA_OFF + i] = acc
+            bfold = [0] * (DATA_OFF + padded_len)
+            for kind, meta, off, w in self._data_spans():
+                first = DATA_OFF + off
+                if kind in ("blk", "ntx"):
+                    a = 0
+                    for j in range(w):
+                        a = (a * 256 + pdata[off + j]) % R
+                        bfold[first + j] = a
+                else:
+                    a = 0
+                    for j in reversed(range(w)):
+                        a = (a * r_int + pdata[off + j]) % R
+                        bfold[first + j] = a
+            cols[self.c_dacc] = mont(dacc_vals)
+            cols[self.c_bfold] = mont(bfold)
         return cols

@@ -66,6 +66,9 @@ class RlpTag(enum.IntEnum):
     AlPfx = 14  # access-list structural prefixes (list/item/key-list)
     AlAddr = 15  # access-list address (21-byte string segment)
     AlKey = 16  # access-list storage key (33-byte string segment)
+    SigV = 17  # hash-side only: v (legacy EIP-155) / y-parity (typed)
+    SigR = 18  # hash-side only
+    SigS = 19  # hash-side only
 
 
 TAGS = list(RlpTag)
@@ -73,39 +76,66 @@ FIELD_TAGS = [
     RlpTag.Nonce, RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
     RlpTag.Data, RlpTag.ChainId, RlpTag.Zero1, RlpTag.Zero2,
 ]
+SIG_TAGS = [RlpTag.SigV, RlpTag.SigR, RlpTag.SigS]
 # tags that carry values through the prefix/export machinery
-VALUE_TAGS = FIELD_TAGS + [RlpTag.Prio, RlpTag.AlAddr, RlpTag.AlKey]
+VALUE_TAGS = FIELD_TAGS + [RlpTag.Prio, RlpTag.AlAddr, RlpTag.AlKey] \
+    + SIG_TAGS
 # per-tag Horner multiplier: integers fold with 256 (acc == raw value),
 # words/byte-strings with the challenge r (acc == word RLC)
 INT_TAGS = {RlpTag.Nonce, RlpTag.Gas, RlpTag.To, RlpTag.ChainId,
-            RlpTag.AlAddr}
+            RlpTag.AlAddr, RlpTag.SigV}
 WORD_TAGS = {RlpTag.GasPrice, RlpTag.Value, RlpTag.Data, RlpTag.Prio,
-             RlpTag.AlKey}
+             RlpTag.AlKey, RlpTag.SigR, RlpTag.SigS}
 
-# tag-order ROM, TYPE-AWARE: (tx_type, tag, next_tag) triples (reference
-# rlp_circuit_fsm.rs ROM covers Legacy/2930/1559 orders).  The Pad ->
-# next-tx transition exists per type (the lookup uses the NEW row's type).
+# tag-order ROM, TYPE-AWARE: (side*3 + tx_type, tag, next_tag) triples
+# (reference rlp_circuit_fsm.rs ROM covers Legacy/2930/1559 in BOTH the
+# TxSign and TxHash formats).  Side 0 = signing payload, side 1 = signed
+# envelope (tx-hash preimage, the same fields with a v/r/s tail instead
+# of the EIP-155 chain_id/0/0 suffix).  The Pad -> next-segment
+# transition is keyed by the NEW row's (side, type).
 T = RlpTag
 _LEGACY_ORDER = [(a, b) for a, b in zip(FIELD_TAGS, FIELD_TAGS[1:])]
+_LEGACY_HASH = (
+    [(a, b) for a, b in zip(FIELD_TAGS[:6], FIELD_TAGS[1:6])]
+    + [(T.Data, T.SigV)]
+)
+_SIG_TAIL = [(T.SigV, T.SigR), (T.SigR, T.SigS), (T.SigS, T.Pad)]
 _TYPED_COMMON = [
     (T.TxTypeB, T.List), (T.List, T.ListLen), (T.List, T.ChainId),
     (T.ListLen, T.ChainId), (T.ChainId, T.Nonce),
     (T.GasPrice, T.Gas), (T.Gas, T.To), (T.To, T.Value),
     (T.Value, T.Data), (T.Data, T.AlPfx),
     (T.AlPfx, T.AlPfx), (T.AlPfx, T.AlAddr), (T.AlPfx, T.AlKey),
-    (T.AlPfx, T.Pad), (T.AlAddr, T.AlPfx),
-    (T.AlKey, T.AlKey), (T.AlKey, T.AlPfx), (T.AlKey, T.Pad),
+    (T.AlAddr, T.AlPfx),
+    (T.AlKey, T.AlKey), (T.AlKey, T.AlPfx),
 ]
+_LIST_START = [(0, int(T.List), int(T.ListLen)),
+               (0, int(T.List), int(T.Nonce)),
+               (0, int(T.ListLen), int(T.Nonce))]
 ROM = (
-    [(0, int(T.List), int(T.ListLen)), (0, int(T.List), int(T.Nonce)),
-     (0, int(T.ListLen), int(T.Nonce))]
+    _LIST_START
     + [(0, int(a), int(b)) for a, b in _LEGACY_ORDER]
     + [(0, int(T.Zero2), int(T.Pad)), (0, int(T.Pad), int(T.List))]
     + [(1, int(a), int(b)) for a, b in
-       _TYPED_COMMON + [(T.Nonce, T.GasPrice)]]
+       _TYPED_COMMON + [(T.Nonce, T.GasPrice), (T.AlPfx, T.Pad),
+                        (T.AlKey, T.Pad)]]
     + [(2, int(a), int(b)) for a, b in
-       _TYPED_COMMON + [(T.Nonce, T.Prio), (T.Prio, T.GasPrice)]]
+       _TYPED_COMMON + [(T.Nonce, T.Prio), (T.Prio, T.GasPrice),
+                        (T.AlPfx, T.Pad), (T.AlKey, T.Pad)]]
     + [(t, int(T.Pad), int(T.TxTypeB)) for t in (1, 2)]
+    # hash side (key = 3 + type): legacy signed layout
+    + [(3, int(T.List), int(T.ListLen)), (3, int(T.List), int(T.Nonce)),
+       (3, int(T.ListLen), int(T.Nonce))]
+    + [(3, int(a), int(b)) for a, b in _LEGACY_HASH + _SIG_TAIL]
+    + [(3, int(T.Pad), int(T.List))]  # into legacy hash side
+    # typed hash sides: same field walk, sig tail after the access list
+    + [(4, int(a), int(b)) for a, b in
+       _TYPED_COMMON + [(T.Nonce, T.GasPrice), (T.AlPfx, T.SigV),
+                        (T.AlKey, T.SigV)] + _SIG_TAIL]
+    + [(5, int(a), int(b)) for a, b in
+       _TYPED_COMMON + [(T.Nonce, T.Prio), (T.Prio, T.GasPrice),
+                        (T.AlPfx, T.SigV), (T.AlKey, T.SigV)] + _SIG_TAIL]
+    + [(3 + t, int(T.Pad), int(T.TxTypeB)) for t in (1, 2)]
 )
 
 KECCAK_RATE = 136
@@ -123,44 +153,52 @@ def _list_prefix_len(enc: bytes) -> int:
     return 1 + (enc[0] - 0xF7)
 
 
-def _field_rows(rows, tx_id, tag, val, ty):
+def _field_rows(rows, tx_id, tag, val, ty, side):
     enc = rlp_host.encode(val)
     if len(enc) == 1 and enc[0] < 0x80:
-        rows.append((tx_id, int(tag), 1, 0, enc[0], ty))
+        rows.append((tx_id, int(tag), 1, 0, enc[0], ty, side))
     else:
         plen = enc[0] - 0x80
         assert 0 <= plen <= 55, "long-form strings not in scope"
-        rows.append((tx_id, int(tag), plen + 1, 1, enc[0], ty))
+        rows.append((tx_id, int(tag), plen + 1, 1, enc[0], ty, side))
         for j in range(plen):
-            rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j], ty))
+            rows.append((tx_id, int(tag), plen - j, 0, enc[1 + j], ty, side))
     return len(enc)
 
 
-def _tx_rows(tx: Transaction, tx_id: int):
-    """(tx_id, tag, rem, is_pfx, byte, tx_type) rows for one signing
-    payload — EIP-155 legacy or EIP-2718 typed envelope (2930/1559) with
-    the access list walked structurally — plus keccak pad10*1 rows."""
+def _tx_rows(tx: Transaction, tx_id: int, side: int):
+    """(tx_id, tag, rem, is_pfx, byte, tx_type, side) rows for one
+    payload — side 0: the signing payload; side 1: the SIGNED envelope
+    (tx-hash preimage) whose list ends with the v/r/s tail (reference
+    rlp_circuit_fsm.rs TxSign vs TxHash formats).  EIP-155 legacy or
+    EIP-2718 typed (2930/1559) with the access list walked structurally;
+    keccak pad10*1 rows follow."""
     from ..types.transaction import TxType
 
     ty = int(tx.tx_type)
-    payload = tx.sign_payload()
+    payload = tx.sign_payload() if side == 0 else tx.rlp_signed()
     rows = []
     body = payload
     if ty:
-        rows.append((tx_id, int(RlpTag.TxTypeB), 1, 0, payload[0], ty))
+        rows.append((tx_id, int(RlpTag.TxTypeB), 1, 0, payload[0], ty, side))
         body = payload[1:]
-    rows.append((tx_id, int(RlpTag.List), 1, 1, body[0], ty))
+    rows.append((tx_id, int(RlpTag.List), 1, 1, body[0], ty, side))
     if body[0] == 0xF8:  # long list, one length byte
-        rows.append((tx_id, int(RlpTag.ListLen), 1, 0, body[1], ty))
+        rows.append((tx_id, int(RlpTag.ListLen), 1, 0, body[1], ty, side))
         pos = 2
     else:
         assert 0xC0 <= body[0] <= 0xF7, "list of this size not in scope"
         pos = 1
     to_f = b"" if tx.to is None else tx.to.to_bytes(20, "big")
     if ty == 0:
-        fields = [tx.nonce, tx.gas_price, tx.gas, to_f, tx.value, tx.data,
-                  tx.chain_id, 0, 0]
-        order = FIELD_TAGS
+        if side == 0:
+            fields = [tx.nonce, tx.gas_price, tx.gas, to_f, tx.value,
+                      tx.data, tx.chain_id, 0, 0]
+            order = FIELD_TAGS
+        else:
+            fields = [tx.nonce, tx.gas_price, tx.gas, to_f, tx.value,
+                      tx.data, tx.v, tx.r, tx.s]
+            order = FIELD_TAGS[:6] + SIG_TAGS
     elif ty == int(TxType.Eip2930):
         fields = [tx.chain_id, tx.nonce, tx.gas_price, tx.gas, to_f,
                   tx.value, tx.data]
@@ -173,7 +211,7 @@ def _tx_rows(tx: Transaction, tx_id: int):
                  RlpTag.GasPrice, RlpTag.Gas, RlpTag.To, RlpTag.Value,
                  RlpTag.Data]
     for tag, val in zip(order, fields):
-        pos += _field_rows(rows, tx_id, tag, val, ty)
+        pos += _field_rows(rows, tx_id, tag, val, ty, side)
     if ty:
         # access list: structural prefixes (AlPfx segments) + per-item
         # address and storage-key string segments
@@ -181,7 +219,7 @@ def _tx_rows(tx: Transaction, tx_id: int):
         p = _list_prefix_len(al_enc)
         for j in range(p):
             rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
-                         body[pos + j], ty))
+                         body[pos + j], ty, side))
         pos += p
         for addr, keys in tx.access_list:
             item_enc = rlp_host.encode(
@@ -191,27 +229,33 @@ def _tx_rows(tx: Transaction, tx_id: int):
             p = _list_prefix_len(item_enc)
             for j in range(p):
                 rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
-                             body[pos + j], ty))
+                             body[pos + j], ty, side))
             pos += p
             pos += _field_rows(rows, tx_id, RlpTag.AlAddr,
-                               addr.to_bytes(20, "big"), ty)
+                               addr.to_bytes(20, "big"), ty, side)
             keys_enc = rlp_host.encode(
                 [k.to_bytes(32, "big") for k in keys]
             )
             p = _list_prefix_len(keys_enc)
             for j in range(p):
                 rows.append((tx_id, int(RlpTag.AlPfx), p - j, 0,
-                             body[pos + j], ty))
+                             body[pos + j], ty, side))
             pos += p
             for k in keys:
                 pos += _field_rows(rows, tx_id, RlpTag.AlKey,
-                                   k.to_bytes(32, "big"), ty)
+                                   k.to_bytes(32, "big"), ty, side)
+        if side == 1:
+            # typed signed envelope: y-parity (= tx.v as stored), r, s
+            # after the access list; encode tx.v verbatim so corrupt
+            # witnesses reach the circuit instead of crashing here
+            for tag, val in zip(SIG_TAGS, (tx.v, tx.r, tx.s)):
+                pos += _field_rows(rows, tx_id, tag, val, ty, side)
     assert pos == len(body), (pos, len(body))
     # keccak pad10*1 rows: first byte 0x01, last 0x80 (0x81 if single)
     pad_len = KECCAK_RATE - len(payload) % KECCAK_RATE
     for j in range(pad_len):
         b = (1 if j == 0 else 0) + (128 if j == pad_len - 1 else 0)
-        rows.append((tx_id, int(RlpTag.Pad), pad_len - j, 0, b, ty))
+        rows.append((tx_id, int(RlpTag.Pad), pad_len - j, 0, b, ty, side))
     return rows, payload
 
 
@@ -221,10 +265,13 @@ class RlpCircuit(Circuit):
         self.params = params or RlpParams()
         self.rows = []
         self.payloads = []
+        self.signed_payloads = []
         for i, tx in enumerate(txs):
-            rows, payload = _tx_rows(tx, i + 1)
-            self.rows += rows
+            rows, payload = _tx_rows(tx, i + 1, 0)
+            rows_h, signed = _tx_rows(tx, i + 1, 1)
+            self.rows += rows + rows_h
             self.payloads.append(payload)
+            self.signed_payloads.append(signed)
 
     # ------------------------------------------------------------------
     def configure(self, cs: ConstraintSystem, challenge=None,
@@ -253,6 +300,7 @@ class RlpCircuit(Circuit):
         self.c_tot = cs.advice_column()  # list-payload countdown
         self.c_long = cs.advice_column()  # List rows: 0xf8 long form flag
         self.c_type = cs.advice_column()  # EIP-2718 tx type (0/1/2, carried)
+        self.c_side = cs.advice_column()  # 0 = sign payload, 1 = signed env
         self.c_acc = cs.advice_column(phase=1)  # per-tag value accumulator
         self.c_prlc = cs.advice_column(phase=1)  # payload byte-RLC fold
         self.c_hash = cs.advice_column(phase=1)  # sign-hash RLC (last pad)
@@ -313,11 +361,28 @@ class RlpCircuit(Circuit):
         cs.create_gate("rlp cont rem", cont * (rem - rem_p + 1))
         cs.create_gate("rlp cont not pfx", cont * pfx)
 
-        # entry tag order from the TYPE-AWARE ROM (row 0 pinned below)
+        # side flag: bool, toggles on each segment start (sign -> hash ->
+        # next tx's sign: the alternation is FORCED, so a tx cannot skip
+        # its signed-envelope segment), carried elsewhere, 0 on row 0
+        side, side_p = Advice(self.c_side), Advice(self.c_side, -1)
+        cs.create_gate("rlp side bool", q * side * (side - 1))
+        cs.create_gate("rlp row0 side", q * qz * side)
+        cs.create_gate(
+            "rlp side toggle",
+            q * (1 - qz) * ent * st * (side - 1 + side_p),
+        )
+        cs.create_gate(
+            "rlp side carry",
+            q * (1 - qz) * (1 - ent * st) * (side - side_p),
+        )
+
+        # entry tag order from the TYPE-AWARE, SIDE-AWARE ROM (key =
+        # 3*side + type; row 0 pinned below)
         g_ent = q * ent * (1 - qz)
+        rom_key = typ + side * 3
         cs.lookup_logup(
             "rlp rom",
-            [[g_ent, g_ent * typ, g_ent * tag_val_p, g_ent * tag_val]],
+            [[g_ent, g_ent * rom_key, g_ent * tag_val_p, g_ent * tag_val]],
             [Fixed(self.q_rom), Fixed(self.rom_t), Fixed(self.rom_a),
              Fixed(self.rom_b)],
         )
@@ -325,9 +390,13 @@ class RlpCircuit(Circuit):
             "rlp row0 start",
             q * qz * (1 - ind[RlpTag.List] - ind[RlpTag.TxTypeB]),
         )
-        # tx id: start entries increment, all other rows carry
+        # tx id: sign-side starts increment, hash-side starts carry (same
+        # tx), all other rows carry
         cs.create_gate(
-            "rlp tx id inc", q * ent * st * (txid - txid_p - 1)
+            "rlp tx id inc", q * ent * st * (1 - side) * (txid - txid_p - 1)
+        )
+        cs.create_gate(
+            "rlp tx id hash keep", q * ent * st * side * (txid - txid_p)
         )
         cs.create_gate(
             "rlp tx id keep", q * ent * (1 - st) * (txid - txid_p)
@@ -416,7 +485,9 @@ class RlpCircuit(Circuit):
         )
         g_lastpad = g_pad * is_last
         if self.has_hash_binding:
-            # (1, padded-payload RLC, sign-hash RLC) is a KeccakTable row
+            # (1, padded-payload RLC, hash RLC) is a KeccakTable row —
+            # sign-side rows bind the sign hash, hash-side rows the
+            # TX HASH (keccak of the signed envelope)
             cs.lookup_logup(
                 "rlp sign hash keccak",
                 [[g_lastpad, g_lastpad * prlc,
@@ -438,24 +509,46 @@ class RlpCircuit(Circuit):
             [Fixed(self.tbl_56)],
         )
 
-        # exposed RlpTable (reference table.rs:2288): each field segment's
-        # last row (the next row is an entry, or the region ends); prefix
-        # rows of empty fields carry acc = 0, the correct value
+        # exposed RlpTable (reference table.rs:2288), side-tagged: each
+        # field segment's last row (the next row is an entry, or the
+        # region ends); prefix rows of empty fields carry acc = 0
         g_out = q * fld * is_last
-        self.rlp_table = [g_out, g_out * txid, g_out * tag_val, g_out * acc]
-        # data-length table: the Data segment's ENTRY row; value is the
-        # payload length (prefix rows: rem-1; single-byte data: 1)
-        g_dl = q * ind[RlpTag.Data] * ent
+        self.rlp_table = [g_out, g_out * txid, g_out * side,
+                          g_out * tag_val, g_out * acc]
+        # cross-side consistency: every hash-side field value (except the
+        # v/r/s tail, which has no sign-side counterpart and binds via
+        # the TxTable's SigV/R/S) must appear as the SAME (tx_id, tag,
+        # value) on the sign side — the signed envelope re-encodes
+        # exactly the signed-over fields, so tx_hash commits to them
+        sig_ind = (ind[RlpTag.SigV] + ind[RlpTag.SigR] + ind[RlpTag.SigS])
+        g_x = g_out * side * (fld - sig_ind)
+        g_0 = g_out * (1 - side)
+        cs.lookup_logup(
+            "rlp hash side fields",
+            [[g_x, g_x * txid, g_x * tag_val, g_x * acc]],
+            [g_0, g_0 * txid, g_0 * tag_val, g_0 * acc],
+        )
+        # data-length table: the Data segment's ENTRY row (sign side);
+        # value is the payload length (prefix rows: rem-1; single: 1)
+        g_dl = q * ind[RlpTag.Data] * ent * (1 - side)
         self.data_len_table = [
             g_dl, g_dl * txid, g_dl * (pfx * (rem - 1) + (1 - pfx)),
         ]
         # sign-hash table for the Sig circuit binding: (tx_id, hash RLC)
+        g_sp = g_lastpad * (1 - side)
         self.sign_hash_table = [
-            g_lastpad, g_lastpad * txid, g_lastpad * Advice(self.c_hash),
+            g_sp, g_sp * txid, g_sp * Advice(self.c_hash),
         ]
-        # per-tx envelope type on tx-start rows (reference tx_type,
-        # witness/tx.rs:45-90): (enable, tx_id, type)
-        g_st = q * st
+        # tx-hash table (keccak of the signed envelope) for the PI
+        # circuit's data_hash derivation (reference pi_circuit.rs tx
+        # hashes): (enable, tx_id, tx_hash RLC)
+        g_hp = g_lastpad * side
+        self.tx_hash_table = [
+            g_hp, g_hp * txid, g_hp * Advice(self.c_hash),
+        ]
+        # per-tx envelope type on sign-side tx-start rows (reference
+        # tx_type, witness/tx.rs:45-90): (enable, tx_id, type)
+        g_st = q * st * (1 - side)
         self.tx_type_table = [g_st, g_st * txid, g_st * typ]
 
     # ------------------------------------------------------------------
@@ -520,6 +613,7 @@ class RlpCircuit(Circuit):
                 [int(r[1] == int(RlpTag.List) and r[4] == 0xF8) for r in rows]
             )
             cols[self.c_type] = mont([r[5] for r in rows])
+            cols[self.c_side] = mont([r[6] for r in rows])
             return cols
         # phase 1: value accumulators + payload RLC + sign hashes
         r_chal = challenges[self.r.index]
@@ -547,7 +641,8 @@ class RlpCircuit(Circuit):
             prlcs.append(prlc)
             is_last = (i + 1 == len(rows)) or rows[i][2] == 1
             if tag == RlpTag.Pad and is_last:
-                digest = self.txs[r_[0] - 1].sign_hash()
+                tx = self.txs[r_[0] - 1]
+                digest = tx.sign_hash() if r_[6] == 0 else tx.tx_hash()
                 hashes.append(
                     sum(b * pow(r_int, j, R) for j, b in enumerate(digest)) % R
                 )

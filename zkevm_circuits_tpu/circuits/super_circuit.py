@@ -202,11 +202,14 @@ class SuperCircuit(Circuit):
                 or self.sig is not None):
             messages = [bc.to_bytes() for bc in bytecodes]
             messages += [tx.sign_payload() for tx in txs]
+            messages += [tx.rlp_signed() for tx in txs]  # tx-hash preimages
             messages += list(builder.sha3_inputs)
             if self.sig is not None:
                 messages += [ev.pubkey_bytes() for ev in self.sig.events]
             if public_data is not None:
                 messages.append(public_data.pi_bytes())
+                if public_data.block is not None:
+                    messages.append(public_data.data_bytes())
             self.keccak = KeccakCircuit(messages)
             self.subs.append(self.keccak)
         self.pi = None
@@ -353,7 +356,16 @@ class SuperCircuit(Circuit):
             modexp_table=modexp_table,
         )
         if self.pi is not None:
-            self.pi.configure(cs, keccak_table=keccak_table, challenge=r_word)
+            self.pi.configure(
+                cs, keccak_table=keccak_table, challenge=r_word,
+                block_table=(
+                    self.block.block_table if self.block is not None
+                    else None
+                ),
+                tx_hash_table=(
+                    self.rlp.tx_hash_table if self.rlp is not None else None
+                ),
+            )
         if self.poseidon is not None:
             self.poseidon.configure(cs)
 

@@ -88,6 +88,16 @@ RLP_BOUND = {
     TxFieldTag.CalleeAddress: RlpTag.To,
     TxFieldTag.Value: RlpTag.Value,
 }
+# hash-side (signed envelope) bindings: the TxTable's signature values
+# must be the ones the tx-hash preimage encodes, so keccak(signed rlp)
+# in the RLP circuit is the hash of THIS tx (v conventions match: legacy
+# envelope carries 35+2*chain_id+parity, typed carries the y-parity —
+# exactly the TxTable SigV rule)
+RLP_HASH_BOUND = {
+    TxFieldTag.SigV: RlpTag.SigV,
+    TxFieldTag.SigR: RlpTag.SigR,
+    TxFieldTag.SigS: RlpTag.SigS,
+}
 
 
 @dataclasses.dataclass
@@ -126,6 +136,7 @@ class TxCircuit(Circuit):
         self.f_tag = cs.fixed_column()  # expected tag sequence (fixed layout)
         self.f_rlptag = cs.fixed_column()  # RlpTag on RLP-bound rows
         self.f_isbound = cs.fixed_column()  # 1 on RLP-bound field rows
+        self.f_ishash = cs.fixed_column()  # 1 on hash-side-bound sig rows
         self.f_isdlen = cs.fixed_column()  # 1 on the CallDataLength row
         self.f_issigv = cs.fixed_column()  # 1 on the SigV row
         self.tbl_byte = cs.fixed_column()
@@ -209,17 +220,23 @@ class TxCircuit(Circuit):
         if self.has_rlp:
             g_b = qf * Fixed(self.f_isbound) * ir
             g_fin = qd * fin * ir
+            g_hb = qf * Fixed(self.f_ishash) * ir
             cs.lookup_logup(
                 "tx rlp binding",
                 [
-                    # signed fields: (tx_id, rlp_tag, value)
-                    [g_b, g_b * txid, g_b * Fixed(self.f_rlptag), g_b * val],
+                    # signed fields: (tx_id, side=0, rlp_tag, value)
+                    [g_b, g_b * txid, g_b * 0, g_b * Fixed(self.f_rlptag),
+                     g_b * val],
                     # chain id from the SigV decomposition
-                    [g_sv, g_sv * txid, g_sv * int(RlpTag.ChainId),
-                     g_sv * chain],
+                    [g_sv, g_sv * txid, g_sv * 0,
+                     g_sv * int(RlpTag.ChainId), g_sv * chain],
                     # last calldata row: running RLC == RLP Data value
-                    [g_fin, g_fin * txid, g_fin * int(RlpTag.Data),
-                     g_fin * cdr],
+                    [g_fin, g_fin * txid, g_fin * 0,
+                     g_fin * int(RlpTag.Data), g_fin * cdr],
+                    # signature values against the HASH-SIDE (signed
+                    # envelope) rows: closes the tx_hash chain
+                    [g_hb, g_hb * txid, g_hb * 1,
+                     g_hb * Fixed(self.f_rlptag), g_hb * val],
                 ],
                 rlp_table,
             )
@@ -290,13 +307,15 @@ class TxCircuit(Circuit):
         ftag = [
             int(FIXED_TAGS[i % nt]) if i < n_fixed else 0 for i in range(n)
         ]
-        rlptag, isbound, isdlen, issigv = [], [], [], []
+        rlptag, isbound, isdlen, issigv, ishash = [], [], [], [], []
         for i in range(n):
             t = FIXED_TAGS[i % nt] if i < n_fixed else None
-            rlptag.append(int(RLP_BOUND.get(t, RlpTag.List)) if t else 0)
+            tag = RLP_BOUND.get(t) or RLP_HASH_BOUND.get(t) or RlpTag.List
+            rlptag.append(int(tag) if t else 0)
             isbound.append(int(t in RLP_BOUND) if t else 0)
             isdlen.append(int(t == TxFieldTag.CallDataLength) if t else 0)
             issigv.append(int(t == TxFieldTag.SigV) if t else 0)
+            ishash.append(int(t in RLP_HASH_BOUND) if t else 0)
         tbl = [i if i < 256 else 0 for i in range(n)]
         assert n >= 256
         return {
@@ -307,6 +326,7 @@ class TxCircuit(Circuit):
             self.f_isbound: mont(isbound),
             self.f_isdlen: mont(isdlen),
             self.f_issigv: mont(issigv),
+            self.f_ishash: mont(ishash),
             self.tbl_byte: mont(tbl),
         }
 
