@@ -130,12 +130,11 @@ def stage_msm(force_cpu: bool) -> dict:
     import jax.numpy as jnp
 
     from zkevm_circuits_tpu.crypto import curve as cv
-    from zkevm_circuits_tpu.poly.msm import msm
+    from zkevm_circuits_tpu.poly.msm import _msm_impl
 
     n = (1 << 14) if on_tpu else (1 << 8)
     # measured on-chip (r3): lanes 64 > 8 > 256 > 1024 — the kernel is
-    # field-mul bound, not scan-latency bound; a Pallas bucket kernel is
-    # the real fix (BASELINE.md north star)
+    # field-mul bound (ops/pallas_curve.py module doc has the breakdown)
     lanes = 64 if on_tpu else 4
     rng = np.random.default_rng(99)
     pts = cv.g1_generator((n,))  # fixed-point batch: bench measures MSM, not setup
@@ -143,14 +142,26 @@ def stage_msm(force_cpu: bool) -> dict:
     sc[:, 31] &= 0x0F  # < 2^252 < r
     sc = jax.device_put(jnp.asarray(sc))
 
-    out = msm(pts, sc, lanes=lanes)
-    np.asarray(out.x)  # warmup + compile
-    iters = 3 if on_tpu else 2
+    # REPS inside ONE jit with a tiny fetched output: eager per-call
+    # timing through the axon tunnel measures dispatch latency (~30-100
+    # ms/call), not the chip (r04 finding)
+    reps = 2 if on_tpu else 1
+
+    @jax.jit
+    def run(px, py, pz, s):
+        def body(_, c):
+            return _msm_impl(px, py, pz, s, lanes)
+
+        ox, oy, oz = jax.lax.fori_loop(0, reps, body, (px[0], py[0], pz[0]))
+        return ox[0], oy[0], oz[0]
+
+    np.asarray(run(pts.x, pts.y, pts.z, sc)[0])  # compile + warmup
+    iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = msm(pts, sc, lanes=lanes)
-    np.asarray(out.x)
-    dt = (time.perf_counter() - t0) / iters
+        out = run(pts.x, pts.y, pts.z, sc)
+    np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / (iters * reps)
     return {
         "name": f"msm_g1_n{n}_mpoints_per_s",
         "value": round(n / dt / 1e6, 6),

@@ -213,25 +213,17 @@ def _grid_add(ax, ay, az, bx, by, bz, use_pallas: bool, interpret: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _msm_grid_jit(px, py, pz, digits, s_slots: int, use_pallas: bool,
+def _msm_grid_jit(px, py, pz, idx_all, s_slots: int, use_pallas: bool,
                   interpret: bool = False, distinct: bool = False):
     """px/py/pz: (n+1, 32) u8 with row n = infinity sentinel;
-    digits: (32, n) int32 window digits."""
-    n = digits.shape[1]
-    n_win = digits.shape[0]
+    idx_all: (32, 256, S) int32 HOST-BUILT gather indices (sentinel n for
+    empty slots) — building them in numpy removes the 32 device argsorts
+    that dominated wall-clock AND compile time."""
+    n_win = idx_all.shape[0]
     S = s_slots
-    b_idx = jnp.arange(N_BUCKETS)
 
     def window_buckets(w, acc):
-        d = digits[w]
-        order = jnp.argsort(d)
-        sd = d[order]
-        starts = jnp.searchsorted(sd, b_idx)  # (256,)
-        counts = jnp.concatenate([starts[1:], jnp.array([n])]) - starts
-        r = jnp.arange(S)
-        pos = jnp.clip(starts[:, None] + r[None, :], 0, max(n - 1, 0))
-        valid = (r[None, :] < counts[:, None]) & (b_idx > 0)[:, None]
-        idx = jnp.where(valid, order[pos], n)  # sentinel -> infinity row
+        idx = jax.lax.dynamic_index_in_dim(idx_all, w, 0, keepdims=False)
         gx = px[idx].reshape(N_BUCKETS * S, 32)
         gy = py[idx].reshape(N_BUCKETS * S, 32)
         gz = pz[idx].reshape(N_BUCKETS * S, 32)
@@ -290,32 +282,47 @@ def _msm_grid_jit(px, py, pz, digits, s_slots: int, use_pallas: bool,
     return ox, oy, oz
 
 
-@jax.jit
-def _grid_max_count(digits):
-    """Max occupancy over all (window, nonzero-bucket) pairs."""
-    sd = jnp.sort(digits, axis=1)  # (32, n)
-    n = digits.shape[1]
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, jnp.arange(N_BUCKETS))
-    )(sd)
-    counts = jnp.concatenate(
-        [starts[:, 1:], jnp.full((starts.shape[0], 1), n)], axis=1
+def _grid_indices_host(scalars_np: np.ndarray):
+    """(32, 256, S) gather indices + S, built with numpy (host): per
+    window, stable-group point indices by digit; digit-0 and empty slots
+    map to the sentinel row n (infinity)."""
+    n = scalars_np.shape[0]
+    digits = scalars_np.astype(np.int64).T  # (32, n)
+    orders = np.argsort(digits, axis=1, kind="stable")
+    sorted_d = np.take_along_axis(digits, orders, axis=1)
+    # starts[w, b] = first sorted position of digit b in window w
+    bvals = np.arange(N_BUCKETS)
+    starts = np.stack([
+        np.searchsorted(sorted_d[w], bvals) for w in range(digits.shape[0])
+    ])
+    counts = np.concatenate(
+        [starts[:, 1:], np.full((starts.shape[0], 1), n)], axis=1
     ) - starts
-    return jnp.max(counts[:, 1:])
+    counts[:, 0] = 0  # digit 0 contributes nothing
+    maxc = int(counts.max()) if n else 0
+    S = 1 << max(3, (maxc - 1).bit_length()) if maxc else 8
+    r = np.arange(S)
+    pos = np.clip(starts[:, :, None] + r[None, None, :], 0, max(n - 1, 0))
+    valid = (r[None, None, :] < counts[:, :, None])
+    valid[:, 0, :] = False
+    idx = np.where(
+        valid, np.take_along_axis(
+            orders, pos.reshape(orders.shape[0], -1), axis=1
+        ).reshape(pos.shape), n,
+    ).astype(np.int32)
+    return idx, S
 
 
 def msm_grid(points: G1, scalars_u8, use_pallas: bool | None = None,
              interpret: bool = False, distinct: bool = False) -> G1:
-    """Bucket-grid MSM (eager entry: one tiny host sync to size S).
+    """Bucket-grid MSM (eager entry: one host round-trip builds the
+    bucket gather indices in numpy).
 
     distinct=True enables the cheap add kernels (6-mul affine level 0,
     16-mul incomplete above) — REQUIRES all points pairwise distinct and
     affine (z in {0, mont(1)}), the layout of SRS power batches.  The
     default complete kernels have no preconditions."""
-    n = points.x.shape[0]
-    digits = jnp.transpose(scalars_u8.astype(jnp.int32))  # (32, n)
-    maxc = int(_grid_max_count(digits))
-    S = 1 << max(3, (maxc - 1).bit_length()) if maxc else 8
+    idx, S = _grid_indices_host(np.asarray(scalars_u8))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     inf = g1_infinity((1,))
@@ -323,7 +330,7 @@ def msm_grid(points: G1, scalars_u8, use_pallas: bool | None = None,
     py = jnp.concatenate([points.y, inf.y.astype(points.y.dtype)])
     pz = jnp.concatenate([points.z, inf.z.astype(points.z.dtype)])
     return G1(*_msm_grid_jit(
-        px, py, pz, digits, S, use_pallas, interpret, distinct
+        px, py, pz, jnp.asarray(idx), S, use_pallas, interpret, distinct
     ))
 
 
@@ -337,16 +344,18 @@ def msm(points: G1, scalars_u8, lanes: int | None = None,
         distinct: bool = False) -> G1:
     """sum_i scalars[i] * points[i] -> single Jacobian point.
 
-    Dispatch: on the TPU backend large inputs take the bucket-grid path
-    (fused Pallas adds); elsewhere (CPU tests, and inside shard_map where
-    the host sync for S is impossible) the lane-private scan path.
-    distinct=True: see msm_grid (SRS-batch fast path)."""
+    Uses the lane-private scan path everywhere for now.  The bucket-grid
+    path (msm_grid: fused Pallas adds, scatter-free reduction) is landed
+    and oracle-tested but measured SLOWER end-to-end on-chip at n=2^16 —
+    the per-add cost is Montgomery-mul-bound (~24 ns/mul: 9 ns MXU dots
+    + 15 ns VPU carry canon, measured), and the grid does 2x the adds of
+    the scan.  The ~50x remaining to the 1 Mpoints/s north star lives in
+    the mul core (lazy-carry multi-plane dots / K=128-contraction digit
+    packing), not the bucket machinery — see NOTES_R5.md.  `distinct` is
+    accepted for call-site intent (SRS batches) and forwarded once the
+    grid path wins."""
+    del distinct
     n = points.x.shape[0]
-    if jax.default_backend() == "tpu" and n >= 4096:
-        try:
-            return msm_grid(points, scalars_u8, distinct=distinct)
-        except jax.errors.ConcretizationTypeError:
-            pass  # called under a trace: fall through to the scan path
     lanes = lanes if lanes is not None else default_lanes(n)
     return G1(*_msm_jit(points, scalars_u8, lanes))
 
