@@ -361,8 +361,8 @@ class EvmCircuit(Circuit):
         # MULMOD/ADDMOD: 3 pops + 1 push; sp += 2, rwc += 4
         transition(ind["MULMOD"], 1, 4, 2)
         transition(ind["ADDMOD"], 1, 4, 2)
-        # CALLDATALOAD: offset pop + ctx length read + word push; sp 0
-        transition(ind["CALLDATALOAD"], 1, 3, 0)
+        # CALLDATALOAD transitions live in its gadget section (the rwc
+        # delta depends on the is_root flag + in-range byte count)
         # context reads: 1 ctx read + 1 stack push; sp -= 1, rwc += 2
         for g in ("CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE"):
             transition(ind[g], 1, 2, -1)
@@ -421,9 +421,14 @@ class EvmCircuit(Circuit):
         )
         # context continuity: tx_id / callee / call_id carry over unless
         # the NEXT row begins a new transaction or THIS row switches call
-        # frames (CALL descends, RET returns)
+        # frames (CALL descends, RET returns).  A no-descend CALL
+        # (codeless callee, flag carry[25]) does NOT switch frames, so
+        # continuity applies to it.
         g_cont = q * q_n * (1 - bt_n)
-        g_frame = g_cont * (1 - ind["CALL"] - ind["CREATE"] - ind["RET"])
+        fnd_e = Advice(self.c_carry[25])
+        g_frame = g_cont * (
+            1 - ind["CALL"] * (1 - fnd_e) - ind["CREATE"] - ind["RET"]
+        )
         cs.create_gate("tx id continuity", g_cont * (txid_n - txid))
         cs.create_gate("callee continuity", g_frame * (callee_n - callee))
         cs.create_gate(
@@ -1397,28 +1402,60 @@ class EvmCircuit(Circuit):
         cs.create_gate("CDC len rlc", gc * (fold4_rlc(bb) - vc))
         cs.create_gate("CDC len zero kill", gc * ez * vc)
         cs.create_gate("CDC len nonzero", gc * (1 - ez) * (vc * inv2 - 1))
-        # transitions: pc += 1, sp += 3, rwc += 3 + len
+        # is_root flag (ctx-read-bound below): root frames copy from the
+        # TxTable-backed calldata; NESTED frames from CALLER memory at
+        # cd_offset+src (reference bus-mapping calldatacopy.rs internal
+        # path) — the in-range bound src+len <= cdlen is enforced by a
+        # u32 decomposition of the slack in bd[12:16]; padded tails are
+        # staged with the copy circuit's memory-source pads
+        cdc_irf = cr[24]
+        cs.create_gate("CDC isroot bool", gc * cdc_irf * (cdc_irf - 1))
+        cdc_cdlen = (bd[0] + bd[1] * 256 + bd[2] * 65536
+                     + bd[3] * 16777216)
+        cdc_cdoff = (bd[4] + bd[5] * 256 + bd[6] * 65536
+                     + bd[7] * 16777216)
+        cdc_caller = (bd[8] + bd[9] * 256 + bd[10] * 65536
+                      + bd[11] * 16777216)
+        cdc_slack = (bd[12] + bd[13] * 256 + bd[14] * 65536
+                     + bd[15] * 16777216)
+        cs.create_gate(
+            "CDC nested in-range",
+            gc * (1 - cdc_irf) * (1 - ez)
+            * (cdc_cdlen - fold4_int(ba) - fold4_int(bb) - cdc_slack),
+        )
+        # transitions: pc += 1, sp += 3; rwc: root [3 pops, IsRoot,
+        # len writes] = 4 + len; nested [3 pops, IsRoot, CDLen, CDOff,
+        # CallerId, (read,write) x len] = 7 + 2*len
         gcn = q * q_n * ind["CALLDATACOPY"]
         cs.create_gate("CDC pc", gcn * (pc_n - pc - 1))
         cs.create_gate("CDC sp", gcn * (sp_n - sp - 3))
         cs.create_gate(
-            "CDC rwc", gcn * (rwc_n - rwc - 3 - fold4_int(bb))
+            "CDC rwc",
+            gcn * (rwc_n - rwc - 4 - fold4_int(bb)
+                   - (1 - cdc_irf) * (3 + fold4_int(bb))),
         )
         if self.copy_table is not None:
             gl = gc * (1 - ez)
-            # (enable, is_rlc, src_id, src_addr, dst_id, dst_addr, len,
-            #  rwc, acc) — calldata->memory events carry is_rlc = acc = 0
+            glr = gl * cdc_irf
+            gln = gl * (1 - cdc_irf)
+            # (enable, is_rlc, is_mm, is_log, is_code, is_wr, src_id,
+            #  src_addr, dst_id, dst_addr, len, rwc, acc) — root events
+            # are calldata->memory (all kind flags 0), nested events are
+            # memory->memory (is_mm = 1) from the caller's frame
             cs.lookup_logup(
                 "CDC copy event",
                 [[
-                    gl, gl * 0, gl * 0, gl * 0, gl * 0, gl * 0,
+                    gl, gl * 0, gln, gl * 0, gl * 0, gl * 0,
+                    glr * Advice(self.c_call_id) + gln * cdc_caller,
+                    glr * fold4_int(ba)
+                    + gln * (cdc_cdoff + fold4_int(ba)),
                     gl * Advice(self.c_call_id),
-                    gl * fold4_int(ba), gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
-                    gl * (rwc + 3), gl * 0,
+                    glr * (rwc + 4) + gln * (rwc + 7), gl * 0,
                 ]],
                 self.copy_table,
             )
+        self._cdc_exprs = (cdc_irf, cdc_cdlen, cdc_cdoff, cdc_caller)
 
         # ---- MULMOD / ADDMOD (reference execution/mulmod.rs, addmod.rs):
         # the modular identity is proven by the MulMod circuit; here the
@@ -1441,16 +1478,23 @@ class EvmCircuit(Circuit):
                 self.mulmod_table,
             )
 
-        # ---- CALLDATALOAD (reference execution/calldataload.rs, root-call
-        # path): pop offset (word in bank a), push the 32 calldata bytes
+        # ---- CALLDATALOAD (reference execution/calldataload.rs, BOTH call
+        # kinds): pop offset (word in bank a), push the 32 calldata bytes
         # at [offset, offset+32) big-endian (bank b), zero-padded past the
         # calldata end.  sel_j (carry bank) = 1 iff offset+j < cdlen; the
         # boundary is pinned by two 4-byte range decompositions in bank e:
         #   sel_0 = 1  =>  cdlen - offset - m in [0, 2^32)   (m = sum sel)
         #   sel_31 = 0 =>  offset + m - cdlen in [0, 2^32)
         # offset >= 2^32 (nonzero bytes a[4:]) forces an all-zero word via
-        # the inverse witness z4. ------------------------------------------
+        # the inverse witness z4.  The is_root flag (c_ez, ctx-read-bound)
+        # selects the byte source: root frames look the in-range bytes up
+        # in the TxTable's calldata rows; NESTED frames read them from the
+        # CALLER's memory at cd_offset+offset+j (reference bus-mapping
+        # calldataload.rs internal-call path) — cd_offset/caller_id ride
+        # ctx reads into bank-d cells bd[4:8]/bd[8:12]. -------------------
         gcdl = q * ind["CALLDATALOAD"]
+        cdl_irf = Advice(self.c_ez)
+        cs.create_gate("CDL isroot bool", gcdl * cdl_irf * (cdl_irf - 1))
         off_int = (ba[0] + ba[1] * 256 + ba[2] * 65536 + ba[3] * 16777216)
         s_hi4 = None
         for k in range(4, 32):
@@ -1494,17 +1538,29 @@ class EvmCircuit(Circuit):
             gcdl * (1 - z4) * (1 - cr[31])
             * (off_int + sel_sum_l - cdlen_e - diff_b),
         )
+        # transitions: pc += 1, sp 0; rwc: root [pop, IsRoot, CDLen,
+        # push] = 4; nested adds [CDOff, CallerId] + one caller-memory
+        # read per in-range byte = 6 + m
+        gcdln = q * q_n * ind["CALLDATALOAD"]
+        cs.create_gate("CDL pc", gcdln * (pc_n - pc - 1))
+        cs.create_gate("CDL sp", gcdln * (sp_n - sp))
+        cs.create_gate(
+            "CDL rwc",
+            gcdln * (rwc_n - rwc - 4
+                     - (1 - cdl_irf) * (2 + sel_sum_l)),
+        )
         if self.tx_table is not None:
             from .tx import TxFieldTag as _TT
 
             cdl_inputs = []
             for j in range(32):
-                gl = gcdl * cr[j]
+                gl = gcdl * cdl_irf * cr[j]
                 cdl_inputs.append([
                     gl * txid, gl * int(_TT.CallData), gl * (off_int + j),
                     gl * bb[j],
                 ])
             cs.lookup_logup("CDL calldata", cdl_inputs, self.tx_table)
+        self._cdl_exprs = (cdl_irf, off_int, sel_sum_l)
 
         # ---- keccak pad-power table rows -----------------------------------
         qp = Fixed(self.q_padt)
@@ -1611,16 +1667,32 @@ class EvmCircuit(Circuit):
         cs.create_gate("CALL to rlc", gcall * (rlc_expr(ba) - vb))
         args_off4, args_len4 = fold4_int(ab4), fold4_int(bb)
         ret_off4, ret_len4 = fold4_int(bd), fold4_int(be_)
-        # next row enters the callee frame
+        # no-descend flag (codeless callee: the plain-transfer shape,
+        # reference callop.rs is_empty_code_hash branch).  CALL/STATICCALL
+        # only; the callee's empty code is proven by an Account.CodeHash
+        # read of 0 on the bus (builder convention: code_hash 0 = no code)
+        fnd = cr[25]
+        cs.create_gate("CALL nd bool", gcall * fnd * (fnd - 1))
+        cs.create_gate("CALL nd variant", gcall * fnd * (f2 + fdg))
+        gdesc = gcalln * (1 - fnd)
+        gnd = gcalln * fnd
+        # next row enters the callee frame (descend only)
         new_id = rwc + npops
-        cs.create_gate("CALL callee pc0", gcalln * pc_n)
-        cs.create_gate("CALL callee sp", gcalln * (sp_n - STACK_BASE))
-        cs.create_gate("CALL callee id", gcalln * (cid_n - new_id))
-        cs.create_gate("CALL rwc", gcalln * (rwc_n - rwc - npops - 16))
+        cs.create_gate("CALL callee pc0", gdesc * pc_n)
+        cs.create_gate("CALL callee sp", gdesc * (sp_n - STACK_BASE))
+        cs.create_gate("CALL callee id", gdesc * (cid_n - new_id))
+        cs.create_gate("CALL rwc", gdesc * (rwc_n - rwc - npops - 17))
         cs.create_gate(
             "CALL callee addr",
-            gcalln * (callee_n - (f1 + fsa) * addr_raw
-                      - (f2 + fdg) * callee),
+            gdesc * (callee_n - (f1 + fsa) * addr_raw
+                     - (f2 + fdg) * callee),
+        )
+        # no-descend transitions: same frame continues past the call
+        # (callee/call_id/code-hash continuity comes from g_frame)
+        cs.create_gate("CALL nd pc", gnd * (pc_n - pc - 1))
+        cs.create_gate("CALL nd sp", gnd * (sp_n - sp - npops + 1))
+        cs.create_gate(
+            "CALL nd rwc", gnd * (rwc_n - rwc - npops - 3 - 2 * f1)
         )
         # caller address: own executing address, except DELEGATECALL which
         # inherits the parent's caller (witness cells in c_mem[0:20])
@@ -1645,6 +1717,7 @@ class EvmCircuit(Circuit):
             (int(CallContextField.CallerAddress), caller_val),
             (int(CallContextField.Value), value_val),
             (int(CallContextField.CallDataLength), args_len4),
+            (int(CallContextField.CallDataOffset), args_off4),
             (int(CallContextField.CodeHash), chash_n),
             (int(CallContextField.IsStatic), static_cell),
             (int(CallContextField.IsRoot), 0),
@@ -1652,6 +1725,7 @@ class EvmCircuit(Circuit):
         ]
         self._call_npops = npops
         self._call_new_id = new_id
+        self._call_addr_raw = addr_raw
 
         # ---- CREATE / CREATE2 (reference execution/create.rs, heavily
         # restructured): pops (value, offset, size[, salt]), bumps the
@@ -1734,7 +1808,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("CREATE callee pc0", gcrn * pc_n)
         cs.create_gate("CREATE callee sp", gcrn * (sp_n - STACK_BASE))
         cs.create_gate("CREATE callee id", gcrn * (cid_n - new_id_c))
-        cs.create_gate("CREATE rwc", gcrn * (rwc_n - rwc - npe - 21))
+        cs.create_gate("CREATE rwc", gcrn * (rwc_n - rwc - npe - 22))
         cs.create_gate("CREATE callee addr", gcrn * (callee_n - create_addr))
         self._create_ctx_writes = [
             (int(CallContextField.CallerId), Advice(self.c_call_id)),
@@ -1749,6 +1823,7 @@ class EvmCircuit(Circuit):
             (int(CallContextField.CallerAddress), callee),
             (int(CallContextField.Value), va),
             (int(CallContextField.CallDataLength), 0),
+            (int(CallContextField.CallDataOffset), 0),
             (int(CallContextField.CodeHash), chash_n),
             (int(CallContextField.IsStatic), 0),
             (int(CallContextField.IsRoot), 0),
@@ -2857,7 +2932,8 @@ class EvmCircuit(Circuit):
             # unary ops: read va@sp, write vc@sp
             access(gun, 0, 0, sp, va),
             access(gun, 1, 1, sp, vc),
-            # CALLDATACOPY: read dst@sp, src@sp+1, len@sp+2
+            # CALLDATACOPY: read dst@sp, src@sp+1, len@sp+2 (ctx reads
+            # appended after the inputs list below)
             access(gcdc, 0, 0, sp, va),
             access(gcdc, 1, 0, sp + 1, vb),
             access(gcdc, 2, 0, sp + 2, vc),
@@ -2932,11 +3008,42 @@ class EvmCircuit(Circuit):
                 access(gcall_b, 2 + call_hv + j, 0, sp + 2 + call_hv + j,
                        val_rlc)
             )
+        call_fnd = cr[25]
+        gcall_d = gcall_b * (1 - call_fnd)
         for k, (field, val) in enumerate(self._call_ctx_writes):
             inputs.append(
-                access(gcall_b, call_npops + k, 1, 0, val, tag=ctxtag,
+                access(gcall_d, call_npops + k, 1, 0, val, tag=ctxtag,
                        id_expr=self._call_new_id, field=field)
             )
+        # no-descend CALL (codeless callee): warm write + empty-CodeHash
+        # account read + (CALL) balance transfer pair + success-1 push
+        gcall_nd = gcall_b * call_fnd
+        call_f1 = cr[20]
+        nd_addr = self._call_addr_raw
+        inputs.append(access(
+            gcall_nd, call_npops, 1, nd_addr, 1,
+            tag=int(RwTag.TxAccessListAccount), id_expr=txid,
+        ))
+        from ..witness.rw import AccountField as _AF
+
+        inputs.append(access(
+            gcall_nd, call_npops + 1, 0, nd_addr, 0,
+            tag=int(RwTag.Account), id_expr=0, field=int(_AF.CodeHash),
+        ))
+        gnd_f1 = gcall_nd * call_f1
+        inputs.append(access(
+            gnd_f1, call_npops + 2, 1, Advice(self.c_callee),
+            Advice(self.c_acc_m), tag=int(RwTag.Account), id_expr=0,
+            field=int(_AF.Balance),
+        ))
+        inputs.append(access(
+            gnd_f1, call_npops + 3, 1, nd_addr, Advice(self.c_rpl),
+            tag=int(RwTag.Account), id_expr=0, field=int(_AF.Balance),
+        ))
+        inputs.append(access(
+            gcall_nd, call_npops + 2 + 2 * call_f1, 1,
+            sp + call_npops - 1, 1,
+        ))
         # ---- CREATE accesses: pops + account machine + ctx writes --------
         gcr_b = q * ind["CREATE"]
         cr_np = self._create_npops
@@ -3121,13 +3228,53 @@ class EvmCircuit(Circuit):
         inputs.append(access(gmod_b, 1, 0, sp + 1, rlc_expr(bb)))
         inputs.append(access(gmod_b, 2, 0, sp + 2, rlc_expr(bc)))
         inputs.append(access(gmod_b, 3, 1, sp + 2, rlc_expr(bd)))
-        # CALLDATALOAD accesses: offset pop, ctx length read, word push
+        # CALLDATALOAD accesses: offset pop, IsRoot + CallDataLength ctx
+        # reads, then (nested only) CallDataOffset + CallerId ctx reads
+        # and one CALLER-memory read per in-range byte, then the push
         gcdl_b = q * ind["CALLDATALOAD"]
+        cdl_irf_b, cdl_off_b, cdl_selsum_b = self._cdl_exprs
         cdlen_b = (bd[0] + bd[1] * 256 + bd[2] * 65536 + bd[3] * 16777216)
+        cdl_cdoff = (bd[4] + bd[5] * 256 + bd[6] * 65536
+                     + bd[7] * 16777216)
+        cdl_caller = (bd[8] + bd[9] * 256 + bd[10] * 65536
+                      + bd[11] * 16777216)
+        gcdl_nr = gcdl_b * (1 - cdl_irf_b)
         inputs.append(access(gcdl_b, 0, 0, sp, va))
-        inputs.append(access(gcdl_b, 1, 0, 0, cdlen_b, tag=ctxtag,
+        inputs.append(access(gcdl_b, 1, 0, 0, cdl_irf_b, tag=ctxtag,
+                             field=int(CCF.IsRoot)))
+        inputs.append(access(gcdl_b, 2, 0, 0, cdlen_b, tag=ctxtag,
                              field=int(CCF.CallDataLength)))
-        inputs.append(access(gcdl_b, 2, 1, sp, vb))
+        inputs.append(access(gcdl_nr, 3, 0, 0, cdl_cdoff, tag=ctxtag,
+                             field=int(CCF.CallDataOffset)))
+        inputs.append(access(gcdl_nr, 4, 0, 0, cdl_caller, tag=ctxtag,
+                             field=int(CCF.CallerId)))
+        pref = None
+        for j in range(32):
+            d_rwc = 5 if pref is None else 5 + pref
+            inputs.append(access(
+                gcdl_nr * cr[j], d_rwc, 0,
+                cdl_cdoff + cdl_off_b + j, bb[j], tag=int(RwTag.Memory),
+                id_expr=cdl_caller,
+            ))
+            pref = cr[j] if pref is None else pref + cr[j]
+        inputs.append(access(
+            gcdl_b, cdl_irf_b * 3 + (1 - cdl_irf_b) * (5 + cdl_selsum_b),
+            1, sp, vb,
+        ))
+
+        # CALLDATACOPY ctx accesses: IsRoot (both kinds) + the nested
+        # frame's CallDataLength / CallDataOffset / CallerId reads
+        gcdc_c = q * ind["CALLDATACOPY"]
+        cdc_irf_c, cdc_cdlen_c, cdc_cdoff_c, cdc_caller_c = self._cdc_exprs
+        gcdc_nr = gcdc_c * (1 - cdc_irf_c)
+        inputs.append(access(gcdc_c, 3, 0, 0, cdc_irf_c, tag=ctxtag,
+                             field=int(CCF.IsRoot)))
+        inputs.append(access(gcdc_nr, 4, 0, 0, cdc_cdlen_c, tag=ctxtag,
+                             field=int(CCF.CallDataLength)))
+        inputs.append(access(gcdc_nr, 5, 0, 0, cdc_cdoff_c, tag=ctxtag,
+                             field=int(CCF.CallDataOffset)))
+        inputs.append(access(gcdc_nr, 6, 0, 0, cdc_caller_c, tag=ctxtag,
+                             field=int(CCF.CallerId)))
 
         # ---- RETURNDATASIZE / RETURNDATACOPY accesses --------------------
         grds_b = q * ind["RETURNDATASIZE"]
@@ -4059,6 +4206,19 @@ class EvmCircuit(Circuit):
                         byts["a"][i][si] = (src >> (8 * i)) & 0xFF
                         byts["b"][i][si] = (ln >> (8 * i)) & 0xFF
                     ez_col[si] = int(ln == 0)
+                    irf = ops[3].value  # IsRoot ctx read
+                    carries[24][si] = irf
+                    if not irf:
+                        cdlen_c = ops[4].value
+                        cdoff_c = ops[5].value
+                        caller_c = ops[6].value
+                        slack = max(0, cdlen_c - src - ln)
+                        for i in range(4):
+                            byts["d"][i][si] = (cdlen_c >> (8 * i)) & 0xFF
+                            byts["d"][4 + i][si] = (cdoff_c >> (8 * i)) & 0xFF
+                            byts["d"][8 + i][si] = \
+                                (caller_c >> (8 * i)) & 0xFF
+                            byts["d"][12 + i][si] = (slack >> (8 * i)) & 0xFF
                 elif kind in ("MULMOD", "ADDMOD"):
                     assert self.mulmod_table is not None, (
                         f"{kind} step needs the MulMod circuit's table"
@@ -4073,7 +4233,18 @@ class EvmCircuit(Circuit):
                         addrbytes[i][si] = (addr >> (8 * i)) & 0xFF
                     set_word("a", si, val)
                 elif kind == "CALLDATALOAD":
-                    off, cdlen, word = (o.value for o in ops[:3])
+                    off = ops[0].value
+                    irf = ops[1].value  # IsRoot ctx read
+                    cdlen = ops[2].value
+                    word = ops[-1].value
+                    ez_col[si] = irf
+                    if not irf:
+                        cdoff_c = ops[3].value
+                        caller_c = ops[4].value
+                        for i in range(4):
+                            byts["d"][4 + i][si] = (cdoff_c >> (8 * i)) & 0xFF
+                            byts["d"][8 + i][si] = \
+                                (caller_c >> (8 * i)) & 0xFF
                     set_word("a", si, off)
                     wb_ = word.to_bytes(32, "big")
                     for j in range(32):
@@ -4284,11 +4455,14 @@ class EvmCircuit(Circuit):
                         byts["b"][i][si] = (tail[1] >> (8 * i)) & 0xFF
                         byts["d"][i][si] = (tail[2] >> (8 * i)) & 0xFF
                         byts["e"][i][si] = (tail[3] >> (8 * i)) & 0xFF
-                    caller_v = ops[npp_ + 9].value  # CallerAddress write
-                    cle = caller_v.to_bytes(20, "little")
-                    for i in range(20):
-                        membytes[i][si] = cle[i]
-                    ez_col[si] = ops[npp_ + 13].value  # IsStatic write
+                    if len(ops) < npp_ + 17:  # no-descend (codeless)
+                        carries[25][si] = 1
+                    else:
+                        caller_v = ops[npp_ + 9].value  # CallerAddress
+                        cle = caller_v.to_bytes(20, "little")
+                        for i in range(20):
+                            membytes[i][si] = cle[i]
+                        ez_col[si] = ops[npp_ + 14].value  # IsStatic
                 elif kind == "CREATE":
                     from ..crypto.keccak import keccak256 as _kec
                     from ..types import rlp as _rlp
@@ -4312,7 +4486,7 @@ class EvmCircuit(Circuit):
                         salt_le = ops[3].value.to_bytes(32, "little")
                         for i in range(32):
                             byts["d"][i][si] = salt_le[i]
-                        ihb = ops[npe_ + 5 + 12].value.to_bytes(32, "big")
+                        ihb = ops[npe_ + 5 + 13].value.to_bytes(32, "big")
                         for i in range(32):
                             byts["e"][i][si] = ihb[i]
                         preimage = (b"\xff" + s.callee.to_bytes(20, "big")
@@ -4515,6 +4689,10 @@ class EvmCircuit(Circuit):
                 vc.append(rlc(ops[2]) if hv else 0)
                 if s.op == OpcodeId.DELEGATECALL:
                     acc_m = word_rlc(ops[npp_ + 10].value, r_int)  # Value
+                if len(ops) < npp_ + 17:  # no-descend (codeless callee)
+                    if s.op == OpcodeId.CALL:
+                        acc_m = rlc(ops[npp_ + 2])  # caller balance new
+                        rpl_v = rlc(ops[npp_ + 3])  # callee balance new
             elif kind == "RET":
                 has_d = s.op != OpcodeId.STOP
                 va.append(rlc(ops[0]) if has_d else 0)
@@ -4596,7 +4774,7 @@ class EvmCircuit(Circuit):
             elif kind == "MSTORE8":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1])); vc.append(0)
             elif kind == "CALLDATALOAD":
-                va.append(rlc(ops[0])); vb.append(rlc(ops[2])); vc.append(0)
+                va.append(rlc(ops[0])); vb.append(rlc(ops[-1])); vc.append(0)
                 inv_of = sum(ops[0].value.to_bytes(32, "little")[4:]) % R
             elif kind == "JUMP":
                 va.append(rlc(ops[0])); vb.append(0); vc.append(0)

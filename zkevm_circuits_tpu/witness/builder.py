@@ -134,6 +134,7 @@ class TxContext:
     ret_length: int = 0
     parent_callee: int = 0  # caller's executing address
     parent_code_hash: int = 0
+    cd_offset: int = 0  # nested frames: args offset in CALLER memory
     sstore_count: int = 0  # writes inside this frame (revert tracking)
     log_mark: int = 0  # tx log count at frame entry (revert tracking)
     gas: int = 0  # root frames: the tx gas limit (0 = derive from trace)
@@ -330,10 +331,21 @@ class CircuitInputBuilder:
                 (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 5, 6, 7)
             ):
                 self._handle_precompile(fr, step, nxt)
+            elif op in (OpcodeId.CALL, OpcodeId.STATICCALL) and (
+                nxt is not None and nxt.depth == step.depth
+                and not step.error
+                and len(nxt.stack) == len(step.stack)
+                - (6 if op == OpcodeId.STATICCALL else 7) + 1
+                and nxt.stack[-1] == 1
+            ):
+                # codeless callee: no frame descends, value transfers
+                # (CALL), 1 pushes (reference callop.rs empty-code path)
+                self._handle_call_nodescend(fr, step, nxt)
             elif op.is_call or op.is_create:
                 raise NotImplementedError(
-                    "calls/creates that do not descend (empty accounts, "
-                    "depth/balance aborts, unproven precompiles) land later"
+                    "calls/creates that do not descend past the codeless-"
+                    "callee case (depth/balance aborts, CALLCODE/"
+                    "DELEGATECALL to EOAs, unproven precompiles) land later"
                 )
             elif len(frames) > 1 and (
                 op in (OpcodeId.STOP, OpcodeId.RETURN, OpcodeId.REVERT)
@@ -708,6 +720,7 @@ class CircuitInputBuilder:
             parent_callee=fr.to_addr, parent_code_hash=fr.code_hash,
             log_mark=self._tx_log_count,
             journal_mark=len(self._tx_journal),
+            cd_offset=args_off,
         )
         self._next_call_id = max(self._next_call_id, new_id + 1)
         CCF = CallContextField
@@ -725,6 +738,7 @@ class CircuitInputBuilder:
             w(new_id, CCF.CallerAddress, caller_addr),
             w(new_id, CCF.Value, value),
             w(new_id, CCF.CallDataLength, args_len),
+            w(new_id, CCF.CallDataOffset, args_off),
             w(new_id, CCF.CodeHash, code_hash),
             w(new_id, CCF.IsStatic, int(new.is_static)),
             w(new_id, CCF.IsRoot, 0),
@@ -845,6 +859,7 @@ class CircuitInputBuilder:
             w(new_id, CCF.CallerAddress, fr.to_addr),
             w(new_id, CCF.Value, value),
             w(new_id, CCF.CallDataLength, 0),
+            w(new_id, CCF.CallDataOffset, 0),
             w(new_id, CCF.CodeHash, init_hash),
             w(new_id, CCF.IsStatic, int(new.is_static)),
             w(new_id, CCF.IsRoot, 0),
@@ -853,6 +868,53 @@ class CircuitInputBuilder:
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
         return new
+
+    def _handle_call_nodescend(self, fr: TxContext, step: GethExecStep,
+                               nxt: GethExecStep):
+        """CALL/STATICCALL to a CODELESS account (the plain-transfer
+        shape): stack pops, EIP-2929 warm write, an empty-CodeHash
+        account read proving the callee has no code, the value-transfer
+        balance pair (CALL), and the success-1 push — no frame descends
+        (reference execution/callop.rs is_empty_code_hash branch)."""
+        op = step.op
+        call_id = fr.call_id
+        sp = STACK_BASE - len(step.stack)
+        es = ExecStep(
+            exec_state="CALL", pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
+            gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
+        )
+        rws: list[Rw] = []
+        has_value = op == OpcodeId.CALL
+        npops = 7 if has_value else 6
+        vals = [step.stack[-1 - i] for i in range(npops)]
+        for i, v in enumerate(vals):
+            rws.append(self.rws.stack_read(call_id, sp + i, v))
+        addr = vals[1] & ((1 << 160) - 1)
+        value = vals[2] if has_value else 0
+        acct = self._acct(addr)
+        assert acct.code_hash == 0 and not self._code_db.get(addr), (
+            "no-descend call to an account WITH code (abort case) is "
+            "staged"
+        )
+        warm_prev = int(addr in self._warm_addrs)
+        self._warm_addrs.add(addr)
+        rws.append(self.rws.access_list_account_write(
+            fr.tx_id, addr, 1, warm_prev
+        ))
+        self._tx_journal.append(("warm", fr.tx_id, addr, warm_prev))
+        rws.append(self.rws.account_read(addr, AccountField.CodeHash, 0))
+        if has_value:
+            rws.append(self._balance_add(fr.to_addr, -value))
+            self._tx_journal.append(("balance", fr.to_addr, -value))
+            rws.append(self._balance_add(addr, value))
+            self._tx_journal.append(("balance", addr, value))
+        rws.append(self.rws.stack_write(call_id, sp + npops - 1, 1))
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
 
     def _handle_precompile(self, fr: TxContext, step: GethExecStep,
                            nxt: GethExecStep | None):
@@ -1253,23 +1315,44 @@ class CircuitInputBuilder:
                 ("storage", ctx.tx_id, ctx.to_addr, key, prev, val)
             )
             ctx.sstore_count += 1
-        elif op in (OpcodeId.CALLDATALOAD, OpcodeId.CALLDATACOPY) \
-                and not ctx.is_root:
-            raise NotImplementedError(
-                "nested-frame calldata reads (caller-memory source) land "
-                "with the calldata-offset context plumbing"
-            )
         elif op == OpcodeId.CALLDATALOAD:
-            # root call: stack offset pop, a CallDataLength ctx read (the
-            # circuit's boundary gadget needs the length), stack word push
-            # (reference bus-mapping src/evm/opcodes/calldataload.rs)
+            # stack offset pop, IsRoot + CallDataLength ctx reads, then:
+            # root frames push straight from the TxTable-bound calldata;
+            # NESTED frames also read CallDataOffset + CallerId and pull
+            # each in-range byte from the CALLER's memory (reference
+            # bus-mapping src/evm/opcodes/calldataload.rs, both paths)
             offset = stack_val(0)
+            cdlen = len(ctx.calldata)
             rws.append(self.rws.stack_read(call_id, sp, offset))
             rws.append(
                 self.rws.call_context_read(
-                    call_id, CallContextField.CallDataLength, len(ctx.calldata)
+                    call_id, CallContextField.IsRoot, int(ctx.is_root)
                 )
             )
+            rws.append(
+                self.rws.call_context_read(
+                    call_id, CallContextField.CallDataLength, cdlen
+                )
+            )
+            if not ctx.is_root:
+                rws.append(
+                    self.rws.call_context_read(
+                        call_id, CallContextField.CallDataOffset,
+                        ctx.cd_offset,
+                    )
+                )
+                rws.append(
+                    self.rws.call_context_read(
+                        call_id, CallContextField.CallerId, ctx.caller_id
+                    )
+                )
+                m = min(32, max(0, cdlen - offset)) \
+                    if offset < (1 << 32) else 0
+                for j in range(m):
+                    rws.append(self.rws.memory_read(
+                        ctx.caller_id, ctx.cd_offset + offset + j,
+                        ctx.calldata[offset + j],
+                    ))
             word = nxt.stack[-1] if nxt and not step.error else 0
             rws.append(self.rws.stack_write(call_id, sp, word))
         elif op == OpcodeId.CALLDATACOPY:
@@ -1277,18 +1360,70 @@ class CircuitInputBuilder:
             rws.append(self.rws.stack_read(call_id, sp, dst))
             rws.append(self.rws.stack_read(call_id, sp + 1, src))
             rws.append(self.rws.stack_read(call_id, sp + 2, ln))
-            data = ctx.calldata[src : src + ln]
-            chunk = bytes(data).ljust(ln, b"\x00")
-            ev = CopyEvent(
-                src_type="calldata", src_id=ctx.tx_id, src_addr=src,
-                dst_type="memory", dst_id=call_id, dst_addr=dst,
-                length=ln, rw_counter_start=self.rws.counter + 1,
-                bytes_=chunk,
+            cdlen = len(ctx.calldata)
+            rws.append(
+                self.rws.call_context_read(
+                    call_id, CallContextField.IsRoot, int(ctx.is_root)
+                )
             )
-            for j, byte in enumerate(chunk):
-                rws.append(self.rws.memory_write(call_id, dst + j, byte))
-            if ln:  # zero-length copies produce no event rows
-                self.copy_events.append(ev)
+            if ctx.is_root:
+                data = ctx.calldata[src : src + ln]
+                chunk = bytes(data).ljust(ln, b"\x00")
+                ev = CopyEvent(
+                    src_type="calldata", src_id=ctx.tx_id, src_addr=src,
+                    dst_type="memory", dst_id=call_id, dst_addr=dst,
+                    length=ln, rw_counter_start=self.rws.counter + 1,
+                    bytes_=chunk,
+                )
+                for j, byte in enumerate(chunk):
+                    rws.append(self.rws.memory_write(call_id, dst + j, byte))
+                if ln:  # zero-length copies produce no event rows
+                    self.copy_events.append(ev)
+            else:
+                # nested: the frame's calldata IS caller memory at
+                # [cd_offset, cd_offset+cdlen) — a memory->memory copy
+                # event from the caller's frame.  Padded tails (copies
+                # past the calldata end) need the copy circuit's
+                # memory-source pad machinery — staged.
+                if ln and src + ln > cdlen:
+                    raise NotImplementedError(
+                        "nested CALLDATACOPY past the calldata end "
+                        "(zero-padded tail) lands with copy-circuit "
+                        "memory-source pads"
+                    )
+                rws.append(
+                    self.rws.call_context_read(
+                        call_id, CallContextField.CallDataLength, cdlen
+                    )
+                )
+                rws.append(
+                    self.rws.call_context_read(
+                        call_id, CallContextField.CallDataOffset,
+                        ctx.cd_offset,
+                    )
+                )
+                rws.append(
+                    self.rws.call_context_read(
+                        call_id, CallContextField.CallerId, ctx.caller_id
+                    )
+                )
+                data = bytes(ctx.calldata[src : src + ln])
+                if ln:
+                    ev = CopyEvent(
+                        src_type="memory", src_id=ctx.caller_id,
+                        src_addr=ctx.cd_offset + src,
+                        dst_type="memory", dst_id=call_id, dst_addr=dst,
+                        length=ln, rw_counter_start=self.rws.counter + 1,
+                        bytes_=data,
+                    )
+                    for j, byte in enumerate(data):
+                        rws.append(self.rws.memory_read(
+                            ctx.caller_id, ctx.cd_offset + src + j, byte
+                        ))
+                        rws.append(self.rws.memory_write(
+                            call_id, dst + j, byte
+                        ))
+                    self.copy_events.append(ev)
         elif op == OpcodeId.SHA3:
             # pops (offset, size); reads size memory bytes into a
             # memory->RLC copy event; pushes keccak(mem[off:off+size])

@@ -57,6 +57,7 @@ class CallContextField(enum.IntEnum):
     LastCalleeId = 22  # written to the CALLER at frame end
     LastCalleeReturnDataOffset = 23  # offset of the data in callee memory
     IsCreate = 24  # 1 iff the frame executes init code (CREATE/CREATE2)
+    CallDataOffset = 25  # nested frames: args offset in CALLER memory
 
 
 class AccountField(enum.IntEnum):
