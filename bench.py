@@ -325,7 +325,7 @@ def main():
         _try("msm", cpu=False, budget=600, reserve=160)
     if "msm" not in _RESULTS:
         _try("msm", cpu=True, budget=180, reserve=120)
-    _try("prove", cpu=True, budget=300, reserve=10)
+    _try("prove", cpu=True, budget=420, reserve=10)
     _emit_and_exit()
 
 
