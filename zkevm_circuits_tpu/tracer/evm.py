@@ -113,6 +113,87 @@ class Tx:
                    base_fee + self.max_priority_fee_per_gas)
 
 
+# ---- blake2f (EIP-152) compression -------------------------------------
+_B2_IV = [0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+          0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+          0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179]
+_B2_SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+]
+
+
+def _blake2f_compress(rounds, h, m, t, final):
+    """The BLAKE2b F function (RFC 7693 §3.2), as the 0x09 precompile
+    runs it (EIP-152: unkeyed, caller-chosen round count)."""
+    M64 = (1 << 64) - 1
+    v = h[:8] + _B2_IV[:8]
+    v[12] ^= t[0]
+    v[13] ^= t[1]
+    if final:
+        v[14] ^= M64
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (64 - n))) & M64
+
+    def G(a, b, c, d, x, y):
+        v[a] = (v[a] + v[b] + x) & M64
+        v[d] = rotr(v[d] ^ v[a], 32)
+        v[c] = (v[c] + v[d]) & M64
+        v[b] = rotr(v[b] ^ v[c], 24)
+        v[a] = (v[a] + v[b] + y) & M64
+        v[d] = rotr(v[d] ^ v[a], 16)
+        v[c] = (v[c] + v[d]) & M64
+        v[b] = rotr(v[b] ^ v[c], 63)
+
+    for r in range(rounds):
+        s = _B2_SIGMA[r % 10]
+        G(0, 4, 8, 12, m[s[0]], m[s[1]])
+        G(1, 5, 9, 13, m[s[2]], m[s[3]])
+        G(2, 6, 10, 14, m[s[4]], m[s[5]])
+        G(3, 7, 11, 15, m[s[6]], m[s[7]])
+        G(0, 5, 10, 15, m[s[8]], m[s[9]])
+        G(1, 6, 11, 12, m[s[10]], m[s[11]])
+        G(2, 7, 8, 13, m[s[12]], m[s[13]])
+        G(3, 4, 9, 14, m[s[14]], m[s[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _g2_valid(pt) -> bool:
+    """ecPairing G2 operand check: on the twist curve y^2 = x^3 + 3/(9+u)
+    over Fq2 AND in the r-torsion subgroup (EIP-197 requires both)."""
+    from ..crypto.params import FQ_MODULUS as q, FR_MODULUS as r_
+
+    (xr, xi), (yr, yi) = pt
+    # b2 = 3 / (9 + u) in Fq2
+    d = (81 + 1) % q  # |9+u|^2 = 81 + 1
+    dinv = pow(d, -1, q)
+    b_r = (3 * 9 * dinv) % q
+    b_i = (-3 * dinv) % q
+
+    def f2mul(a, b):
+        return ((a[0] * b[0] - a[1] * b[1]) % q,
+                (a[0] * b[1] + a[1] * b[0]) % q)
+
+    x2 = f2mul((xr, xi), (xr, xi))
+    x3 = f2mul(x2, (xr, xi))
+    y2 = f2mul((yr, yi), (yr, yi))
+    on = (y2[0] - x3[0] - b_r) % q == 0 and (y2[1] - x3[1] - b_i) % q == 0
+    if not on:
+        return False
+    from ..crypto import pairing as _pr
+
+    return _pr.g2_scalar_mul(pt, r_) is None
+
+
 class VmError(Exception):
     def __init__(self, name: str):
         self.name = name
@@ -407,23 +488,89 @@ class Interpreter:
             out = (b"\x00" * 64 if r_ is None else
                    r_[0].to_bytes(32, "big") + r_[1].to_bytes(32, "big"))
             return True, out, gas - cost
-        if addr == 5:  # modexp (32-byte operand scope)
-            cost = 200
-            if gas < cost:
-                return False, b"", 0
+        if addr == 5:  # modexp, EIP-2565 gas, any operand lengths
             d = data.ljust(96, b"\x00")
             bsize = int.from_bytes(d[:32], "big")
             esize = int.from_bytes(d[32:64], "big")
             msize = int.from_bytes(d[64:96], "big")
-            if max(bsize, esize, msize) > 32:
-                return True, b"", gas - cost  # beyond round-1 scope
+            if max(bsize, esize, msize) > (1 << 20):
+                return False, b"", 0  # absurd sizes: OOG like geth
             body = data[96:].ljust(bsize + esize + msize, b"\x00")
+            e_head = int.from_bytes(
+                body[bsize : bsize + min(esize, 32)], "big"
+            )
+            # EIP-2565 (core/vm/contracts.go modexp gas)
+            words = (max(bsize, msize) + 7) // 8
+            mult_c = words * words
+            if esize <= 32:
+                iters = max(e_head.bit_length() - 1, 0)
+            else:
+                iters = 8 * (esize - 32) + max(e_head.bit_length() - 1, 0)
+            cost = max(200, mult_c * max(iters, 1) // 3)
+            if gas < cost:
+                return False, b"", 0
             b_ = int.from_bytes(body[:bsize], "big")
             e_ = int.from_bytes(body[bsize : bsize + esize], "big")
             m_ = int.from_bytes(body[bsize + esize :], "big")
             out_v = pow(b_, e_, m_) if m_ else 0
             return True, out_v.to_bytes(msize, "big"), gas - cost
-        # other precompiles: flat stub cost, empty output (round-1 scope)
+        if addr == 3:  # ripemd160 (EIP-152-era geth gas schedule)
+            cost = 600 + 120 * memory_word_size(len(data))
+            if gas < cost:
+                return False, b"", 0
+            digest = hashlib.new("ripemd160", data).digest()
+            return True, b"\x00" * 12 + digest, gas - cost
+        if addr == 9:  # blake2f (EIP-152)
+            if len(data) != 213 or data[212] not in (0, 1):
+                return False, b"", 0  # malformed input: error like geth
+            rounds = int.from_bytes(data[:4], "big")
+            if gas < rounds:
+                return False, b"", 0
+            h = [int.from_bytes(data[4 + 8 * i : 12 + 8 * i], "little")
+                 for i in range(8)]
+            m = [int.from_bytes(data[68 + 8 * i : 76 + 8 * i], "little")
+                 for i in range(16)]
+            t = [int.from_bytes(data[196:204], "little"),
+                 int.from_bytes(data[204:212], "little")]
+            out = _blake2f_compress(rounds, h, m, t, data[212] == 1)
+            return True, b"".join(
+                v.to_bytes(8, "little") for v in out
+            ), gas - rounds
+        if addr == 8:  # ecPairing (EIP-197)
+            k, rem = divmod(len(data), 192)
+            if rem:
+                return False, b"", 0
+            cost = 45000 + 34000 * k
+            if gas < cost:
+                return False, b"", 0
+            from ..crypto import pairing as _pr
+            from ..crypto.params import FQ_MODULUS as _Q
+
+            pairs = []
+            for i in range(k):
+                seg = data[192 * i : 192 * (i + 1)]
+                x1 = int.from_bytes(seg[:32], "big")
+                y1 = int.from_bytes(seg[32:64], "big")
+                # G2 coords on the wire: (x_imag, x_real, y_imag, y_real)
+                xi = int.from_bytes(seg[64:96], "big")
+                xr = int.from_bytes(seg[96:128], "big")
+                yi = int.from_bytes(seg[128:160], "big")
+                yr = int.from_bytes(seg[160:192], "big")
+                if max(x1, y1, xi, xr, yi, yr) >= _Q:
+                    return False, b"", 0
+                g1 = None if (x1 | y1) == 0 else (x1, y1)
+                if g1 is not None and \
+                        (y1 * y1 - x1 * x1 * x1 - 3) % _Q != 0:
+                    return False, b"", 0
+                g2 = None if (xi | xr | yi | yr) == 0 \
+                    else ((xr, xi), (yr, yi))
+                if g2 is not None and not _g2_valid(g2):
+                    return False, b"", 0
+                if g1 is not None and g2 is not None:
+                    pairs.append((g1, g2))
+            ok = _pr.pairing_product_is_one(pairs)
+            return True, int(ok).to_bytes(32, "big"), gas - cost
+        # remaining precompiles (0x0a+ point evaluation): flat stub
         cost = 100
         if gas < cost:
             return False, b"", 0
