@@ -51,6 +51,25 @@ SLOW_MODULES = {
     "test_tx_circuit",
     "test_tx_rlp_binding",
     "test_pi_circuit",
+    # round-4 re-tier (VERDICT r3 W4: the fast selection had crept 10x
+    # past its 5-minute budget): EC/poly compile-heavy modules and the
+    # big composition mocks move wholesale to the slow tier — the fast
+    # tier stays a true smoke pass over field math, the plonk mock
+    # machinery, witness gen, and the per-circuit small mocks.
+    "test_curve",              # batched scalar-mul compiles (~1-2 min)
+    "test_ntt",
+    "test_msm",                # EC graph compiles (~3-4 min)
+    "test_kzg",
+    "test_pairing",
+    "test_plonk_prove",        # full k=5 prove (~2 min)
+    "test_sharding",           # 8-dev mesh compiles
+    "test_mpt_circuit",
+    "test_account_trie",       # two-level K=10 mocks
+    "test_state_mpt_coupling",
+    "test_fold",
+    "test_straus",
+    "test_super_mpt",          # K=11-14 composition mocks
+    "test_aggregation_snarks",  # two inner proves + in-circuit verify
 }
 
 
