@@ -71,3 +71,50 @@ def test_suite_mock_level_sample(suite_dir):
     for fam, t in sample:
         r = run_state_test(t, cfg)
         assert r.ok and not r.skipped, f"{fam}/{r.name}: {r.reason}"
+
+
+def test_yaml_fillers_parse_and_run():
+    """Official-corpus YAML filler schema (reference testool
+    src/statetest/yaml.rs): same logical layout as JSON, int-or-string
+    scalars; parses and executes at witness level."""
+    from zkevm_circuits_tpu.testool.json_parser import load_yaml_fillers
+
+    yml = """
+addYaml:
+  env:
+    currentCoinbase: 0x2adc25665018aa1fe0e6bc666dac8fc2697ff9ba
+    currentGasLimit: 30000000
+    currentNumber: 1
+    currentTimestamp: 1000
+    currentBaseFee: 7
+  pre:
+    0xa94f5374fce5edbc8e2a8697c15331677e6ebf0b:
+      balance: '0x0de0b6b3a7640000'
+      nonce: 0
+      code: '0x'
+      storage: {}
+    0x095e7baea6a6c7c4c2dfeb977efac326af552d87:
+      balance: 0
+      nonce: 0
+      code: '0x6005600701600055 00'
+      storage: {}
+  transaction:
+    data: ['0x']
+    gasLimit: [10000000]
+    gasPrice: 10
+    nonce: 0
+    secretKey: '0x45a915e4d060149eb4365960e6a7a45f334393093061116b197e3240065ff2d8'
+    to: 0x095e7baea6a6c7c4c2dfeb977efac326af552d87
+    value: [0]
+  expect:
+    - indexes: {data: -1, gas: -1, value: -1}
+      network: ['>=Cancun']
+      result:
+        0x095e7baea6a6c7c4c2dfeb977efac326af552d87:
+          storage: {0: 12}
+"""
+    yml = yml.replace("0x6005600701600055 00", "0x600560070160005500")
+    tests = load_yaml_fillers(yml)
+    assert len(tests) == 1 and tests[0].secret_key is not None
+    r = run_state_test(tests[0], CircuitsConfig(level="witness"))
+    assert r.ok and not r.skipped, r.reason

@@ -68,7 +68,21 @@ def _match_index(sel, idx: int) -> bool:
 def load_json_fillers(text: str) -> list[StateTest]:
     """Parse a filler JSON document -> list of StateTests (one per
     expect-covered (data, gas, value) index combination)."""
-    doc = json.loads(text)
+    return _parse_doc(json.loads(text))
+
+
+def load_yaml_fillers(text: str) -> list[StateTest]:
+    """Official-corpus YAML fillers (reference testool/src/statetest/
+    yaml.rs): the same env/pre/transaction/expect schema with
+    int-or-string scalars.  Code fields must be hex or `:raw` — LLL /
+    asm / :yul sources need the external compiler (staged, like the
+    JSON path)."""
+    import yaml
+
+    return _parse_doc(yaml.safe_load(text))
+
+
+def _parse_doc(doc: dict) -> list[StateTest]:
     out: list[StateTest] = []
     for name, t in doc.items():
         envd = t.get("env", {})
@@ -92,6 +106,12 @@ def load_json_fillers(text: str) -> list[StateTest]:
         values = txd.get("value", ["0"])
         sk = _int(txd.get("secretKey"), 0) or None
         sender = _int(txd.get("sender"), 0)
+        if not sender and sk:
+            # official fillers usually omit `sender` — derive it from the
+            # secret key like the reference (testool statetest/json.rs)
+            from ..types.transaction import Transaction as _Tx
+
+            sender = _Tx(nonce=0).sign(sk).recover_sender()
         to_raw = txd.get("to", "")
         to = _int(to_raw) if to_raw else None
         expects = t.get("expect", [])

@@ -10,7 +10,7 @@ import argparse
 import pathlib
 import sys
 
-from .json_parser import load_json_fillers
+from .json_parser import load_json_fillers, load_yaml_fillers
 from .oneliner import parse_oneliner
 from .statetest import CircuitsConfig, StateTestResult, run_state_test
 
@@ -18,11 +18,15 @@ from .statetest import CircuitsConfig, StateTestResult, run_state_test
 def collect(path: pathlib.Path):
     tests = []
     files = (
-        [path] if path.is_file() else sorted(path.rglob("*.json"))
+        [path] if path.is_file()
+        else sorted(path.rglob("*.json"))
+        + sorted(path.rglob("*.yml")) + sorted(path.rglob("*.yaml"))
     )
     for f in files:
+        loader = load_yaml_fillers if f.suffix in (".yml", ".yaml") \
+            else load_json_fillers
         try:
-            tests.extend(load_json_fillers(f.read_text()))
+            tests.extend(loader(f.read_text()))
         except Exception as e:  # malformed filler: surface as failure
             tests.append((f.name, e))
     return tests
