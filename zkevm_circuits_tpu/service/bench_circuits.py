@@ -77,23 +77,32 @@ def state_prove_bench(k: int = 18, payload_rows: int | None = None,
     payload = min(payload, t)
     rows = synthetic_rw_workload(payload)
 
+    def _mark(msg):
+        # phase progress (r4 lesson: the k=18 run was opaque for hours)
+        print(f"[state_bench k={k}] {msg}", flush=True)
+
+    _mark(f"witness rows built: {len(rows)}")
     t0 = time.perf_counter()
     srs = Srs.unsafe_setup(k, tau=tau)
     srs_s = time.perf_counter() - t0
+    _mark(f"srs: {srs_s:.1f}s")
 
     circuit = StateCircuit(rows, StateParams())
     t0 = time.perf_counter()
     pk, vk = keygen(circuit, k, srs)
     keygen_s = time.perf_counter() - t0
+    _mark(f"keygen: {keygen_s:.1f}s")
 
     t0 = time.perf_counter()
     proof = prove(pk, circuit, [], srs,
                   rng=np.random.default_rng(7))
     prove_s = time.perf_counter() - t0
+    _mark(f"prove: {prove_s:.1f}s")
 
     t0 = time.perf_counter()
     ok = verify(vk, [], proof)
     verify_s = time.perf_counter() - t0
+    _mark(f"verify: {verify_s:.1f}s ok={ok}")
     return {
         "k": k, "rows": payload, "srs_s": round(srs_s, 2),
         "keygen_s": round(keygen_s, 2), "prove_s": round(prove_s, 2),
