@@ -75,22 +75,35 @@ class Srs:
     @classmethod
     def unsafe_setup(cls, k: int, tau: int | None = None) -> "Srs":
         """Test-only SRS with a known tau (like halo2's setup from a seeded
-        rng).  G1 powers are built on device: one vmapped 256-bit ladder
-        over the scalar batch [1, tau, tau^2, ...]."""
+        rng).  G1 powers are built HOST-side — tau^i scalars then one
+        bigint double-and-add per point (~0.2 ms each) — because the
+        device ladder on the CPU backend took ~25 min at k=14 and hours
+        at k=18 (the r4 BENCH_STATE18 killer); the result is identical,
+        already in the affine layout (z in {0, mont(1)}) the MSM grid's
+        6-mul kernel requires."""
         n = 1 << k
         tau = tau if tau is not None else 0xC0FFEE ^ (k << 32)
         tau %= R
-        # [1, tau, tau^2, ...] built on device (log-doubling power table)
-        scalars = F.from_mont(F.power_table(tau, n))
-        gen = g1_generator((n,))
-        g1_powers = g1_scalar_mul(gen, scalars)
-        from ..crypto.curve import g1_normalize
+        from ..crypto.curve import _hj_add_mixed, _hj_double, _hj_to_affine
+        from ..crypto.params import FQ_MODULUS as Q_, G1_GEN
 
-        # affine layout (z in {0, mont(1)}): production SRS files ship
-        # affine points too, and the MSM grid's 6-mul level-0 kernel
-        # requires it (poly/msm.py msm_grid distinct=True)
-        g1_powers = g1_normalize(G1(*g1_powers))
-        g1_powers = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), g1_powers)
+        def jmul(s: int):  # Jacobian ladder: no per-add inversions
+            acc = (1, 1, 0)
+            for bit in bin(s)[2:]:
+                acc = _hj_double(acc, Q_)
+                if bit == "1":
+                    acc = _hj_add_mixed(acc, G1_GEN, Q_)
+            return _hj_to_affine(acc, Q_)
+
+        pts = []
+        s = 1
+        for _ in range(n):
+            pts.append(jmul(s))
+            s = s * tau % R
+        g1_powers = g1_from_affine_ints(pts)
+        g1_powers = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a)), g1_powers
+        )
         s_g2 = pr.g2_scalar_mul(pr.G2_GENERATOR, tau)
         return cls(k=k, g1_powers=G1(*g1_powers), g2=pr.G2_GENERATOR, s_g2=s_g2)
 
@@ -120,7 +133,7 @@ class Srs:
         import jax as _jax
 
         m = coeffs.shape[0]
-        if _jax.default_backend() == "cpu" and m <= (1 << 14):
+        if _jax.default_backend() == "cpu" and m <= (1 << 20):
             from ..crypto.curve import host_msm
             from ..crypto.field import fr as _fr
 
