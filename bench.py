@@ -150,7 +150,11 @@ def stage_msm(force_cpu: bool) -> dict:
     @jax.jit
     def run(px, py, pz, s):
         def body(_, c):
-            return _msm_impl(px, py, pz, s, lanes)
+            # data dependency on the previous rep's output (flip one scalar
+            # bit) so XLA cannot hoist the loop-invariant MSM (ADVICE r4 #2)
+            cx, _, _ = c
+            s2 = s.at[0, 0].set(s[0, 0] ^ (cx[0].astype(s.dtype) & 1))
+            return _msm_impl(px, py, pz, s2, lanes)
 
         ox, oy, oz = jax.lax.fori_loop(0, reps, body, (px[0], py[0], pz[0]))
         return ox[0], oy[0], oz[0]

@@ -301,6 +301,7 @@ class RlpCircuit(Circuit):
         self.c_long = cs.advice_column()  # List rows: 0xf8 long form flag
         self.c_type = cs.advice_column()  # EIP-2718 tx type (0/1/2, carried)
         self.c_side = cs.advice_column()  # 0 = sign payload, 1 = signed env
+        self.c_alidx = cs.advice_column()  # access-list entry counter
         self.c_acc = cs.advice_column(phase=1)  # per-tag value accumulator
         self.c_prlc = cs.advice_column(phase=1)  # payload byte-RLC fold
         self.c_hash = cs.advice_column(phase=1)  # sign-hash RLC (last pad)
@@ -374,6 +375,22 @@ class RlpCircuit(Circuit):
         cs.create_gate(
             "rlp side carry",
             q * (1 - qz) * (1 - ent * st) * (side - side_p),
+        )
+
+        # access-list entry counter (ADVICE r4 #3): number of COMPLETED
+        # AlAddr/AlKey segments strictly before this row, per (tx, side).
+        # Including it in the cross-side lookup tuples makes the binding
+        # positional (the reference binds the exact byte stream); the
+        # sign->hash reverse lookup below pins the per-side counts equal.
+        alidx, alidx_p = Advice(self.c_alidx), Advice(self.c_alidx, -1)
+        al_e = ind[RlpTag.AlAddr] + ind[RlpTag.AlKey]
+        al_e_p = (Advice(self.c_ind[RlpTag.AlAddr], -1)
+                  + Advice(self.c_ind[RlpTag.AlKey], -1))
+        cs.create_gate("rlp alidx start", q * ent * st * alidx)
+        cs.create_gate("rlp alidx carry", q * (1 - ent) * (alidx - alidx_p))
+        cs.create_gate(
+            "rlp alidx step",
+            q * ent * (1 - st) * (alidx - alidx_p - al_e_p),
         )
 
         # entry tag order from the TYPE-AWARE, SIDE-AWARE ROM (key =
@@ -523,10 +540,24 @@ class RlpCircuit(Circuit):
         sig_ind = (ind[RlpTag.SigV] + ind[RlpTag.SigR] + ind[RlpTag.SigS])
         g_x = g_out * side * (fld - sig_ind)
         g_0 = g_out * (1 - side)
+        # the per-tx AL entry index rides the tuple, so repeated AlAddr /
+        # AlKey tags bind POSITIONALLY, not just by inclusion
         cs.lookup_logup(
             "rlp hash side fields",
-            [[g_x, g_x * txid, g_x * tag_val, g_x * acc]],
-            [g_0, g_0 * txid, g_0 * tag_val, g_0 * acc],
+            [[g_x, g_x * txid, g_x * tag_val, g_x * acc, g_x * alidx]],
+            [g_0, g_0 * txid, g_0 * tag_val, g_0 * acc, g_0 * alidx],
+        )
+        # reverse direction for AL rows only: every SIGN-side AL entry must
+        # appear on the hash side at the same index — together with the
+        # forward lookup this pins the two sides' AL sequences equal
+        # (count + order + values), closing the duplicate/drop gap
+        al_last = q * al_e * is_last
+        g_as = al_last * (1 - side)
+        g_ah = al_last * side
+        cs.lookup_logup(
+            "rlp al sign side fields",
+            [[g_as, g_as * txid, g_as * tag_val, g_as * acc, g_as * alidx]],
+            [g_ah, g_ah * txid, g_ah * tag_val, g_ah * acc, g_ah * alidx],
         )
         # data-length table: the Data segment's ENTRY row (sign side);
         # value is the payload length (prefix rows: rem-1; single: 1)
@@ -614,6 +645,23 @@ class RlpCircuit(Circuit):
             )
             cols[self.c_type] = mont([r[5] for r in rows])
             cols[self.c_side] = mont([r[6] for r in rows])
+            al_tags = (int(RlpTag.AlAddr), int(RlpTag.AlKey))
+            alidxs, cnt = [], 0
+            for i, r_ in enumerate(rows):
+                tag = RlpTag(r_[1])
+                is_start = ents[i] and (
+                    tag == RlpTag.TxTypeB or (
+                        tag == RlpTag.List
+                        and (i == 0
+                             or RlpTag(rows[i - 1][1]) == RlpTag.Pad)
+                    )
+                )
+                if is_start:
+                    cnt = 0
+                elif ents[i] and rows[i - 1][1] in al_tags:
+                    cnt += 1
+                alidxs.append(cnt)
+            cols[self.c_alidx] = mont(alidxs)
             return cols
         # phase 1: value accumulators + payload RLC + sign hashes
         r_chal = challenges[self.r.index]

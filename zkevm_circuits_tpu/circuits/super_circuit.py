@@ -15,8 +15,11 @@ Composition mechanics (TPU-native):
     zkevm-circuits/src/table.rs:577).
   * One shared phase-0 challenge serves every RLC (the reference splits
     evm_word / keccak_input challenges across phases,
-    zkevm-circuits/src/util.rs:93-106; one challenge is sound for the
-    same reasons, documented divergence).
+    zkevm-circuits/src/util.rs:93-106).  Soundness argument — every RLC
+    data coefficient is a phase-0 column, every phase-1 column is a
+    gate-/lookup-determined accumulator — is written out site-by-site in
+    docs/SOUNDNESS_single_challenge.md and mechanically audited by
+    tests/test_phase_discipline.py.
 
 Cross-circuit bindings wired here:
   * EVM bus lookups -> State RW table (shared columns).

@@ -314,12 +314,34 @@ class Fp:
         """Inverse in Montgomery form (Fermat).  inv(0) = 0."""
         return self._pow(a, self.modulus - 2)
 
+    def _host_route(self, x, count: int):
+        """True when the native C++ path applies (CPU backend, eager Fr
+        data, count large enough to beat dispatch overhead)."""
+        if count < (1 << 12) or isinstance(x, jax.core.Tracer):
+            return False
+        from .params import FR_MODULUS
+
+        if self.modulus != FR_MODULUS or jax.default_backend() != "cpu":
+            return False
+        from . import hostcore
+
+        return hostcore.available()
+
     def batch_inv(self, a, axis: int = 0):
         """Batched inverse via log-depth prefix products (Montgomery form).
 
         Zero entries map to zero.  TPU analogue of `ff::BatchInvert`:
-        ~4 muls/element at log2(n) depth via associative scans.
-        """
+        ~4 muls/element at log2(n) depth via associative scans.  On the
+        CPU backend large eager calls route to the native C++ prefix
+        trick (native/bn254.cc) — the inverse is elementwise, so the
+        scan axis is irrelevant to the result."""
+        total = 1
+        for d in a.shape[:-1]:
+            total *= d
+        if self._host_route(a, total):
+            from . import hostcore
+
+            return hostcore.batch_inv(np.asarray(a))
         assert axis >= 0, "axis must be a non-negative batch axis"
         one = jnp.asarray(self.ONE_MONT)
         z = self.is_zero(a)
@@ -377,8 +399,13 @@ class Fp:
 
         log2(n) doubling steps, each one batched mul — replaces the O(n)
         host-Python power loops that dominated keygen/eval at k >= 18
-        (VERDICT r2 W3).  `x` is a host int (plain, not Montgomery)."""
+        (VERDICT r2 W3).  `x` is a host int (plain, not Montgomery).  On
+        the CPU backend large tables come from the native C++ core."""
         x = x % self.modulus
+        if self._host_route(np.empty(0), n):
+            from . import hostcore
+
+            return hostcore.powers(x, n)
         out = jnp.asarray(self.ONE_MONT)[None]
         total = 1
         while total < n:

@@ -131,10 +131,24 @@ def _host_batch_inv(vals: list[int]) -> list[int]:
 
 
 def keygen(circuit: Circuit, k: int, srs: Srs):
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("ZKEVM_PROVE_TRACE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str):
+        nonlocal _t0
+        if _trace:
+            now = _time.perf_counter()
+            print(f"[keygen] {stage}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     cs = ConstraintSystem()
     circuit.configure(cs)
     n = 1 << k
     dom = domain(k)
+    _mark("configure")
 
     # ---- fixed columns ----------------------------------------------------
     from .circuit import assemble_fixed
@@ -144,6 +158,7 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
     if cs.num_fixed == 0:
         fixed_evals = jnp.zeros((1, n, 32), jnp.uint8)
     fixed_coeffs = intt(fixed_evals, k)
+    _mark(f"fixed assemble+intt ({cs.num_fixed} cols)")
 
     # ---- permutation sigmas -------------------------------------------------
     perm_cols = cs.perm_columns
@@ -194,6 +209,7 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
             sig_rows[c, i] = F.from_int(v * F.R % R)
     sigma_evals = jnp.asarray(sig_rows)
     sigma_coeffs = intt(sigma_evals, k)
+    _mark(f"sigmas ({npc} cols)")
 
     # ---- extended-coset tables ------------------------------------------------
     d = quotient_degree(cs)
@@ -206,6 +222,7 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
 
     fixed_ext = to_ext(fixed_coeffs)
     sigma_ext = to_ext(sigma_coeffs)
+    _mark(f"ext tables (k_ext={k_ext})")
 
     u = usable_rows(n)
     l0_ext = _lagrange_indicator_ext([0], k, k_ext)
@@ -231,10 +248,12 @@ def keygen(circuit: Circuit, k: int, srs: Srs):
         F.ones_mont((n_ext,)),
     )
     t_inv_ext = F.batch_inv(tvals, axis=0)
+    _mark("lagrange/coset helpers")
 
     # ---- commitments -> vk ------------------------------------------------------
     fixed_comms = srs.commit_many(fixed_coeffs) if cs.num_fixed else []
     sigma_comms = srs.commit_many(sigma_coeffs) if npc else []
+    _mark("commitments")
 
     vk = VerifyingKey(
         k=k,

@@ -84,6 +84,22 @@ class Srs:
         n = 1 << k
         tau = tau if tau is not None else 0xC0FFEE ^ (k << 32)
         tau %= R
+        from ..crypto import hostcore
+
+        if hostcore.available():
+            # native fixed-base windowed gen: ~1 s at k=16 vs ~2 min for the
+            # per-point Python ladder (the r4 BENCH_STATE blocker)
+            from ..crypto.field import fq as _fq
+
+            xs, ys = hostcore.srs_gen(n, tau)
+            one = _fq().ONE_MONT
+            zs = np.broadcast_to(one, (n, 32)).copy()
+            g1_powers = G1(
+                jax.device_put(xs), jax.device_put(ys), jax.device_put(zs)
+            )
+            s_g2 = pr.g2_scalar_mul(pr.G2_GENERATOR, tau)
+            return cls(k=k, g1_powers=g1_powers, g2=pr.G2_GENERATOR, s_g2=s_g2)
+
         from ..crypto.curve import _hj_add_mixed, _hj_double, _hj_to_affine
         from ..crypto.params import FQ_MODULUS as Q_, G1_GEN
 
@@ -123,36 +139,62 @@ class Srs:
             self._host_powers_cache = cached
         return cached
 
+    def _native_parts(self):
+        """(px, py, zmask) numpy views of the G1 powers for the native MSM
+        (cached — one device sync)."""
+        cached = getattr(self, "_native_parts_cache", None)
+        if cached is None:
+            px = np.asarray(self.g1_powers.x)
+            py = np.asarray(self.g1_powers.y)
+            zm = np.any(np.asarray(self.g1_powers.z) != 0, axis=-1).astype(
+                np.uint8
+            )
+            cached = (px, py, zm)
+            self._native_parts_cache = cached
+        return cached
+
     def commit_affine(self, coeffs):
         """coeffs -> affine (x, y) int pair (None = infinity).
 
         On the CPU backend the device MSM's fixed bucket machinery costs
-        tens of seconds regardless of size; test-scale commits route to a
-        host bigint Pippenger instead.  The TPU backend always uses the
-        device path."""
+        tens of seconds regardless of size; commits route to the native C++
+        Pippenger (native/bn254.cc, ~0.9 s/column at k=16 vs ~16 s for the
+        Python bigint path).  The TPU backend always uses the device path."""
+        return self.commit_many(coeffs[None])[0]
+
+    def commit_many(self, coeff_cols) -> list:
+        """(c, m, 32) stacked Montgomery coefficient columns -> list of c
+        affine points (host ints).  One batched native MSM on CPU; device
+        MSMs per column on TPU."""
         import jax as _jax
 
-        m = coeffs.shape[0]
-        if _jax.default_backend() == "cpu" and m <= (1 << 20):
+        m = coeff_cols.shape[-2]
+        if _jax.default_backend() == "cpu" and m <= (1 << 22):
+            from ..crypto import hostcore
+
+            if hostcore.available():
+                px, py, zm = self._native_parts()
+                return hostcore.msm(
+                    px[:m], py[:m], zm[:m], np.asarray(coeff_cols),
+                    scalars_mont=True,
+                )
             from ..crypto.curve import host_msm
             from ..crypto.field import fr as _fr
 
             Fr = _fr()
-            raw = np.asarray(coeffs).tobytes()
             rinv = pow(Fr.R, -1, Fr.modulus)
-            scalars = [
-                int.from_bytes(raw[32 * i : 32 * i + 32], "little")
-                * rinv % Fr.modulus
-                for i in range(m)
-            ]
-            return host_msm(self._host_powers()[:m], scalars)
-        return g1_to_affine_ints(self.commit(coeffs))[0]
-
-    def commit_many(self, coeff_cols) -> list:
-        """(c, m, 32) stacked coefficient columns -> list of c affine points
-        (host ints).  MSM'd one by one; the MSM itself is the batched op."""
+            out = []
+            for ci in range(coeff_cols.shape[0]):
+                raw = np.asarray(coeff_cols[ci]).tobytes()
+                scalars = [
+                    int.from_bytes(raw[32 * i : 32 * i + 32], "little")
+                    * rinv % Fr.modulus
+                    for i in range(m)
+                ]
+                out.append(host_msm(self._host_powers()[:m], scalars))
+            return out
         return [
-            self.commit_affine(coeff_cols[i])
+            g1_to_affine_ints(self.commit(coeff_cols[i]))[0]
             for i in range(coeff_cols.shape[0])
         ]
 

@@ -63,11 +63,31 @@ def _ntt_impl(x, k: int, inverse: bool):
 # kernel and the differential-testing oracle.
 MXU_MIN_K = 4
 
+# On the CPU backend, eager transforms at k >= HOST_MIN_K route to the
+# native C++ radix-2 core (native/bn254.cc) — bit-identical (oracle-tested,
+# tests/test_hostcore.py), ~35x faster than the XLA:CPU digit kernels at
+# k=19 and free of per-shape compiles.  TPU backends never take this path.
+HOST_MIN_K = 10
+
+
+def _host_route(x, k: int):
+    """Return the hostcore module when the native CPU path applies."""
+    if k < HOST_MIN_K or isinstance(x, jax.core.Tracer):
+        return None
+    if jax.default_backend() != "cpu":
+        return None
+    from ..crypto import hostcore
+
+    return hostcore if hostcore.available() else None
+
 
 def ntt(x, k: int | None = None):
     """coeffs -> evals at H (natural order: index i holds p(omega^i))."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
     assert x.shape[-2] == 1 << k
+    hc = _host_route(x, k)
+    if hc is not None:
+        return hc.ntt(np.asarray(x), k)
     if k >= MXU_MIN_K:
         from .ntt_mxu import ntt_mxu
 
@@ -79,6 +99,9 @@ def intt(x, k: int | None = None):
     """evals at H -> coeffs."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
     assert x.shape[-2] == 1 << k
+    hc = _host_route(x, k)
+    if hc is not None:
+        return hc.ntt(np.asarray(x), k, inverse=True)
     if k >= MXU_MIN_K:
         from .ntt_mxu import intt_mxu
 
@@ -97,6 +120,9 @@ def coset_scale(x, k: int, inverse: bool = False):
 def coset_ntt(x, k: int | None = None):
     """coeffs -> evals on the coset g*H."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
+    hc = _host_route(x, k)
+    if hc is not None:
+        return hc.ntt(np.asarray(x), k, coset=True)
     if k >= MXU_MIN_K:
         from .ntt_mxu import coset_ntt_mxu
 
@@ -107,6 +133,9 @@ def coset_ntt(x, k: int | None = None):
 def coset_intt(x, k: int | None = None):
     """evals on g*H -> coeffs."""
     k = k if k is not None else int(x.shape[-2]).bit_length() - 1
+    hc = _host_route(x, k)
+    if hc is not None:
+        return hc.ntt(np.asarray(x), k, inverse=True, coset=True)
     if k >= MXU_MIN_K:
         from .ntt_mxu import coset_intt_mxu
 

@@ -334,6 +334,9 @@ class CircuitInputBuilder:
             elif op in (OpcodeId.CALL, OpcodeId.STATICCALL) and (
                 nxt is not None and nxt.depth == step.depth
                 and not step.error
+                # precompile addresses are codeless but RETURN data: they
+                # must never take the plain-transfer shape (ADVICE r4 #1)
+                and not 1 <= (step.stack[-2] & ((1 << 160) - 1)) <= 9
                 and len(nxt.stack) == len(step.stack)
                 - (6 if op == OpcodeId.STATICCALL else 7) + 1
                 and nxt.stack[-1] == 1
