@@ -1,15 +1,15 @@
-"""Keccak sponge circuit tests: absorb chaining + KeccakTable RLCs (k=12)."""
+"""Keccak sponge circuit tests: absorb chaining + KeccakTable RLCs (k=10)."""
 
 import numpy as np
 import pytest
 
-from zkevm_circuits_tpu.circuits.keccak import KeccakCircuit, ROWS_PER_PERM
+from zkevm_circuits_tpu.circuits.keccak import KeccakCircuit
 from zkevm_circuits_tpu.crypto.keccak import keccak256
 from zkevm_circuits_tpu.plonk.mock import MockProver, mock_challenges
 from zkevm_circuits_tpu.plonk.circuit import ConstraintSystem
 from zkevm_circuits_tpu.crypto.field import fr
 
-K = 12
+K = 10
 F = fr()
 
 
@@ -24,7 +24,7 @@ def test_sponge_multiblock():
     out_col = np.asarray(mp.advice[circ.c_out_rlc])
     first, count = circ._msg_perm_spans[0]
     assert count == 2
-    row = (first + count - 1) * ROWS_PER_PERM + 24 * 64
+    row = (first + count - 1) * circ.rows_per_perm + 24 * circ.rpb
     got = F.to_int(np.asarray(F.from_mont(out_col[row])))
     want = sum(
         b * pow(r_int, i, F.modulus) for i, b in enumerate(keccak256(msg))
@@ -38,9 +38,10 @@ def test_sponge_catches_corrupt_chain():
             cols = super().synthesize(phase, n, challenges, instances)
             if phase == 0:
                 # flip a data bit in the SECOND absorb block of msg 0
-                col = self.c_d[0]
+                # (lane 0, z = 8*3 -> plane 0, block-0 row 3 of perm 1)
+                col = self.c_d[0][0]
                 arr = np.array(cols[col])
-                row = ROWS_PER_PERM + 3  # block-0 row 3 of perm 1
+                row = self.rows_per_perm + 3
                 cur = int(arr[row].any())
                 arr[row] = F.from_int((1 - cur) * F.R % F.modulus)
                 cols[col] = arr

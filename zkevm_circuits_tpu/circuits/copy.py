@@ -65,6 +65,7 @@ class CopyCircuit(Circuit):
         self.c_active = cs.advice_column()
         self.c_cont = cs.advice_column()  # next row continues this event
         self.c_pad = cs.advice_column()  # source out of range (byte = 0)
+        self.c_src_end = cs.advice_column()  # first OOR source address
         self.c_src_id = cs.advice_column()
         self.c_src_addr = cs.advice_column()
         self.c_dst_id = cs.advice_column()
@@ -110,16 +111,39 @@ class CopyCircuit(Circuit):
             cs.create_gate(f"{name} bool", q * e * (e - 1))
         cs.create_gate("cont implies active", q * cont * (1 - act))
         cs.create_gate("pad byte zero", q * pad * byte)
+        # pad boundary binding: src_end (constant per event, exported in
+        # the CopyTable so the EVM gadgets pin it to a context-read value)
+        # is the first out-of-range source address.  pad is MONOTONE
+        # within the event and flips exactly at sad == src_end; with sad
+        # incrementing by 1 per row this makes pad == (sad >= src_end) —
+        # sound both ways (the r1-r4 witness-driven pad let a prover
+        # claim pad on an in-range byte, forcing byte = 0).  Events with
+        # src_end == 0 declare "no pads" (pad forced 0).
+        send, send_n = Advice(self.c_src_end), Advice(self.c_src_end, 1)
+        pad_n = Advice(self.c_pad, 1)
+        cs.create_gate("copy cont src_end", q * cont * (send_n - send))
+        cs.create_gate("pad monotone", q * cont * pad * (pad_n - 1))
+        cs.create_gate(
+            "pad flip at boundary",
+            q * cont * (1 - pad) * pad_n * (sad_n - send),
+        )
+        gf0 = q * act * (1 - Advice(self.c_cont, -1))
+        cs.create_gate("pad first row boundary", gf0 * pad * (sad - send))
+        # unbounded sources declare src_end = 2^40 — unreachable by any
+        # u32-ranged source address, so pad can never flip on (both pad
+        # entry points above require sad == send exactly)
         imm, imm_n = Advice(self.c_is_mm), Advice(self.c_is_mm, 1)
         for name, cur, nxt, d in (
             ("src_addr", sad, sad_n, 1), ("dst_addr", dad, dad_n, 1),
         ):
             cs.create_gate(f"copy cont {name}", q * cont * (nxt - cur - d))
         # memory->memory and memory->TxLog rows consume TWO rw counters
-        # (read + write)
+        # (read + write) — except PADDED memory-source rows, whose read
+        # is skipped (the write of 0 is the only rw)
         ilog_f = Advice(self.c_is_log)
         cs.create_gate(
-            "copy cont rwc", q * cont * (rwc_n - rwc - 1 - imm - ilog_f)
+            "copy cont rwc",
+            q * cont * (rwc_n - rwc - 1 - imm * (1 - pad) - ilog_f),
         )
         cs.create_gate("copy cont src_id", q * cont * (sid_n - sid))
         cs.create_gate("copy cont dst_id", q * cont * (did_n - did))
@@ -187,6 +211,13 @@ class CopyCircuit(Circuit):
             gf * sid_out, gf * sad, gf * did, gf * dad, gf * left,
             gf * rwc, gf * accl,
         ]
+        # narrow side table binding each event's pad boundary: consumers
+        # that produce paddable events (CALLDATACOPY root+nested) pin
+        # src_end here, keyed by the event identity (dst_id, dst_addr,
+        # rwc — unique per event).  Events without a consumer-side pin
+        # keep a witness-chosen boundary (CODECOPY/EXTCODECOPY v1 gap,
+        # documented) — pad placement is still internally consistent.
+        self.copy_bound_table = [gf, gf * did, gf * dad, gf * rwc, gf * send]
 
         if self.standalone:
             trw = Fixed(self.q_trw)
@@ -205,7 +236,7 @@ class CopyCircuit(Circuit):
 
         g = q * act
         gw = g * (1 - irlc)
-        gr = g * (irlc + imm + ilog)
+        gr = g * (irlc + imm + ilog) * (1 - pad)
         # destination tag: Memory, except TxLog for log-data events
         dst_tag = int(RwTag.Memory) + ilog * (
             int(RwTag.TxLog) - int(RwTag.Memory)
@@ -214,10 +245,12 @@ class CopyCircuit(Circuit):
             "copy rw bus",
             [
                 # destination WRITE (calldata->memory at rwc; memory->
-                # memory / memory->TxLog at rwc+1 after the paired read)
-                [gw * (rwc + imm + ilog), gw, gw * dst_tag, gw * did,
-                 gw * dad, gw * 0, gw * 0, gw * byte],
-                # source READ (memory->RLC / ->memory / ->TxLog)
+                # memory / memory->TxLog at rwc+1 after the paired read;
+                # padded memory-source rows write directly at rwc)
+                [gw * (rwc + imm * (1 - pad) + ilog), gw, gw * dst_tag,
+                 gw * did, gw * dad, gw * 0, gw * 0, gw * byte],
+                # source READ (memory->RLC / ->memory / ->TxLog; skipped
+                # on pad rows)
                 [gr * rwc, gr * 0, gr * int(RwTag.Memory), gr * sid,
                  gr * sad, gr * 0, gr * 0, gr * byte],
             ],
@@ -278,28 +311,30 @@ class CopyCircuit(Circuit):
             is_code = int(ev.src_type == "bytecode")
             is_wr = int(ev.src_type == "rlc")  # RLC-bound memory write
             plain = not (is_rlc or is_mm or is_log or is_code or is_wr)
-            # source length determines padding
+            # src_len (first out-of-range source address, same units as
+            # src_addr; -1 = unbounded) drives padding for every kind
+            src_end = ev.src_len if ev.src_len >= 0 else (1 << 40)
+            rwc = ev.rw_counter_start
             for j in range(ev.length):
                 src = ev.src_addr + j
-                is_pad = 0
-                if plain and self.tx_rows is not None:
+                is_pad = int(ev.src_len >= 0 and src >= ev.src_len)
+                if plain and self.tx_rows is not None and ev.src_len < 0:
                     in_range = any(
                         t[0] == ev.src_id and t[1] == src for t in self.tx_rows
                     )
                     is_pad = 0 if in_range else 1
-                if is_code:
-                    is_pad = int(ev.src_len >= 0 and src >= ev.src_len)
                 rows.append((
                     1, int(j + 1 < ev.length), is_pad,
                     0 if is_code else ev.src_id, src, ev.dst_id,
                     ev.dst_addr + j, ev.bytes_[j],
-                    ev.rw_counter_start + j * (1 + is_mm + is_log),
+                    rwc,
                     ev.length - j, is_rlc, is_mm, is_log, is_code,
                     ev.src_id if is_code else 0,
                     (ev.code_marks[j] if is_code and j < len(ev.code_marks)
                      else 0),
-                    is_wr,
+                    is_wr, src_end,
                 ))
+                rwc += 1 + is_mm * (1 - is_pad) + is_log
         if phase != 0:
             # running byte RLC + per-event final-acc claim, walking
             # explicit event boundaries
@@ -343,6 +378,7 @@ class CopyCircuit(Circuit):
             (self.c_dst_addr, 6), (self.c_byte, 7), (self.c_rwc, 8),
             (self.c_left, 9), (self.c_is_rlc, 10), (self.c_is_mm, 11),
             (self.c_is_log, 12), (self.c_is_code, 13), (self.c_is_wrlc, 16),
+            (self.c_src_end, 17),
         ):
             cols[ci] = mont([r[k] for r in rows])
         if self.c_src_iscode is not None:

@@ -114,7 +114,7 @@ class EvmCircuit(Circuit):
                   bytecode_table=None, mulmod_table=None, keccak_table=None,
                   block_table=None, sig_table=None, ecc_table=None,
                   sha256_table=None, modexp_table=None,
-                  bytecode_len_table=None):
+                  bytecode_len_table=None, copy_bound_table=None):
         """`rw_table`: optional 8 expressions (rw_counter, is_write, tag,
         id, address, field_tag, storage_key_rlc, value) — the SuperCircuit
         passes the State circuit's recomposed columns; standalone mode
@@ -137,6 +137,7 @@ class EvmCircuit(Circuit):
         self.standalone = rw_table is None
         self.exp_table = exp_table
         self.copy_table = copy_table
+        self.copy_bound_table = copy_bound_table
         self.tx_table = tx_table
         self.bytecode_table = bytecode_table
         self.bytecode_len_table = bytecode_len_table
@@ -1405,39 +1406,73 @@ class EvmCircuit(Circuit):
         # is_root flag (ctx-read-bound below): root frames copy from the
         # TxTable-backed calldata; NESTED frames from CALLER memory at
         # cd_offset+src (reference bus-mapping calldatacopy.rs internal
-        # path) — the in-range bound src+len <= cdlen is enforced by a
-        # u32 decomposition of the slack in bd[12:16]; padded tails are
-        # staged with the copy circuit's memory-source pads
+        # path).  Copies past the calldata end are allowed: the tail is
+        # zero-PADDED (reference memory_gadget.rs copy pads).  Case flags
+        # fov (src >= cdlen: fully padded) and fpart (src < cdlen <
+        # src+len: partial tail) are bound by u32 slack decompositions in
+        # bd[12:16] / bd[16:20]; the in-range byte count
+        # m = min(len, max(0, cdlen - src)) then drives the rw-counter
+        # accounting, and the event's pad boundary (src_end) is pinned in
+        # the Copy circuit's bound table.
         cdc_irf = cr[24]
+        fov, fpart = cr[26], cr[27]
         cs.create_gate("CDC isroot bool", gc * cdc_irf * (cdc_irf - 1))
+        cs.create_gate("CDC fov bool", gc * fov * (fov - 1))
+        cs.create_gate("CDC fpart bool", gc * fpart * (fpart - 1))
+        cs.create_gate("CDC fov/fpart excl", gc * fov * fpart)
         cdc_cdlen = (bd[0] + bd[1] * 256 + bd[2] * 65536
                      + bd[3] * 16777216)
         cdc_cdoff = (bd[4] + bd[5] * 256 + bd[6] * 65536
                      + bd[7] * 16777216)
         cdc_caller = (bd[8] + bd[9] * 256 + bd[10] * 65536
                       + bd[11] * 16777216)
-        cdc_slack = (bd[12] + bd[13] * 256 + bd[14] * 65536
-                     + bd[15] * 16777216)
+        cdc_slack_a = (bd[12] + bd[13] * 256 + bd[14] * 65536
+                       + bd[15] * 16777216)
+        cdc_slack_b = (bd[16] + bd[17] * 256 + bd[18] * 65536
+                       + bd[19] * 16777216)
+        src4_c, len4_c = fold4_int(ba), fold4_int(bb)
+        gcz = gc * (1 - ez)
         cs.create_gate(
-            "CDC nested in-range",
-            gc * (1 - cdc_irf) * (1 - ez)
-            * (cdc_cdlen - fold4_int(ba) - fold4_int(bb) - cdc_slack),
+            "CDC fov case", gcz * fov * (src4_c - cdc_cdlen - cdc_slack_a)
         )
+        cs.create_gate(
+            "CDC fpart case lo",
+            gcz * (1 - fov) * fpart
+            * (cdc_cdlen - src4_c - 1 - cdc_slack_a),
+        )
+        cs.create_gate(
+            "CDC fpart case hi",
+            gcz * (1 - fov) * fpart
+            * (src4_c + len4_c - cdc_cdlen - 1 - cdc_slack_b),
+        )
+        cs.create_gate(
+            "CDC in-range case",
+            gcz * (1 - fov) * (1 - fpart)
+            * (cdc_cdlen - src4_c - len4_c - cdc_slack_a),
+        )
+        # in-range byte count m (reads skipped for the padded tail)
+        cdc_m = (1 - fov) * (fpart * (cdc_cdlen - src4_c)
+                             + (1 - fpart) * len4_c)
         # transitions: pc += 1, sp += 3; rwc: root [3 pops, IsRoot,
-        # len writes] = 4 + len; nested [3 pops, IsRoot, CDLen, CDOff,
-        # CallerId, (read,write) x len] = 7 + 2*len
+        # CDLen, len writes] = 5 + len; nested [3 pops, IsRoot, CDLen,
+        # CDOff, CallerId, m reads + len writes] = 7 + len + m
         gcn = q * q_n * ind["CALLDATACOPY"]
         cs.create_gate("CDC pc", gcn * (pc_n - pc - 1))
         cs.create_gate("CDC sp", gcn * (sp_n - sp - 3))
         cs.create_gate(
             "CDC rwc",
-            gcn * (rwc_n - rwc - 4 - fold4_int(bb)
-                   - (1 - cdc_irf) * (3 + fold4_int(bb))),
+            gcn * (rwc_n - rwc - 5 - fold4_int(bb)
+                   - (1 - cdc_irf) * (2 + cdc_m)),
         )
         if self.copy_table is not None:
             gl = gc * (1 - ez)
             glr = gl * cdc_irf
             gln = gl * (1 - cdc_irf)
+            # normalized event source start: min(src, cdlen) (+ cd_offset
+            # for nested) — full-pad events start AT the boundary so the
+            # copy circuit's first-row pad gate closes
+            src_norm = (1 - fov) * src4_c + fov * cdc_cdlen
+            ev_rwc = glr * (rwc + 5) + gln * (rwc + 7)
             # (enable, is_rlc, is_mm, is_log, is_code, is_wr, src_id,
             #  src_addr, dst_id, dst_addr, len, rwc, acc) — root events
             # are calldata->memory (all kind flags 0), nested events are
@@ -1447,14 +1482,25 @@ class EvmCircuit(Circuit):
                 [[
                     gl, gl * 0, gln, gl * 0, gl * 0, gl * 0,
                     glr * Advice(self.c_call_id) + gln * cdc_caller,
-                    glr * fold4_int(ba)
-                    + gln * (cdc_cdoff + fold4_int(ba)),
+                    glr * src_norm + gln * (cdc_cdoff + src_norm),
                     gl * Advice(self.c_call_id),
                     gl * fold4_int(ab4), gl * fold4_int(bb),
-                    glr * (rwc + 4) + gln * (rwc + 7), gl * 0,
+                    ev_rwc, gl * 0,
                 ]],
                 self.copy_table,
             )
+            # pad boundary pin: src_end = cdlen (root, tx-index units) or
+            # cd_offset + cdlen (nested, caller-memory units)
+            if self.copy_bound_table is not None:
+                cs.lookup_logup(
+                    "CDC copy bound",
+                    [[
+                        gl, gl * Advice(self.c_call_id),
+                        gl * fold4_int(ab4), ev_rwc,
+                        glr * cdc_cdlen + gln * (cdc_cdoff + cdc_cdlen),
+                    ]],
+                    self.copy_bound_table,
+                )
         self._cdc_exprs = (cdc_irf, cdc_cdlen, cdc_cdoff, cdc_caller)
 
         # ---- MULMOD / ADDMOD (reference execution/mulmod.rs, addmod.rs):
@@ -1985,8 +2031,17 @@ class EvmCircuit(Circuit):
         cs.create_gate("LOG addr bind", glog * (addr20 - callee))
         for i in range(20, 32):
             cs.create_gate(f"LOG addr byte {i} zero", glog * ba[i])
+        # persistence flag (carry cell 29): 0 when the frame chain is
+        # doomed — the LOG then pops + charges gas but emits NO TxLog
+        # rows / copy event and the log counter stays (reference
+        # bus-mapping gates TxLog ops on call.is_persistent,
+        # src/evm/opcodes/logs.rs; v1 gap, documented like the CALL
+        # gadget's witness-carried static flag: fp is witness-carried —
+        # binding it needs the CallContext IsPersistent plumbing).
+        fp_log = cr[29]
+        cs.create_gate("LOG fp bool", glog * fp_log * (fp_log - 1))
         if self.copy_table is not None:
-            gll = glog * (1 - ez)
+            gll = glog * (1 - ez) * fp_log
             cs.lookup_logup(
                 "LOG copy event",
                 [[
@@ -1997,12 +2052,17 @@ class EvmCircuit(Circuit):
                 ]],
                 self.copy_table,
             )
-        transition(ind["LOG"], 1, 3 + 2 * n_e + 2 * size4_l, 2 + n_e)
-        # log counter walk: +1 on LOG rows, reset at BEGIN_TX
+        transition(
+            ind["LOG"], 1,
+            fp_log * (3 + 2 * n_e + 2 * size4_l)
+            + (1 - fp_log) * (2 + n_e),
+            2 + n_e,
+        )
+        # log counter walk: +1 on PERSISTENT LOG rows, reset at BEGIN_TX
         cs.create_gate("log id begin", q * bt * lid)
         cs.create_gate(
             "log id walk",
-            q * q_n * (1 - bt_n) * (lid_n - lid - ind["LOG"]),
+            q * q_n * (1 - bt_n) * (lid_n - lid - ind["LOG"] * fp_log),
         )
         self._log_topic_cells = [
             vc, Advice(self.c_acc_m), Advice(self.c_rpl), Advice(self.c_prl)
@@ -3150,8 +3210,10 @@ class EvmCircuit(Circuit):
                    tag=int(RwTag.Account), id_expr=0,
                    field=int(AccountField.CodeHash))
         )
-        # ---- LOG accesses: pops + TxLog address/topic writes -------------
+        # ---- LOG accesses: pops + TxLog address/topic writes (the TxLog
+        # side gated by the persistence flag — doomed frames pop only) ----
         glog_b = q * ind["LOG"]
+        fp_b = Advice(self.c_carry[29])
         logtag = int(RwTag.TxLog)
         L32, L48 = 1 << 32, 1 << 48
         log_n = self._log_n
@@ -3159,7 +3221,7 @@ class EvmCircuit(Circuit):
         inputs.append(access(glog_b, 0, 0, sp, va))
         inputs.append(access(glog_b, 1, 0, sp + 1, vb))
         inputs.append(
-            access(glog_b, 2 + log_n, 1, 1 * L32 + log_lid1 * L48,
+            access(glog_b * fp_b, 2 + log_n, 1, 1 * L32 + log_lid1 * L48,
                    rlc_expr(ba), tag=logtag, id_expr=txid)
         )
         for j in range(4):
@@ -3171,7 +3233,7 @@ class EvmCircuit(Circuit):
             cell = self._log_topic_cells[j]
             inputs.append(access(gtj, 2 + j, 0, sp + 2 + j, cell))
             inputs.append(
-                access(gtj, 3 + log_n + j, 1,
+                access(gtj * fp_b, 3 + log_n + j, 1,
                        j + 2 * L32 + log_lid1 * L48, cell,
                        tag=logtag, id_expr=txid)
             )
@@ -4208,17 +4270,31 @@ class EvmCircuit(Circuit):
                     ez_col[si] = int(ln == 0)
                     irf = ops[3].value  # IsRoot ctx read
                     carries[24][si] = irf
+                    cdlen_c = ops[4].value  # CallDataLength ctx read
+                    for i in range(4):
+                        byts["d"][i][si] = (cdlen_c >> (8 * i)) & 0xFF
+                    if ln:
+                        fov_v = int(src >= cdlen_c)
+                        fpart_v = int(not fov_v and src + ln > cdlen_c)
+                        carries[26][si] = fov_v
+                        carries[27][si] = fpart_v
+                        if fov_v:
+                            slack_a, slack_b = src - cdlen_c, 0
+                        elif fpart_v:
+                            slack_a = cdlen_c - src - 1
+                            slack_b = src + ln - cdlen_c - 1
+                        else:
+                            slack_a, slack_b = cdlen_c - src - ln, 0
+                        for i in range(4):
+                            byts["d"][12 + i][si] = (slack_a >> (8 * i)) & 0xFF
+                            byts["d"][16 + i][si] = (slack_b >> (8 * i)) & 0xFF
                     if not irf:
-                        cdlen_c = ops[4].value
                         cdoff_c = ops[5].value
                         caller_c = ops[6].value
-                        slack = max(0, cdlen_c - src - ln)
                         for i in range(4):
-                            byts["d"][i][si] = (cdlen_c >> (8 * i)) & 0xFF
                             byts["d"][4 + i][si] = (cdoff_c >> (8 * i)) & 0xFF
                             byts["d"][8 + i][si] = \
                                 (caller_c >> (8 * i)) & 0xFF
-                            byts["d"][12 + i][si] = (slack >> (8 * i)) & 0xFF
                 elif kind in ("MULMOD", "ADDMOD"):
                     assert self.mulmod_table is not None, (
                         f"{kind} step needs the MulMod circuit's table"
@@ -4426,10 +4502,12 @@ class EvmCircuit(Circuit):
                 elif kind == "LOG":
                     ntop = s.op - 0xA0
                     carries[24 + ntop][si] = 1
+                    carries[29][si] = int(s.persistent)
                     off_v = ops[0].value
                     size_v = ops[1].value
                     assert max(off_v, size_v) < (1 << 32)
-                    assert self.copy_table is not None or size_v == 0, (
+                    assert (self.copy_table is not None or size_v == 0
+                            or not s.persistent), (
                         "LOG with size > 0 needs the Copy circuit's table"
                     )
                     for i in range(4):

@@ -337,6 +337,9 @@ class SuperCircuit(Circuit):
             cs, rw_table=rw_table, challenge=r_word,
             exp_table=self.exp.exp_table if self.exp is not None else None,
             copy_table=self.copy.copy_table if self.copy is not None else None,
+            copy_bound_table=(
+                self.copy.copy_bound_table if self.copy is not None else None
+            ),
             tx_table=self.tx.tx_table_exprs(),
             bytecode_table=(
                 self.bytecode.bytecode_table_exprs()

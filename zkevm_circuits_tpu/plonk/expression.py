@@ -253,6 +253,39 @@ class Evaluator:
         self.rot_scale = rot_scale
         self._cache: dict[Any, Any] = {}
         self._const_cache: dict[int, Any] = {}
+        self._cint_cache: dict[Any, int | None] = {}
+
+    def _const_int(self, e: Expression) -> int | None:
+        """Host value of a constant subtree (no queries/challenges), or
+        None.  Folding these on the host keeps Constant x Constant
+        products out of the jitted graph — XLA otherwise constant-folds
+        each one as a full-width digit convolution at compile time (the
+        k=16 quotient's 'very slow compile')."""
+        hit = self._cint_cache.get(e, "miss")
+        if hit != "miss":
+            return hit
+        if isinstance(e, Constant):
+            v = e.value % F.modulus
+        elif isinstance(e, Neg):
+            a = self._const_int(e.a)
+            v = None if a is None else (-a) % F.modulus
+        elif isinstance(e, Sum):
+            a, b = self._const_int(e.a), self._const_int(e.b)
+            v = None if a is None or b is None else (a + b) % F.modulus
+        elif isinstance(e, Product):
+            a, b = self._const_int(e.a), self._const_int(e.b)
+            v = None if a is None or b is None else a * b % F.modulus
+        else:
+            v = None
+        self._cint_cache[e] = v
+        return v
+
+    def _const_arr(self, v: int):
+        arr = self._const_cache.get(v)
+        if arr is None:
+            arr = jnp.asarray(F.from_int(v * F.R % F.modulus))
+            self._const_cache[v] = arr
+        return arr
 
     def _column(self, kind, col):
         t = self.tables[kind]
@@ -263,17 +296,15 @@ class Evaluator:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        cv = self._const_int(e)
+        if cv is not None:
+            out = self._const_arr(cv)
+            self._cache[key] = out
+            return out
         if isinstance(e, Constant):
-            v = e.value % F.modulus
-            arr = self._const_cache.get(v)
-            if arr is None:
-                arr = jnp.asarray(F.from_int(v * F.R % F.modulus))
-                self._const_cache[v] = arr
-            out = arr
+            out = self._const_arr(e.value % F.modulus)
         elif isinstance(e, Query):
-            colv = self._column(e.kind, e.col)
-            r = (e.rot * self.rot_scale) % colv.shape[0]
-            out = jnp.roll(colv, -r, axis=0) if r else colv
+            out = self._query(e)
         elif isinstance(e, Challenge):
             out = self.challenges[e.index]
         elif isinstance(e, Neg):
@@ -287,6 +318,11 @@ class Evaluator:
         self._cache[key] = out
         return out
 
+    def _query(self, e: Query):
+        colv = self._column(e.kind, e.col)
+        r = (e.rot * self.rot_scale) % colv.shape[0]
+        return jnp.roll(colv, -r, axis=0) if r else colv
+
     def _bin(self, op, a, b):
         va, vb = self.eval(a), self.eval(b)
         if va.ndim < vb.ndim:
@@ -294,3 +330,19 @@ class Evaluator:
         elif vb.ndim < va.ndim:
             vb = jnp.broadcast_to(vb, va.shape)
         return op(va, vb)
+
+
+class PreRolledEvaluator(Evaluator):
+    """Evaluator over PRE-SLICED chunk tables keyed (kind, col, rot).
+
+    Used by the prover's chunked quotient pass: rotations are resolved
+    OUTSIDE the jit (wrapping row-window slices of the extended-domain
+    columns), so the jitted chunk body is purely elementwise — one
+    compile at a fixed chunk shape serves every circuit degree."""
+
+    def __init__(self, chunks: dict, challenges: dict | None = None):
+        super().__init__({}, challenges, rot_scale=1)
+        self._chunks = chunks
+
+    def _query(self, e: Query):
+        return self._chunks[(e.kind, e.col, e.rot)]

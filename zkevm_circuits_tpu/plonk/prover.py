@@ -110,14 +110,14 @@ def _compress(exprs, theta, ev: Evaluator, shape):
     """Horner fold acc = acc * theta + expr over the expression list.
     `theta` is an int challenge or an already-Montgomery digit array
     (the jitted quotient body passes the traced array)."""
-    acc = jnp.zeros(shape, jnp.uint8)
+    acc = None
     th = theta if hasattr(theta, "shape") else _mont_scalar(theta)
     for e in exprs:
         v = ev.eval(e)
         if v.ndim < len(shape):
             v = jnp.broadcast_to(v, shape)
-        acc = F.add(F.mul(acc, th), v)
-    return acc
+        acc = v if acc is None else F.add(F.mul(acc, th), v)
+    return acc if acc is not None else jnp.zeros(shape, jnp.uint8)
 
 
 def _make_blinder(u: int, n: int, rng: np.random.Generator):
@@ -554,9 +554,194 @@ def prove(
 
         return F.mul(acc, qi["t_inv"])
 
+    # ---- chunked quotient (single-device): rotations resolved OUTSIDE the
+    # jit as wrapping row-window slices, so the compiled body is purely
+    # elementwise over a FIXED chunk shape — XLA compiles one small kernel
+    # reused for every chunk and every degree k, instead of one huge
+    # n_ext-shaped graph per circuit+degree (the k=16 State quotient hit
+    # XLA:CPU's "very slow compile" wall).  The y-fold order mirrors
+    # _quotient_body exactly (the verifier recomputes it).
+    def _quotient_chunked():
+        CHUNK = min(n_ext, 1 << 15)
+        nchunks = n_ext // CHUNK
+
+        src = {
+            "fixed": np.asarray(pk.fixed_ext),
+            "advice": np.asarray(advice_ext),
+            "instance": np.asarray(instance_ext),
+        }
+        queries = sorted(
+            {
+                (k_, c_, r_) for (k_, c_, r_) in cs.all_queries()
+                if k_ in ("fixed", "advice", "instance")
+            }
+            | {(kind, col, 0) for (kind, col) in perm_cols}
+        )
+        # aux sources: (name, array, shift) — shift s means the body sees
+        # rows [start+s, start+s+CHUNK) i.e. the jnp.roll(arr, -s) window
+        aux_src: list[tuple[str, np.ndarray, int]] = [
+            ("l0", np.asarray(pk.l0_ext), 0),
+            ("llast", np.asarray(pk.llast_ext), 0),
+            ("lactive", np.asarray(pk.lactive_ext), 0),
+            ("x", np.asarray(pk.x_ext), 0),
+            ("tinv", np.asarray(pk.t_inv_ext), 0),
+        ]
+        for ci in range(len(perm_cols)):
+            aux_src.append((f"sigma{ci}", np.asarray(pk.sigma_ext[ci]), 0))
+        if perm_cols:
+            zp = np.asarray(qin["z_perm"])
+            aux_src += [("zp", zp, 0), ("zp_w", zp, rot_scale)]
+        for i, lde in enumerate(qin["lookups"]):
+            ap, sp = np.asarray(lde["ap"]), np.asarray(lde["sp"])
+            z = np.asarray(lde["z"])
+            aux_src += [
+                (f"lk{i}_ap", ap, 0), (f"lk{i}_ap_prev", ap, -rot_scale),
+                (f"lk{i}_sp", sp, 0),
+                (f"lk{i}_z", z, 0), (f"lk{i}_z_w", z, rot_scale),
+            ]
+        for i, lde in enumerate(qin["logups"]):
+            for j, h in enumerate(lde["hs"]):
+                aux_src.append((f"lg{i}_h{j}", np.asarray(h), 0))
+            phi = np.asarray(lde["phi"])
+            aux_src += [
+                (f"lg{i}_ht", np.asarray(lde["ht"]), 0),
+                (f"lg{i}_m", np.asarray(lde["m"]), 0),
+                (f"lg{i}_phi", phi, 0), (f"lg{i}_phi_w", phi, rot_scale),
+            ]
+        scal = {
+            "theta": qin["theta"], "beta": qin["beta"],
+            "gamma": qin["gamma"], "y": qin["y"],
+            "challenges": dict(challenges),
+        }
+
+        def _win(arr, shift, start):
+            st = (start + shift) % n_ext
+            if st + CHUNK <= n_ext:
+                return arr[st : st + CHUNK]
+            head = arr[st:]
+            return np.concatenate([head, arr[: CHUNK - head.shape[0]]])
+
+        from .expression import PreRolledEvaluator
+
+        def body(qc, aux, sc):
+            ev_e = PreRolledEvaluator(qc, sc["challenges"])
+            th, be, ga, yv = sc["theta"], sc["beta"], sc["gamma"], sc["y"]
+            acc = jnp.zeros((CHUNK, 32), jnp.uint8)
+            first = True
+
+            def add_constraint(cvals):
+                nonlocal acc, first
+                if cvals.ndim == 1:
+                    cvals = jnp.broadcast_to(cvals, (CHUNK, 32))
+                acc = cvals if first else F.add(F.mul(acc, yv), cvals)
+                first = False
+
+            for g in cs.gates:
+                for p_ in g.polys:
+                    add_constraint(ev_e.eval(p_))
+
+            one_s = F.ones_mont(())
+            if perm_cols:
+                z_ext_c, z_w = aux["zp"], aux["zp_w"]
+                add_constraint(F.mul(aux["l0"], F.sub(z_ext_c, one_s)))
+                add_constraint(
+                    F.mul(aux["llast"],
+                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c))
+                )
+                numx = None
+                denx = None
+                for ci, (kind, col) in enumerate(perm_cols):
+                    v = qc[(kind, col, 0)]
+                    idt = F.mul(aux["x"], delta_m[ci])
+                    nt = F.add(v, F.add(F.mul(be, idt), ga))
+                    dt_ = F.add(v, F.add(F.mul(be, aux[f"sigma{ci}"]), ga))
+                    numx = nt if numx is None else F.mul(numx, nt)
+                    denx = dt_ if denx is None else F.mul(denx, dt_)
+                add_constraint(
+                    F.mul(aux["lactive"],
+                          F.sub(F.mul(z_w, denx), F.mul(z_ext_c, numx)))
+                )
+
+            for i, lk in enumerate(cs.lookups):
+                a_ext = _compress(lk.inputs, th, ev_e, (CHUNK, 32))
+                s_ext = _compress(lk.tables, th, ev_e, (CHUNK, 32))
+                ap_ext, sp_ext = aux[f"lk{i}_ap"], aux[f"lk{i}_sp"]
+                z_ext_c, z_w = aux[f"lk{i}_z"], aux[f"lk{i}_z_w"]
+                ap_prev = aux[f"lk{i}_ap_prev"]
+                add_constraint(F.mul(aux["l0"], F.sub(z_ext_c, one_s)))
+                add_constraint(
+                    F.mul(aux["llast"],
+                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c))
+                )
+                lhs = F.mul(z_w, F.mul(F.add(ap_ext, be), F.add(sp_ext, ga)))
+                rhs = F.mul(z_ext_c,
+                            F.mul(F.add(a_ext, be), F.add(s_ext, ga)))
+                add_constraint(F.mul(aux["lactive"], F.sub(lhs, rhs)))
+                add_constraint(F.mul(aux["l0"], F.sub(ap_ext, sp_ext)))
+                add_constraint(
+                    F.mul(
+                        aux["lactive"],
+                        F.mul(F.sub(ap_ext, sp_ext), F.sub(ap_ext, ap_prev)),
+                    )
+                )
+
+            for i, lg in enumerate(cs.logups):
+                a_exts = [
+                    _compress(tup, th, ev_e, (CHUNK, 32)) for tup in lg.inputs
+                ]
+                t_ext = _compress(lg.table, th, ev_e, (CHUNK, 32))
+                ht_ext, m_ext = aux[f"lg{i}_ht"], aux[f"lg{i}_m"]
+                phi_ext, phi_w = aux[f"lg{i}_phi"], aux[f"lg{i}_phi_w"]
+                add_constraint(F.mul(aux["l0"], phi_ext))
+                add_constraint(F.mul(aux["llast"], phi_ext))
+                for j, a_ext_j in enumerate(a_exts):
+                    add_constraint(
+                        F.mul(
+                            aux["lactive"],
+                            F.sub(F.mul(aux[f"lg{i}_h{j}"],
+                                        F.add(a_ext_j, be)), one_s),
+                        )
+                    )
+                add_constraint(
+                    F.mul(
+                        aux["lactive"],
+                        F.sub(F.mul(ht_ext, F.add(t_ext, be)), m_ext),
+                    )
+                )
+                dsum = None
+                for j in range(len(a_exts)):
+                    h_j = aux[f"lg{i}_h{j}"]
+                    dsum = h_j if dsum is None else F.add(dsum, h_j)
+                dsum = F.sub(dsum, ht_ext)
+                add_constraint(
+                    F.mul(aux["lactive"], F.sub(F.sub(phi_w, phi_ext), dsum))
+                )
+
+            return F.mul(acc, aux["tinv"])
+
+        body_jit = jax.jit(body)
+        pieces = []
+        for cidx in range(nchunks):
+            start = cidx * CHUNK
+            qc = {
+                (k_, c_, r_): jnp.asarray(
+                    _win(src[k_][c_], r_ * rot_scale, start)
+                )
+                for (k_, c_, r_) in queries
+            }
+            auxc = {
+                name: jnp.asarray(_win(arr, shift, start))
+                for name, arr, shift in aux_src
+            }
+            pieces.append(np.asarray(body_jit(qc, auxc, scal)))
+        return jnp.asarray(np.concatenate(pieces, axis=0))
+
     _mark("ext transforms")
-    h_ext = jax.jit(_quotient_body)(qin)
-    h_ext.block_until_ready()
+    if mesh is not None:
+        h_ext = jax.jit(_quotient_body)(qin)
+        h_ext.block_until_ready()
+    else:
+        h_ext = _quotient_chunked()
     _mark("quotient jit")
     h_coeffs = coset_intt_ext(h_ext)
     n_pieces = n_ext // n
