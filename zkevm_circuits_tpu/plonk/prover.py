@@ -623,31 +623,39 @@ def prove(
 
         from .expression import PreRolledEvaluator
 
-        def body(qc, aux, sc):
-            ev_e = PreRolledEvaluator(qc, sc["challenges"])
-            th, be, ga, yv = sc["theta"], sc["beta"], sc["gamma"], sc["y"]
-            acc = jnp.zeros((CHUNK, 32), jnp.uint8)
-            first = True
+        # constraint GROUPS, each its own small jit: XLA's optimization
+        # passes are superlinear in graph size, so one giant fused body
+        # hits the "very slow compile" wall at SuperCircuit/State scale;
+        # ~50-poly kernels compile in seconds each and land in the
+        # persistent cache.  Groups combine with acc = acc * y^|g| + g
+        # (exactly the flat y-fold the verifier recomputes).
+        GATE_BATCH = 48
 
-            def add_constraint(cvals):
-                nonlocal acc, first
+        def _fold(yv, cvals_list):
+            acc = None
+            for cvals in cvals_list:
                 if cvals.ndim == 1:
                     cvals = jnp.broadcast_to(cvals, (CHUNK, 32))
-                acc = cvals if first else F.add(F.mul(acc, yv), cvals)
-                first = False
+                acc = cvals if acc is None else F.add(F.mul(acc, yv), cvals)
+            return acc
 
-            for g in cs.gates:
-                for p_ in g.polys:
-                    add_constraint(ev_e.eval(p_))
+        def gates_group(polys):
+            def body(qc, aux, sc):
+                ev_e = PreRolledEvaluator(qc, sc["challenges"])
+                return _fold(sc["y"], [ev_e.eval(p_) for p_ in polys])
 
-            one_s = F.ones_mont(())
-            if perm_cols:
+            return body, len(polys)
+
+        def perm_group():
+            def body(qc, aux, sc):
+                be, ga, yv = sc["beta"], sc["gamma"], sc["y"]
+                one_s = F.ones_mont(())
                 z_ext_c, z_w = aux["zp"], aux["zp_w"]
-                add_constraint(F.mul(aux["l0"], F.sub(z_ext_c, one_s)))
-                add_constraint(
+                cons = [
+                    F.mul(aux["l0"], F.sub(z_ext_c, one_s)),
                     F.mul(aux["llast"],
-                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c))
-                )
+                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c)),
+                ]
                 numx = None
                 denx = None
                 for ci, (kind, col) in enumerate(perm_cols):
@@ -657,69 +665,101 @@ def prove(
                     dt_ = F.add(v, F.add(F.mul(be, aux[f"sigma{ci}"]), ga))
                     numx = nt if numx is None else F.mul(numx, nt)
                     denx = dt_ if denx is None else F.mul(denx, dt_)
-                add_constraint(
+                cons.append(
                     F.mul(aux["lactive"],
                           F.sub(F.mul(z_w, denx), F.mul(z_ext_c, numx)))
                 )
+                return _fold(yv, cons)
 
-            for i, lk in enumerate(cs.lookups):
+            return body, 3
+
+        def lookup_group(i, lk):
+            def body(qc, aux, sc):
+                th, be, ga, yv = (sc["theta"], sc["beta"], sc["gamma"],
+                                  sc["y"])
+                ev_e = PreRolledEvaluator(qc, sc["challenges"])
+                one_s = F.ones_mont(())
                 a_ext = _compress(lk.inputs, th, ev_e, (CHUNK, 32))
                 s_ext = _compress(lk.tables, th, ev_e, (CHUNK, 32))
                 ap_ext, sp_ext = aux[f"lk{i}_ap"], aux[f"lk{i}_sp"]
                 z_ext_c, z_w = aux[f"lk{i}_z"], aux[f"lk{i}_z_w"]
                 ap_prev = aux[f"lk{i}_ap_prev"]
-                add_constraint(F.mul(aux["l0"], F.sub(z_ext_c, one_s)))
-                add_constraint(
-                    F.mul(aux["llast"],
-                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c))
-                )
-                lhs = F.mul(z_w, F.mul(F.add(ap_ext, be), F.add(sp_ext, ga)))
+                lhs = F.mul(z_w,
+                            F.mul(F.add(ap_ext, be), F.add(sp_ext, ga)))
                 rhs = F.mul(z_ext_c,
                             F.mul(F.add(a_ext, be), F.add(s_ext, ga)))
-                add_constraint(F.mul(aux["lactive"], F.sub(lhs, rhs)))
-                add_constraint(F.mul(aux["l0"], F.sub(ap_ext, sp_ext)))
-                add_constraint(
-                    F.mul(
-                        aux["lactive"],
-                        F.mul(F.sub(ap_ext, sp_ext), F.sub(ap_ext, ap_prev)),
-                    )
-                )
-
-            for i, lg in enumerate(cs.logups):
-                a_exts = [
-                    _compress(tup, th, ev_e, (CHUNK, 32)) for tup in lg.inputs
+                cons = [
+                    F.mul(aux["l0"], F.sub(z_ext_c, one_s)),
+                    F.mul(aux["llast"],
+                          F.sub(F.mul(z_ext_c, z_ext_c), z_ext_c)),
+                    F.mul(aux["lactive"], F.sub(lhs, rhs)),
+                    F.mul(aux["l0"], F.sub(ap_ext, sp_ext)),
+                    F.mul(aux["lactive"],
+                          F.mul(F.sub(ap_ext, sp_ext),
+                                F.sub(ap_ext, ap_prev))),
                 ]
-                t_ext = _compress(lg.table, th, ev_e, (CHUNK, 32))
+                return _fold(yv, cons)
+
+            return body, 5
+
+        def logup_group(i, lg):
+            def body(qc, aux, sc):
+                th, be, yv = sc["theta"], sc["beta"], sc["y"]
+                ev_e = PreRolledEvaluator(qc, sc["challenges"])
+                one_s = F.ones_mont(())
                 ht_ext, m_ext = aux[f"lg{i}_ht"], aux[f"lg{i}_m"]
                 phi_ext, phi_w = aux[f"lg{i}_phi"], aux[f"lg{i}_phi_w"]
-                add_constraint(F.mul(aux["l0"], phi_ext))
-                add_constraint(F.mul(aux["llast"], phi_ext))
-                for j, a_ext_j in enumerate(a_exts):
-                    add_constraint(
-                        F.mul(
-                            aux["lactive"],
-                            F.sub(F.mul(aux[f"lg{i}_h{j}"],
-                                        F.add(a_ext_j, be)), one_s),
-                        )
+                cons = [
+                    F.mul(aux["l0"], phi_ext),
+                    F.mul(aux["llast"], phi_ext),
+                ]
+                for j, tup in enumerate(lg.inputs):
+                    a_ext_j = _compress(tup, th, ev_e, (CHUNK, 32))
+                    cons.append(
+                        F.mul(aux["lactive"],
+                              F.sub(F.mul(aux[f"lg{i}_h{j}"],
+                                          F.add(a_ext_j, be)), one_s))
                     )
-                add_constraint(
-                    F.mul(
-                        aux["lactive"],
-                        F.sub(F.mul(ht_ext, F.add(t_ext, be)), m_ext),
-                    )
+                t_ext = _compress(lg.table, th, ev_e, (CHUNK, 32))
+                cons.append(
+                    F.mul(aux["lactive"],
+                          F.sub(F.mul(ht_ext, F.add(t_ext, be)), m_ext))
                 )
                 dsum = None
-                for j in range(len(a_exts)):
+                for j in range(len(lg.inputs)):
                     h_j = aux[f"lg{i}_h{j}"]
                     dsum = h_j if dsum is None else F.add(dsum, h_j)
                 dsum = F.sub(dsum, ht_ext)
-                add_constraint(
-                    F.mul(aux["lactive"], F.sub(F.sub(phi_w, phi_ext), dsum))
+                cons.append(
+                    F.mul(aux["lactive"],
+                          F.sub(F.sub(phi_w, phi_ext), dsum))
                 )
+                return _fold(yv, cons)
 
-            return F.mul(acc, aux["tinv"])
+            return body, len(lg.inputs) + 4
 
-        body_jit = jax.jit(body)
+        groups = []
+        gate_polys = [p_ for g in cs.gates for p_ in g.polys]
+        for s_ in range(0, len(gate_polys), GATE_BATCH):
+            groups.append(gates_group(gate_polys[s_ : s_ + GATE_BATCH]))
+        if perm_cols:
+            groups.append(perm_group())
+        for i, lk in enumerate(cs.lookups):
+            groups.append(lookup_group(i, lk))
+        for i, lg in enumerate(cs.logups):
+            groups.append(logup_group(i, lg))
+        compiled = [(jax.jit(fn), cnt) for fn, cnt in groups]
+        # y as a host int for the group-combine powers
+        yh = F.to_int(np.asarray(F.from_mont(np.asarray(qin["y"]))))
+
+        @jax.jit
+        def _combine(acc, contrib, yp):
+            return F._add(F._mul(acc, yp), contrib)
+
+        @jax.jit
+        def _finish(acc, tinv):
+            return F._mul(acc, tinv)
+
         pieces = []
         for cidx in range(nchunks):
             start = cidx * CHUNK
@@ -733,7 +773,16 @@ def prove(
                 name: jnp.asarray(_win(arr, shift, start))
                 for name, arr, shift in aux_src
             }
-            pieces.append(np.asarray(body_jit(qc, auxc, scal)))
+            acc = None
+            for (fn, cnt) in compiled:
+                contrib = fn(qc, auxc, scal)
+                if acc is None:
+                    acc = contrib
+                else:
+                    yp = _mont_scalar(pow(yh, cnt, R))
+                    acc = _combine(acc, contrib,
+                                   jnp.broadcast_to(yp, (CHUNK, 32)))
+            pieces.append(np.asarray(_finish(acc, auxc["tinv"])))
         return jnp.asarray(np.concatenate(pieces, axis=0))
 
     _mark("ext transforms")
