@@ -562,6 +562,129 @@ extern "C" void zkevm_fr_powers(const uint8_t base_bytes[32], int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Columnwise postfix-program evaluator over Fr — the prover's quotient
+// pass.  The host serializes the y-folded constraint system (gates +
+// permutation + lookup + logUp formulas, with challenges folded into
+// constants) into a flat op stream; this evaluates it over all n rows of
+// the extended domain in one sweep of native Montgomery arithmetic.
+// Ops (3 x int32 each): [code, a, b]
+//   0 PUSH_COL  a=col index, b=row shift   (reads col[(i + b) mod n])
+//   1 PUSH_CONST a=const index
+//   2 ADD   3 MUL   4 NEG                  (stack ops)
+//   5 TEE   a=tmp index                    (copy top of stack into tmp)
+//   6 PUSH_TMP a=tmp index
+//   7 EMIT  a=y const index                (acc = acc * y + pop; 1st: pop)
+//   8 FIN   a=col index (1/t values)       (out = acc * col)
+// ---------------------------------------------------------------------------
+extern "C" int zkevm_fr_eval_quotient(
+    const uint8_t *cols,   // ncols * n * 32 bytes, Montgomery
+    int64_t ncols, int64_t n,
+    const uint8_t *consts, // nconsts * 32 bytes, Montgomery
+    int64_t nconsts,
+    const int32_t *prog, int64_t nops,
+    int64_t ntmps, int64_t max_stack,
+    uint8_t *out           // n * 32 bytes
+) {
+  const u64 *C = (const u64 *)cols;
+  const u64 *K = (const u64 *)consts;
+  u64 *O = (u64 *)out;
+  std::vector<u64> stack((size_t)max_stack * n * 4);
+  std::vector<u64> tmps((size_t)(ntmps > 0 ? ntmps : 1) * n * 4);
+  std::vector<u64> acc(n * 4);
+  bool acc_live = false;
+  int64_t sp = 0;
+  for (int64_t pc = 0; pc < nops; ++pc) {
+    int32_t op = prog[3 * pc], a = prog[3 * pc + 1], b = prog[3 * pc + 2];
+    switch (op) {
+      case 0: {  // PUSH_COL
+        if (sp >= max_stack) return -1;
+        u64 *dst = &stack[(size_t)sp * n * 4];
+        const u64 *src = C + (size_t)a * n * 4;
+        int64_t sh = ((int64_t)b % n + n) % n;
+        int64_t head = n - sh;
+        memcpy(dst, src + sh * 4, (size_t)head * 32);
+        if (sh) memcpy(dst + head * 4, src, (size_t)sh * 32);
+        ++sp;
+        break;
+      }
+      case 1: {  // PUSH_CONST (broadcast)
+        if (sp >= max_stack) return -1;
+        u64 *dst = &stack[(size_t)sp * n * 4];
+        const u64 *kv = K + (size_t)a * 4;
+        for (int64_t i = 0; i < n; ++i) fcpy(dst + 4 * i, kv);
+        ++sp;
+        break;
+      }
+      case 2: {  // ADD
+        if (sp < 2) return -2;
+        u64 *x = &stack[(size_t)(sp - 2) * n * 4];
+        u64 *y = &stack[(size_t)(sp - 1) * n * 4];
+        for (int64_t i = 0; i < n; ++i)
+          fadd(FR, x + 4 * i, x + 4 * i, y + 4 * i);
+        --sp;
+        break;
+      }
+      case 3: {  // MUL
+        if (sp < 2) return -2;
+        u64 *x = &stack[(size_t)(sp - 2) * n * 4];
+        u64 *y = &stack[(size_t)(sp - 1) * n * 4];
+        for (int64_t i = 0; i < n; ++i)
+          fmul(FR, x + 4 * i, x + 4 * i, y + 4 * i);
+        --sp;
+        break;
+      }
+      case 4: {  // NEG
+        if (sp < 1) return -2;
+        u64 *x = &stack[(size_t)(sp - 1) * n * 4];
+        u64 zero[4] = {0, 0, 0, 0};
+        for (int64_t i = 0; i < n; ++i)
+          fsub(FR, x + 4 * i, zero, x + 4 * i);
+        break;
+      }
+      case 5: {  // TEE
+        if (sp < 1 || a >= ntmps) return -3;
+        memcpy(&tmps[(size_t)a * n * 4],
+               &stack[(size_t)(sp - 1) * n * 4], (size_t)n * 32);
+        break;
+      }
+      case 6: {  // PUSH_TMP
+        if (sp >= max_stack || a >= ntmps) return -3;
+        memcpy(&stack[(size_t)sp * n * 4], &tmps[(size_t)a * n * 4],
+               (size_t)n * 32);
+        ++sp;
+        break;
+      }
+      case 7: {  // EMIT
+        if (sp < 1) return -2;
+        u64 *v = &stack[(size_t)(sp - 1) * n * 4];
+        if (!acc_live) {
+          memcpy(acc.data(), v, (size_t)n * 32);
+          acc_live = true;
+        } else {
+          const u64 *yv = K + (size_t)a * 4;
+          for (int64_t i = 0; i < n; ++i) {
+            u64 t[4];
+            fmul(FR, t, &acc[4 * i], yv);
+            fadd(FR, &acc[4 * i], t, v + 4 * i);
+          }
+        }
+        --sp;
+        break;
+      }
+      case 8: {  // FIN
+        const u64 *tinv = C + (size_t)a * n * 4;
+        for (int64_t i = 0; i < n; ++i)
+          fmul(FR, O + 4 * i, &acc[4 * i], tinv + 4 * i);
+        return 0;
+      }
+      default:
+        return -4;
+    }
+  }
+  return -5;  // no FIN
+}
+
+// ---------------------------------------------------------------------------
 // Batched field inverse over Fr (Montgomery in/out); 0 -> 0
 // ---------------------------------------------------------------------------
 extern "C" void zkevm_fr_batch_inv(uint8_t *data, int64_t n) {

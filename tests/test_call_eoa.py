@@ -43,8 +43,8 @@ def _run(code: Bytecode, accounts=None):
 
 def _call_eoa_code(value: int, op: str = "CALL") -> Bytecode:
     code = Bytecode().push(1, 0).push(1, 0).push(1, 0).push(1, 0)
-    if op == "CALL":
-        code.push(1, value)
+    if op in ("CALL", "CALLCODE"):
+        code.push(4, value)
     code.push(2, EOA).push(2, 0xFFFF).op(op)
     return code.op("POP").op("STOP")
 
@@ -97,3 +97,82 @@ def test_call_eoa_forged_codehash_rejected():
             bad[i] = dc.replace(r, value=0x1234, value_prev=0x1234)
     failures = MockProver(K, EvmCircuit(b.steps, bad, PARAMS)).verify()
     assert failures, "codeful callee must not take the no-descend path"
+
+
+def test_callcode_eoa_self_transfer():
+    """CALLCODE to a codeless account: value self-transfers (balance
+    no-op), 1 pushes, no frame enters (reference callop.rs empty-code
+    path for the CALLCODE variant)."""
+    b, tr, state = _run(_call_eoa_code(50, op="CALLCODE"))
+    assert state.account(CONTRACT).balance == 500  # self-transfer no-op
+    call = next(s for s in b.steps if s.exec_state == "CALL")
+    by_ctr = {r.rw_counter: r for r in b.rws.rws}
+    rws = [by_ctr[i] for i in call.rw_indices]
+    # [7 pops, AL warm, CodeHash read, self balance pair, success push]
+    assert rws[8].field_tag == AccountField.CodeHash and rws[8].value == 0
+    assert rws[9].address == CONTRACT and rws[10].address == CONTRACT
+    # self-transfer: debit then credit restore the original balance
+    assert rws[10].value == rws[9].value_prev
+    M256 = 1 << 256
+    assert (rws[9].value_prev - rws[9].value) % M256 == 50
+    assert rws[11].is_write and rws[11].value == 1
+    assert not b.rws.check_consistency()
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_delegatecall_eoa():
+    """DELEGATECALL to an EOA: no value, warm write + CodeHash-0 read +
+    success push only."""
+    b, tr, state = _run(_call_eoa_code(0, op="DELEGATECALL"))
+    call = next(s for s in b.steps if s.exec_state == "CALL")
+    by_ctr = {r.rw_counter: r for r in b.rws.rws}
+    rws = [by_ctr[i] for i in call.rw_indices]
+    # [6 pops, AL warm, CodeHash read, success push]
+    assert len(rws) == 9
+    assert rws[7].field_tag == AccountField.CodeHash and rws[7].value == 0
+    assert rws[8].is_write and rws[8].value == 1
+    assert not b.rws.check_consistency()
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_call_insufficient_balance_abort():
+    """CALL with value > caller balance: the call never starts, 0 pushes
+    (reference callop.rs insufficient_balance branch)."""
+    code = _call_eoa_code(10**9)  # CONTRACT only has 500
+    b, tr, state = _run(code, accounts={CONTRACT: {"balance": 500}})
+    assert state.account(EOA).balance == 7  # no transfer happened
+    call = next(s for s in b.steps if s.exec_state == "CALL")
+    by_ctr = {r.rw_counter: r for r in b.rws.rws}
+    rws = [by_ctr[i] for i in call.rw_indices]
+    # [7 pops, AL warm, caller Balance read, failure-0 push]
+    assert len(rws) == 10
+    assert rws[7].tag == RwTag.TxAccessListAccount
+    assert rws[8].tag == RwTag.Account \
+        and rws[8].field_tag == AccountField.Balance \
+        and not rws[8].is_write
+    assert rws[9].is_write and rws[9].value == 0
+    assert not b.rws.check_consistency()
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_forged_abort_flag_rejected():
+    """Claiming the abort shape for a successful transfer must break the
+    rw accounting / bus lookups."""
+    b, tr, state = _run(_call_eoa_code(123))
+
+    class Forge(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                row = next(i for i, s in enumerate(self.steps)
+                           if s.exec_state == "CALL")
+                a25 = np.array(cols[self.c_carry[25]])
+                a26 = np.array(cols[self.c_carry[26]])
+                a25[row] = F.from_int(0)
+                a26[row] = F.from_int(F.R)  # claim: aborted
+                cols[self.c_carry[25]] = a25
+                cols[self.c_carry[26]] = a26
+            return cols
+
+    failures = MockProver(K, Forge(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from zkevm_circuits_tpu.testool import (
     AccountState, CircuitsConfig, StateTest, load_json_fillers,
     parse_oneliner, run_state_test,
@@ -72,6 +74,15 @@ def test_json_filler_witness_level():
 def test_json_filler_mock_level():
     tests = load_json_fillers(json.dumps(FILLER))
     r = run_state_test(tests[0], CircuitsConfig(level="mock", k=9))
+    assert r.ok and not r.skipped, r.reason
+
+
+@pytest.mark.slow
+def test_json_filler_prove_level():
+    """The reference's inner-prove CI level: the state test's
+    SuperCircuit is REALLY proven and verified (executor.rs:81)."""
+    tests = load_json_fillers(json.dumps(FILLER))
+    r = run_state_test(tests[0], CircuitsConfig(level="prove", k=9))
     assert r.ok and not r.skipped, r.reason
 
 

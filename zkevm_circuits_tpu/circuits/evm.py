@@ -426,7 +426,7 @@ class EvmCircuit(Circuit):
         # (codeless callee, flag carry[25]) does NOT switch frames, so
         # continuity applies to it.
         g_cont = q * q_n * (1 - bt_n)
-        fnd_e = Advice(self.c_carry[25])
+        fnd_e = Advice(self.c_carry[25]) + Advice(self.c_carry[26])
         g_frame = g_cont * (
             1 - ind["CALL"] * (1 - fnd_e) - ind["CREATE"] - ind["RET"]
         )
@@ -1714,14 +1714,29 @@ class EvmCircuit(Circuit):
         args_off4, args_len4 = fold4_int(ab4), fold4_int(bb)
         ret_off4, ret_len4 = fold4_int(bd), fold4_int(be_)
         # no-descend flag (codeless callee: the plain-transfer shape,
-        # reference callop.rs is_empty_code_hash branch).  CALL/STATICCALL
-        # only; the callee's empty code is proven by an Account.CodeHash
-        # read of 0 on the bus (builder convention: code_hash 0 = no code)
+        # reference callop.rs is_empty_code_hash branch, all four
+        # variants); the callee's empty code is proven by an
+        # Account.CodeHash read of 0 on the bus (builder convention:
+        # code_hash 0 = no code).  CALLCODE's value moves caller->caller
+        # (balance-checked no-op); DELEGATECALL/STATICCALL move nothing.
         fnd = cr[25]
         cs.create_gate("CALL nd bool", gcall * fnd * (fnd - 1))
-        cs.create_gate("CALL nd variant", gcall * fnd * (f2 + fdg))
-        gdesc = gcalln * (1 - fnd)
+        # abort flag (carry 26): depth == 1024 or insufficient balance —
+        # the call never starts, 0 pushes, same frame continues
+        # (reference callop.rs is_depth_ok / insufficient_balance).  The
+        # CAUSE is witness-carried in v1 (documented, like the static
+        # flag); value variants pin the caller balance on the bus.
+        fab = cr[26]
+        cs.create_gate("CALL ab bool", gcall * fab * (fab - 1))
+        cs.create_gate("CALL nd/ab excl", gcall * fnd * fab)
+        gdesc = gcalln * (1 - fnd - fab)
         gnd = gcalln * fnd
+        gab = gcalln * fab
+        cs.create_gate("CALL ab pc", gab * (pc_n - pc - 1))
+        cs.create_gate("CALL ab sp", gab * (sp_n - sp - npops + 1))
+        cs.create_gate(
+            "CALL ab rwc", gab * (rwc_n - rwc - npops - 2 - hv)
+        )
         # next row enters the callee frame (descend only)
         new_id = rwc + npops
         cs.create_gate("CALL callee pc0", gdesc * pc_n)
@@ -1738,7 +1753,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("CALL nd pc", gnd * (pc_n - pc - 1))
         cs.create_gate("CALL nd sp", gnd * (sp_n - sp - npops + 1))
         cs.create_gate(
-            "CALL nd rwc", gnd * (rwc_n - rwc - npops - 3 - 2 * f1)
+            "CALL nd rwc", gnd * (rwc_n - rwc - npops - 3 - 2 * hv)
         )
         # caller address: own executing address, except DELEGATECALL which
         # inherits the parent's caller (witness cells in c_mem[0:20])
@@ -3069,7 +3084,7 @@ class EvmCircuit(Circuit):
                        val_rlc)
             )
         call_fnd = cr[25]
-        gcall_d = gcall_b * (1 - call_fnd)
+        gcall_d = gcall_b * (1 - call_fnd - cr[26])
         for k, (field, val) in enumerate(self._call_ctx_writes):
             inputs.append(
                 access(gcall_d, call_npops + k, 1, 0, val, tag=ctxtag,
@@ -3090,19 +3105,39 @@ class EvmCircuit(Circuit):
             gcall_nd, call_npops + 1, 0, nd_addr, 0,
             tag=int(RwTag.Account), id_expr=0, field=int(_AF.CodeHash),
         ))
-        gnd_f1 = gcall_nd * call_f1
+        # value-carrying variants emit the balance pair: CALL credits the
+        # callee, CALLCODE credits SELF (self-transfer no-op)
+        call_f2 = cr[21]
+        gnd_hv = gcall_nd * (call_f1 + call_f2)
+        credit_addr = call_f1 * nd_addr + call_f2 * Advice(self.c_callee)
         inputs.append(access(
-            gnd_f1, call_npops + 2, 1, Advice(self.c_callee),
+            gnd_hv, call_npops + 2, 1, Advice(self.c_callee),
             Advice(self.c_acc_m), tag=int(RwTag.Account), id_expr=0,
             field=int(_AF.Balance),
         ))
         inputs.append(access(
-            gnd_f1, call_npops + 3, 1, nd_addr, Advice(self.c_rpl),
+            gnd_hv, call_npops + 3, 1, credit_addr, Advice(self.c_rpl),
             tag=int(RwTag.Account), id_expr=0, field=int(_AF.Balance),
         ))
         inputs.append(access(
-            gcall_nd, call_npops + 2 + 2 * call_f1, 1,
+            gcall_nd, call_npops + 2 + 2 * (call_f1 + call_f2), 1,
             sp + call_npops - 1, 1,
+        ))
+        # aborted CALL (depth/balance): warm write + (value variants) the
+        # caller Balance read + failure-0 push
+        gcall_ab = gcall_b * cr[26]
+        inputs.append(access(
+            gcall_ab, call_npops, 1, nd_addr, 1,
+            tag=int(RwTag.TxAccessListAccount), id_expr=txid,
+        ))
+        inputs.append(access(
+            gcall_ab * call_hv, call_npops + 1, 0, Advice(self.c_callee),
+            Advice(self.c_acc_m), tag=int(RwTag.Account), id_expr=0,
+            field=int(_AF.Balance),
+        ))
+        inputs.append(access(
+            gcall_ab, call_npops + 1 + call_hv, 1,
+            sp + call_npops - 1, 0,
         ))
         # ---- CREATE accesses: pops + account machine + ctx writes --------
         gcr_b = q * ind["CREATE"]
@@ -4533,8 +4568,18 @@ class EvmCircuit(Circuit):
                         byts["b"][i][si] = (tail[1] >> (8 * i)) & 0xFF
                         byts["d"][i][si] = (tail[2] >> (8 * i)) & 0xFF
                         byts["e"][i][si] = (tail[3] >> (8 * i)) & 0xFF
-                    if len(ops) < npp_ + 17:  # no-descend (codeless)
-                        carries[25][si] = 1
+                    if len(ops) < npp_ + 17:
+                        # no-descend (codeless: CodeHash read after the
+                        # warm write) vs abort (depth/balance)
+                        from ..witness.rw import (
+                            AccountField as _AFw, RwTag as _RTw,
+                        )
+
+                        nd_like = (
+                            ops[npp_ + 1].tag == _RTw.Account
+                            and ops[npp_ + 1].field_tag == _AFw.CodeHash
+                        )
+                        carries[25 if nd_like else 26][si] = 1
                     else:
                         caller_v = ops[npp_ + 9].value  # CallerAddress
                         cle = caller_v.to_bytes(20, "little")
@@ -4765,12 +4810,24 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0]))          # gas word
                 vb.append(rlc(ops[1]))          # to word
                 vc.append(rlc(ops[2]) if hv else 0)
-                if s.op == OpcodeId.DELEGATECALL:
+                if s.op == OpcodeId.DELEGATECALL \
+                        and len(ops) >= npp_ + 17:
                     acc_m = word_rlc(ops[npp_ + 10].value, r_int)  # Value
-                if len(ops) < npp_ + 17:  # no-descend (codeless callee)
-                    if s.op == OpcodeId.CALL:
-                        acc_m = rlc(ops[npp_ + 2])  # caller balance new
-                        rpl_v = rlc(ops[npp_ + 3])  # callee balance new
+                if len(ops) < npp_ + 17:  # no-descend / abort
+                    from ..witness.rw import (
+                        AccountField as _AFw, RwTag as _RTw,
+                    )
+
+                    nd_like = (
+                        ops[npp_ + 1].tag == _RTw.Account
+                        and ops[npp_ + 1].field_tag == _AFw.CodeHash
+                    )
+                    if s.op in (OpcodeId.CALL, OpcodeId.CALLCODE):
+                        if nd_like:
+                            acc_m = rlc(ops[npp_ + 2])  # caller bal new
+                            rpl_v = rlc(ops[npp_ + 3])  # credit bal new
+                        else:
+                            acc_m = rlc(ops[npp_ + 1])  # caller balance
             elif kind == "RET":
                 has_d = s.op != OpcodeId.STOP
                 va.append(rlc(ops[0]) if has_d else 0)

@@ -55,6 +55,13 @@ def _load():
         lib.zkevm_fr_powers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.zkevm_fr_eval_quotient.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.zkevm_fr_eval_quotient.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -152,6 +159,27 @@ def ntt(data, k: int, *, inverse: bool = False, coset: bool = False) -> np.ndarr
     lib.zkevm_fr_ntt(buf.ctypes.data, k, buf.shape[0], om.to_bytes(32, "little"),
                      pre, postb, postc)
     return buf.reshape(shape)
+
+
+def eval_quotient(cols, consts, prog, ntmps: int, max_stack: int,
+                  n: int) -> np.ndarray:
+    """Run a serialized quotient program (plonk/quotient_native.py).
+
+    cols: (ncols, n, 32) uint8 Montgomery; consts: (nconsts, 32);
+    prog: (nops, 3) int32.  Returns (n, 32) uint8."""
+    lib = _load()
+    cols = _u8(cols)
+    consts = _u8(consts).reshape(-1, 32)
+    prog = np.ascontiguousarray(prog, np.int32)
+    out = np.empty((n, 32), np.uint8)
+    rc = lib.zkevm_fr_eval_quotient(
+        cols.ctypes.data, cols.shape[0], n,
+        consts.ctypes.data, consts.shape[0],
+        prog.ctypes.data, prog.shape[0],
+        ntmps, max_stack, out.ctypes.data,
+    )
+    assert rc == 0, f"native quotient evaluator failed: rc={rc}"
+    return out
 
 
 def batch_inv(data) -> np.ndarray:

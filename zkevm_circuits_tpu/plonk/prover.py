@@ -760,8 +760,12 @@ def prove(
         def _finish(acc, tinv):
             return F._mul(acc, tinv)
 
+        import time as _time2
+
+        _qtrace = _os.environ.get("ZKEVM_PROVE_TRACE") == "1"
         pieces = []
         for cidx in range(nchunks):
+            _tc = _time2.perf_counter()
             start = cidx * CHUNK
             qc = {
                 (k_, c_, r_): jnp.asarray(
@@ -773,8 +777,10 @@ def prove(
                 name: jnp.asarray(_win(arr, shift, start))
                 for name, arr, shift in aux_src
             }
+            _ts = _time2.perf_counter()
             acc = None
-            for (fn, cnt) in compiled:
+            for gi, (fn, cnt) in enumerate(compiled):
+                _tg = _time2.perf_counter()
                 contrib = fn(qc, auxc, scal)
                 if acc is None:
                     acc = contrib
@@ -782,11 +788,78 @@ def prove(
                     yp = _mont_scalar(pow(yh, cnt, R))
                     acc = _combine(acc, contrib,
                                    jnp.broadcast_to(yp, (CHUNK, 32)))
+                if _qtrace and cidx == 0:
+                    contrib.block_until_ready()
+                    dt = _time2.perf_counter() - _tg
+                    if dt > 2.0:
+                        print(f"[quotient] chunk0 group {gi}/"
+                              f"{len(compiled)}: {dt:.1f}s", flush=True)
             pieces.append(np.asarray(_finish(acc, auxc["tinv"])))
+            if _qtrace:
+                print(f"[quotient] chunk {cidx + 1}/{nchunks}: slice "
+                      f"{_ts - _tc:.1f}s eval "
+                      f"{_time2.perf_counter() - _ts:.1f}s", flush=True)
         return jnp.asarray(np.concatenate(pieces, axis=0))
 
+    def _quotient_native():
+        """Serialize the whole y-folded constraint fold to a postfix
+        program and evaluate it in C++ over the extended domain — the
+        challenges are host scalars at this point, so the quotient is a
+        fixed arithmetic circuit over columns + constants (the JAX digit
+        mul is ~150x native Montgomery on XLA:CPU)."""
+        from .quotient_native import (
+            AUX_L0, AUX_LACTIVE, AUX_LLAST, AUX_SIGMA0, AUX_TINV, AUX_X,
+            AUX_ZP, eval_quotient,
+        )
+
+        def setup(em):
+            for i in range(pk.fixed_ext.shape[0]):
+                em.register("fixed", i, pk.fixed_ext[i])
+            adv_np = np.asarray(advice_ext)
+            for i in range(adv_np.shape[0]):
+                em.register("advice", i, adv_np[i])
+            inst_np = np.asarray(instance_ext)
+            for i in range(inst_np.shape[0]):
+                em.register("instance", i, inst_np[i])
+            em.register("aux", AUX_L0, pk.l0_ext)
+            em.register("aux", AUX_LLAST, pk.llast_ext)
+            em.register("aux", AUX_LACTIVE, pk.lactive_ext)
+            em.register("aux", AUX_X, pk.x_ext)
+            em.register("aux", AUX_TINV, pk.t_inv_ext)
+            if perm_cols:
+                em.register("aux", AUX_ZP, qin["z_perm"])
+            for ci in range(len(perm_cols)):
+                em.register("aux", AUX_SIGMA0 + ci, pk.sigma_ext[ci])
+            base = AUX_SIGMA0 + len(perm_cols)
+            for i, lde in enumerate(qin["lookups"]):
+                em.register("aux", base + 3 * i, lde["ap"])
+                em.register("aux", base + 3 * i + 1, lde["sp"])
+                em.register("aux", base + 3 * i + 2, lde["z"])
+            off = base + 3 * len(qin["lookups"])
+            for i, lde in enumerate(qin["logups"]):
+                nh = len(lde["hs"])
+                for j, h in enumerate(lde["hs"]):
+                    em.register("aux", off + j, h)
+                em.register("aux", off + nh, lde["ht"])
+                em.register("aux", off + nh + 1, lde["m"])
+                em.register("aux", off + nh + 2, lde["phi"])
+                off += nh + 3
+
+        return jnp.asarray(eval_quotient(
+            cs, setup, challenge_ints, theta, beta, gamma, y,
+            pk.delta_pows, perm_cols, len(cs.lookups), len(cs.logups),
+            rot_scale, n_ext,
+        ))
+
     _mark("ext transforms")
-    if mesh is not None:
+    _use_native = False
+    if mesh is None and jax.default_backend() == "cpu":
+        from ..crypto import hostcore as _hc
+
+        _use_native = _hc.available()
+    if _use_native:
+        h_ext = _quotient_native()
+    elif mesh is not None:
         h_ext = jax.jit(_quotient_body)(qin)
         h_ext.block_until_ready()
     else:

@@ -436,7 +436,24 @@ def verify(instances, proof):
     neg = lambda p: None if p is None else (p[0], (-p[1]) % Q)
     g2 = (tuple(VK["g2"][0]), tuple(VK["g2"][1]))
     s_g2 = (tuple(VK["s_g2"][0]), tuple(VK["s_g2"][1]))
-    return pairing_product_is_one([(tup(w2), s_g2), (neg(lhs_pt), g2)])
+    if not pairing_product_is_one([(tup(w2), s_g2), (neg(lhs_pt), g2)]):
+        return False
+    if ACC is not None:
+        # the proof's own statement carries a folded KZG accumulator over
+        # the INNER layer (last 8 limbs of the final instance column):
+        # one more pairing finishes the whole recursion ladder
+        vals = instances[-1]
+        lx = vals[-8] + (vals[-7] << 128)
+        ly = vals[-6] + (vals[-5] << 128)
+        wx = vals[-4] + (vals[-3] << 128)
+        wy = vals[-2] + (vals[-1] << 128)
+        lhs_a = None if (lx | ly) == 0 else (lx, ly)
+        w_a = None if (wx | wy) == 0 else (wx, wy)
+        g2i = (tuple(ACC["g2"][0]), tuple(ACC["g2"][1]))
+        s_g2i = (tuple(ACC["s_g2"][0]), tuple(ACC["s_g2"][1]))
+        if not pairing_product_is_one([(w_a, s_g2i), (neg(lhs_a), g2i)]):
+            return False
+    return True
 
 
 if __name__ == "__main__":
@@ -453,8 +470,16 @@ if __name__ == "__main__":
 '''
 
 
-def gen_verifier_artifact(vk: VerifyingKey, path: str) -> str:
-    """Write the standalone verifier for `vk` to `path`; returns path."""
+def gen_verifier_artifact(vk: VerifyingKey, path: str,
+                          accumulator: dict | None = None) -> str:
+    """Write the standalone verifier for `vk` to `path`; returns path.
+
+    `accumulator`: optional {"g2": [...], "s_g2": [...]} — the INNER
+    layer's G2 points.  When given, the artifact additionally checks the
+    folded KZG accumulator exposed in the LAST instance column's final 8
+    limbs (recursion/fold.verify_fold): the layer-4 proof's deferred
+    claim, making the artifact the complete end-of-pipeline verifier
+    (reference prover/src/common/prover/evm.rs evm_verify)."""
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pairing_src = _inline_module(
         os.path.join(base, "crypto", "pairing.py"),
@@ -534,7 +559,10 @@ def host_g1_mul(p, k, modulus=FQ_MODULUS):
 # ---------------------------------------------------------------------------
 # the verifying key (serialized constraint system + commitments)
 # ---------------------------------------------------------------------------
-VK = {json.dumps(serialize_vk(vk))}
+VK = {serialize_vk(vk)!r}
+
+# folded-accumulator check spec (None = plain PLONK verification only)
+ACC = {accumulator!r}
 
 '''
     with open(path, "w") as f:

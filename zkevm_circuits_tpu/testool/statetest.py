@@ -9,6 +9,9 @@ post-state); execution levels mirror `CircuitsConfig`
     witness  — additionally replay the trace through CircuitInputBuilder
                (rw consistency oracle)
     mock     — additionally MockProver-verify the SuperCircuit composition
+    prove    — additionally REALLY prove the SuperCircuit (keygen ->
+               prove -> verify at config.k; the reference's inner-prove
+               CI level, testool/src/statetest/executor.rs:81)
 
 Unsupported constructs (precompile calls, CREATE, reverted storage
 frames) surface as `StateTestResult.skipped` with the reason — the
@@ -53,9 +56,10 @@ class StateTest:
 
 @dataclasses.dataclass
 class CircuitsConfig:
-    level: str = "trace"  # trace | witness | mock
+    level: str = "trace"  # trace | witness | mock | prove
     k: int = 9
     super_circuit: bool = True
+    srs_tau: int = 0xBEEF  # prove level: deterministic test SRS
 
 
 @dataclasses.dataclass
@@ -202,5 +206,23 @@ def run_state_test(
     if failures:
         return StateTestResult(
             st.name, ok=False, reason="mock: " + "; ".join(failures[:3])
+        )
+    if config.level == "mock":
+        return StateTestResult(st.name, ok=True)
+
+    # ---- prove level: real keygen -> prove -> verify (inner-prove) ------
+    import numpy as np
+
+    from ..plonk.keygen import keygen
+    from ..plonk.prover import prove
+    from ..plonk.verifier import verify
+    from ..poly.kzg import Srs
+
+    srs = Srs.unsafe_setup(config.k, tau=config.srs_tau)
+    pk, vk = keygen(circ, config.k, srs)
+    proof = prove(pk, circ, [], srs, rng=np.random.default_rng(0x7E57))
+    if not verify(vk, [], proof):
+        return StateTestResult(
+            st.name, ok=False, reason="prove: proof failed verification"
         )
     return StateTestResult(st.name, ok=True)

@@ -341,24 +341,37 @@ class CircuitInputBuilder:
                 (step.stack[-2] & ((1 << 160) - 1)) in (1, 2, 4, 5, 6, 7)
             ):
                 self._handle_precompile(fr, step, nxt)
-            elif op in (OpcodeId.CALL, OpcodeId.STATICCALL) and (
+            elif op.is_call and (
                 nxt is not None and nxt.depth == step.depth
                 and not step.error
                 # precompile addresses are codeless but RETURN data: they
                 # must never take the plain-transfer shape (ADVICE r4 #1)
                 and not 1 <= (step.stack[-2] & ((1 << 160) - 1)) <= 9
                 and len(nxt.stack) == len(step.stack)
-                - (6 if op == OpcodeId.STATICCALL else 7) + 1
+                - (7 if op in (OpcodeId.CALL, OpcodeId.CALLCODE) else 6) + 1
                 and nxt.stack[-1] == 1
             ):
                 # codeless callee: no frame descends, value transfers
-                # (CALL), 1 pushes (reference callop.rs empty-code path)
+                # (CALL; CALLCODE self-transfers), 1 pushes (reference
+                # callop.rs empty-code path, all four variants)
                 self._handle_call_nodescend(fr, step, nxt)
+            elif op.is_call and (
+                nxt is not None and nxt.depth == step.depth
+                and not step.error
+                and not 1 <= (step.stack[-2] & ((1 << 160) - 1)) <= 9
+                and len(nxt.stack) == len(step.stack)
+                - (7 if op in (OpcodeId.CALL, OpcodeId.CALLCODE) else 6) + 1
+                and nxt.stack[-1] == 0
+            ):
+                # depth-limit / insufficient-balance abort: 0 pushes, no
+                # frame enters (reference callop.rs is_depth_ok /
+                # insufficient_balance branches)
+                self._handle_call_abort(fr, step, nxt)
             elif op.is_call or op.is_create:
                 raise NotImplementedError(
                     "calls/creates that do not descend past the codeless-"
-                    "callee case (depth/balance aborts, CALLCODE/"
-                    "DELEGATECALL to EOAs, unproven precompiles) land later"
+                    "callee and abort cases (failed precompiles, CREATE "
+                    "aborts) land later"
                 )
             elif len(frames) > 1 and (
                 op in (OpcodeId.STOP, OpcodeId.RETURN, OpcodeId.REVERT)
@@ -900,7 +913,7 @@ class CircuitInputBuilder:
             log_id=self._tx_log_count,
         )
         rws: list[Rw] = []
-        has_value = op == OpcodeId.CALL
+        has_value = op in (OpcodeId.CALL, OpcodeId.CALLCODE)
         npops = 7 if has_value else 6
         vals = [step.stack[-1 - i] for i in range(npops)]
         for i, v in enumerate(vals):
@@ -920,11 +933,60 @@ class CircuitInputBuilder:
         self._tx_journal.append(("warm", fr.tx_id, addr, warm_prev))
         rws.append(self.rws.account_read(addr, AccountField.CodeHash, 0))
         if has_value:
+            # CALL transfers caller -> callee; CALLCODE transfers to
+            # SELF (a balance-checked no-op, reference callop.rs)
+            credit = fr.to_addr if op == OpcodeId.CALLCODE else addr
             rws.append(self._balance_add(fr.to_addr, -value))
             self._tx_journal.append(("balance", fr.to_addr, -value))
-            rws.append(self._balance_add(addr, value))
-            self._tx_journal.append(("balance", addr, value))
+            rws.append(self._balance_add(credit, value))
+            self._tx_journal.append(("balance", credit, value))
         rws.append(self.rws.stack_write(call_id, sp + npops - 1, 1))
+        es.rw_indices = [r.rw_counter for r in rws]
+        self.steps.append(es)
+
+    def _handle_call_abort(self, fr: TxContext, step: GethExecStep,
+                           nxt: GethExecStep):
+        """CALL-family abort: the call never starts — depth == 1024 or
+        (value variants) caller balance < value.  Pops + EIP-2929 warm
+        write + (value variants) a caller Balance read justifying the
+        abort + the failure-0 push (reference callop.rs is_depth_ok /
+        insufficient_balance; the cause flag is witness-carried in v1,
+        like the CALL gadget's static flag — the balance it would compare
+        against is pinned on the bus)."""
+        op = step.op
+        call_id = fr.call_id
+        sp = STACK_BASE - len(step.stack)
+        es = ExecStep(
+            exec_state="CALL", pc=step.pc, op=op, gas=step.gas,
+            mem_words=len(step.memory) // 32,
+            gas_cost=step.gas_cost, call_id=call_id, stack_pointer=sp,
+            rw_counter_start=self.rws.counter + 1, error=step.error,
+            tx_id=fr.tx_id, callee=fr.to_addr, code_hash=fr.code_hash,
+            log_id=self._tx_log_count,
+        )
+        rws: list[Rw] = []
+        has_value = op in (OpcodeId.CALL, OpcodeId.CALLCODE)
+        npops = 7 if has_value else 6
+        vals = [step.stack[-1 - i] for i in range(npops)]
+        for i, v in enumerate(vals):
+            rws.append(self.rws.stack_read(call_id, sp + i, v))
+        addr = vals[1] & ((1 << 160) - 1)
+        value = vals[2] if has_value else 0
+        assert step.depth >= 1024 or (
+            has_value and self._acct(fr.to_addr).balance < value
+        ), "abort shape without an abort cause"
+        warm_prev = int(addr in self._warm_addrs)
+        self._warm_addrs.add(addr)
+        rws.append(self.rws.access_list_account_write(
+            fr.tx_id, addr, 1, warm_prev
+        ))
+        self._tx_journal.append(("warm", fr.tx_id, addr, warm_prev))
+        if has_value:
+            rws.append(self.rws.account_read(
+                fr.to_addr, AccountField.Balance,
+                self._acct(fr.to_addr).balance,
+            ))
+        rws.append(self.rws.stack_write(call_id, sp + npops - 1, 0))
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
