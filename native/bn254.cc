@@ -549,6 +549,33 @@ extern "C" void zkevm_fr_ntt(
 }
 
 // ---------------------------------------------------------------------------
+// Batched polynomial evaluation: out[q] = sum_i coeffs[q][i] * x^i
+// (coeffs Montgomery; x plain LE; out plain LE)
+// ---------------------------------------------------------------------------
+extern "C" void zkevm_fr_eval_poly_batch(
+    const uint8_t *coeffs,  // nq * n * 32, Montgomery
+    int64_t nq, int64_t n,
+    const uint8_t x_bytes[32],
+    uint8_t *out            // nq * 32, plain
+) {
+  u64 xm[4];
+  to_mont(FR, xm, (const u64 *)x_bytes);
+  const u64 *C = (const u64 *)coeffs;
+  u64 *O = (u64 *)out;
+  for (int64_t q = 0; q < nq; ++q) {
+    const u64 *c = C + (size_t)q * n * 4;
+    u64 acc[4];
+    fcpy(acc, c + (n - 1) * 4);
+    for (int64_t i = n - 2; i >= 0; --i) {
+      u64 t[4];
+      fmul(FR, t, acc, xm);
+      fadd(FR, acc, t, c + 4 * i);
+    }
+    from_mont(FR, O + 4 * q, acc);  // coeffs were Montgomery: result plain
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Power table: out[i] = base^i for i < n (base plain LE; out Montgomery)
 // ---------------------------------------------------------------------------
 extern "C" void zkevm_fr_powers(const uint8_t base_bytes[32], int64_t n,

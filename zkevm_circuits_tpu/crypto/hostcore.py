@@ -62,6 +62,10 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.zkevm_fr_eval_quotient.restype = ctypes.c_int
+        lib.zkevm_fr_eval_poly_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -180,6 +184,20 @@ def eval_quotient(cols, consts, prog, ntmps: int, max_stack: int,
     )
     assert rc == 0, f"native quotient evaluator failed: rc={rc}"
     return out
+
+
+def eval_poly_batch(coeffs, x: int) -> list[int]:
+    """(q, n, 32) Montgomery coefficient stacks -> [p_q(x)] plain ints."""
+    lib = _load()
+    coeffs = _u8(coeffs)
+    if coeffs.ndim == 2:
+        coeffs = coeffs[None]
+    nq, n = coeffs.shape[0], coeffs.shape[1]
+    out = np.empty((nq, 32), np.uint8)
+    lib.zkevm_fr_eval_poly_batch(
+        coeffs.ctypes.data, nq, n, _int_bytes(x), out.ctypes.data
+    )
+    return [int.from_bytes(bytes(row), "little") for row in out]
 
 
 def batch_inv(data) -> np.ndarray:

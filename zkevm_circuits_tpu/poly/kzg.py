@@ -259,8 +259,18 @@ def eval_batch(stack, x_int: int) -> list[int]:
     """Evaluate a (q, m, 32) batch of Montgomery coefficient arrays at ONE
     host scalar: q results in a single device pass (power table built by
     log-doubling, broadcast mul, log-depth add tree).  Replaces the
-    per-query `eval_at` loop the prover used (VERDICT r2 W3)."""
+    per-query `eval_at` loop the prover used (VERDICT r2 W3).  On the
+    CPU backend large batches route to the native Horner
+    (native/bn254.cc) — the digit-array mul is ~150x native there."""
     m = stack.shape[-2]
+    import jax as _jax
+
+    if (m >= (1 << 10) and _jax.default_backend() == "cpu"
+            and not isinstance(stack, _jax.core.Tracer)):
+        from ..crypto import hostcore
+
+        if hostcore.available():
+            return hostcore.eval_poly_batch(np.asarray(stack), x_int)
     pw = F.power_table(x_int, m)
     terms = F.mul(stack, pw)
     s = _tree_sum_rows(terms)
