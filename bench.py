@@ -230,6 +230,20 @@ def _compose_line() -> dict:
     if "prove" in _RESULTS:
         line["prove_seconds"] = _RESULTS["prove"]["value"]
         line["prove_metric"] = _RESULTS["prove"]["name"]
+    # reference-degree prove artifacts recorded earlier in the round
+    # (BENCH_STATE16/18.json, the DEGREE=16/18 state_bench analogues)
+    for deg in (16, 18):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"BENCH_STATE{deg}.json")
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+                if rec.get("ok"):
+                    line[f"state_k{deg}_prove_s"] = rec.get("prove_s")
+                    line[f"state_k{deg}_keygen_s"] = rec.get("keygen_s")
+            except (OSError, ValueError):
+                pass
     if _ERRORS:
         line["error"] = dict(_ERRORS)
     return line

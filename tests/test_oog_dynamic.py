@@ -1,0 +1,117 @@
+"""Dynamic-cost out-of-gas (ERR_OOG_DYN) — memory / hash / copy / log /
+return family (VERDICT r4 missing #3's largest remaining witness gap).
+
+Reference: error_oog_static_memory_expansion.rs, error_oog_sha3.rs,
+error_oog_memory_copy.rs, error_oog_log.rs, error_oog_dynamic_memory
+_expansion.rs.  The circuit RECOMPUTES the required gas from the
+bus-read operands (constant + per-word/byte + memory expansion vs the
+carried mem-words column) and proves gas_left < required through a u64
+slack."""
+
+import numpy as np
+import pytest
+
+from zkevm_circuits_tpu.circuits.evm import EvmCircuit, EvmParams
+from zkevm_circuits_tpu.crypto.field import fr
+from zkevm_circuits_tpu.crypto.params import FR_MODULUS as R
+from zkevm_circuits_tpu.plonk.mock import MockProver
+from zkevm_circuits_tpu.tracer import Account, Interpreter, StateDB, Tx
+from zkevm_circuits_tpu.types import Bytecode
+from zkevm_circuits_tpu.witness.builder import CircuitInputBuilder
+
+pytestmark = pytest.mark.fast
+
+F = fr()
+K = 9
+SENDER, CONTRACT = 0xCAFE, 0xC0DE
+PARAMS = EvmParams(target_steps=48, rw_target=256)
+
+
+def _witness(code: Bytecode, gas: int):
+    state = StateDB({
+        SENDER: Account(balance=10**18),
+        CONTRACT: Account(code=code.to_bytes()),
+    })
+    tr = Interpreter(state).run_tx(
+        Tx(from_addr=SENDER, to=CONTRACT, gas=gas)
+    )
+    assert tr.failed
+    assert any(s.error == "out of gas" for s in tr.struct_logs)
+    b = CircuitInputBuilder()
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""),
+        tr, code_db={CONTRACT: code.to_bytes()},
+    )
+    return b
+
+
+def _assert_proves(b, fam):
+    step = next(s for s in b.steps if s.exec_state == "ERR_OOG_DYN")
+    assert step.err_aux[0] == fam
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+    return step
+
+
+def test_oog_mload_expansion():
+    # MLOAD at 0x40000: expansion cost ~ quadratic term >> gas left
+    code = Bytecode().push(3, 0x40000).op("MLOAD").op("STOP")
+    b = _witness(code, gas=22_000)
+    _assert_proves(b, "mem32")
+
+
+def test_oog_mstore8():
+    code = Bytecode().push(1, 1).push(3, 0x80000).op("MSTORE8").op("STOP")
+    b = _witness(code, gas=22_000)
+    _assert_proves(b, "mem1")
+
+
+def test_oog_sha3_words():
+    # SHA3 over 0x10000 bytes: 30 + 6*4096 words + expansion
+    code = Bytecode().push(3, 0x10000).push(1, 0).op("SHA3").op("STOP")
+    b = _witness(code, gas=25_000)
+    _assert_proves(b, "sha")
+
+
+def test_oog_calldatacopy():
+    code = (Bytecode().push(3, 0x20000).push(1, 0).push(1, 0)
+            .op("CALLDATACOPY").op("STOP"))
+    b = _witness(code, gas=22_000)
+    _assert_proves(b, "copy")
+
+
+def test_oog_log_data():
+    # LOG2: 375 + 2*375 topics + 8*size + expansion
+    code = (Bytecode().push(1, 7).push(1, 8)        # topics
+            .push(2, 0x4000).push(1, 0).op("LOG2").op("STOP"))
+    b = _witness(code, gas=22_500)
+    _assert_proves(b, "log")
+
+
+def test_oog_revert_expansion():
+    code = (Bytecode().push(3, 0x40000).push(1, 0).op("REVERT"))
+    b = _witness(code, gas=22_000)
+    _assert_proves(b, "span")
+
+
+def test_oog_dyn_forged_slack_rejected():
+    """Claiming OOG with a forged slack (pretending required > gas when
+    the recomputed cost says otherwise) must fail the slack gate."""
+    code = Bytecode().push(3, 0x40000).op("MLOAD").op("STOP")
+    b = _witness(code, gas=22_000)
+
+    class Forge(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                row = next(i for i, s in enumerate(self.steps)
+                           if s.exec_state == "ERR_OOG_DYN")
+                # claim a tiny memory extent (m = mem_words): kills the
+                # expansion cost, so required < gas and no valid slack
+                # exists — the witness slack now fails "EOD insufficient"
+                arr = np.array(cols[self.c_gx[0]])
+                arr[row] = F.from_int(0)
+                cols[self.c_gx[0]] = arr
+            return cols
+
+    failures = MockProver(K, Forge(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures

@@ -67,7 +67,7 @@ GADGETS = [
     "CALLER", "ADDRESS", "CALLVALUE", "CALLDATASIZE", "SLOAD", "SSTORE",
     "BALANCE", "SELFBALANCE", "EXTCODESIZE", "EXTCODEHASH",
     "ERR_STACK", "ERR_OOG", "ERR_JUMP", "ERR_RDOOB",
-    "ERR_WRITE_PROT", "ERR_INVALID_OP",
+    "ERR_WRITE_PROT", "ERR_INVALID_OP", "ERR_OOG_DYN",
     "STOP",
 ]
 
@@ -82,7 +82,7 @@ OPCODE_BYTE = {
                  "CALL", "CREATE", "RET", "LOG", "ECRECOVER", "IDENTITY",
                  "ECADD", "ECMUL", "SHA256", "MODEXP", "ERR_STACK",
                  "ERR_OOG", "ERR_JUMP", "ERR_RDOOB", "ERR_WRITE_PROT",
-                 "ERR_INVALID_OP")
+                 "ERR_INVALID_OP", "ERR_OOG_DYN")
 }
 
 
@@ -595,7 +595,7 @@ class EvmCircuit(Circuit):
         # state machine). ------------------------------------------------
         e_any = ind["ERR_STACK"] + ind["ERR_OOG"] + ind["ERR_INVALID_OP"]
         e_all = e_any + ind["ERR_JUMP"] + ind["ERR_RDOOB"] \
-            + ind["ERR_WRITE_PROT"]
+            + ind["ERR_WRITE_PROT"] + ind["ERR_OOG_DYN"]
         self._e_all = e_all
         g_eany = q * e_any
         g_eall = q * e_all
@@ -1916,7 +1916,7 @@ class EvmCircuit(Circuit):
         cs.create_gate("RET ferr variant", gret * ferr * (1 - stp))
         e_all_prev = None
         for ek in ("ERR_STACK", "ERR_OOG", "ERR_JUMP", "ERR_RDOOB",
-                   "ERR_WRITE_PROT", "ERR_INVALID_OP"):
+                   "ERR_WRITE_PROT", "ERR_INVALID_OP", "ERR_OOG_DYN"):
             t_ = Advice(self.c_ind[ek], -1)
             e_all_prev = t_ if e_all_prev is None else e_all_prev + t_
         cs.create_gate("RET ferr prev error", gret * ferr * (1 - e_all_prev))
@@ -2176,6 +2176,112 @@ class EvmCircuit(Circuit):
             * (mw_n - d_mwp),
         )
 
+        # ---- ERR_OOG_DYN (reference error_oog_memory_copy.rs,
+        # error_oog_sha3.rs, error_oog_log.rs, error_oog_dynamic_memory
+        # _expansion.rs, error_oog_static_memory_expansion.rs): out of
+        # gas on a dynamic-cost op of the memory / hash / copy / log /
+        # return family.  The failing operands are READ on the bus (addr
+        # word in bytes_a/c_addr u32, size word in bytes_b u32), the
+        # required gas is RECOMPUTED in-circuit — constant (props table)
+        # + topic gas (LOG) + per-word (SHA3 6, copies 3) + per-byte
+        # (LOG 8) + memory expansion vs the carried mem-words column —
+        # and gas_left < required via a u64 slack in bytes_f.  Family
+        # one-hot flags in carry cells 2..7; expansion cells reuse the
+        # dyngas gx layout (free on error rows). ------------------------
+        g_eod = q * ind["ERR_OOG_DYN"]
+        eo_f = {name: cr[2 + i] for i, name in enumerate(
+            ("m32", "m1", "sha", "copy", "log", "span")
+        )}
+        eo_sum = None
+        for fl in eo_f.values():
+            cs.create_gate("EOD flag bool", g_eod * fl * (fl - 1))
+            eo_sum = fl if eo_sum is None else eo_sum + fl
+        cs.create_gate("EOD one family", g_eod * (eo_sum - 1))
+        # family <-> opcode byte binding
+        cs.create_gate("EOD m32 op", g_eod * eo_f["m32"]
+                       * (opb_e - 0x51) * (opb_e - 0x52))
+        cs.create_gate("EOD m1 op", g_eod * eo_f["m1"] * (opb_e - 0x53))
+        cs.create_gate("EOD sha op", g_eod * eo_f["sha"] * (opb_e - 0x20))
+        cs.create_gate("EOD copy op", g_eod * eo_f["copy"]
+                       * (opb_e - 0x37) * (opb_e - 0x39) * (opb_e - 0x3E))
+        eo_logop = None
+        for i in range(5):
+            term = (opb_e - 0xA0 - i)
+            eo_logop = term if eo_logop is None else eo_logop * term
+        cs.create_gate("EOD log op", g_eod * eo_f["log"] * eo_logop)
+        cs.create_gate("EOD span op", g_eod * eo_f["span"]
+                       * (opb_e - 0xF3) * (opb_e - 0xFD))
+        # operand bindings (addr always; size for non-mem families; the
+        # u32 folds force the read words < 2^32)
+        eo_mem = eo_f["m32"] + eo_f["m1"]
+        cs.create_gate("EOD addr rlc", g_eod * (fold4_rlc(ab4) - va))
+        cs.create_gate(
+            "EOD size rlc", g_eod * (1 - eo_mem) * (fold4_rlc(bb) - vb)
+        )
+        eo_size = fold4_int(bb)
+        cs.create_gate("EOD mem size zero", g_eod * eo_mem * eo_size)
+        # expansion: active for mem families always, others when size != 0
+        (edm, edrem, ede, edd0, edd1, edd2, edd3, edtn, eds0, eds1,
+         edto, edso0, edso1) = gx[:13]
+        eo_nz, eo_szinv = gx[13], gx[14]
+        eo_wcnt, eo_wrem = gx[16], gx[17]
+        cs.create_gate("EOD nz bool", g_eod * eo_nz * (eo_nz - 1))
+        cs.create_gate("EOD nz def", g_eod * (eo_nz - eo_size * eo_szinv))
+        cs.create_gate("EOD nz kill", g_eod * (1 - eo_nz) * eo_size)
+        eo_act = eo_mem + (1 - eo_mem) * eo_nz
+        eo_extent = (fold4_int(ab4) + 32 * eo_f["m32"] + eo_f["m1"]
+                     + (1 - eo_mem) * eo_size)
+        cs.create_gate(
+            "EOD m def",
+            g_eod * eo_act * (32 * edm - eo_extent - edrem),
+        )
+        edd4 = edd0 + 256 * edd1 + 65536 * edd2 + 16777216 * edd3
+        cs.create_gate("EOD e bool", g_eod * ede * (ede - 1))
+        cs.create_gate(
+            "EOD order",
+            g_eod * eo_act * (ede * (edm - mw_e - edd4)
+                              + (1 - ede) * (mw_e - edm - edd4)),
+        )
+        cs.create_gate("EOD s1 bool", g_eod * eds1 * (eds1 - 1))
+        cs.create_gate("EOD so1 bool", g_eod * edso1 * (edso1 - 1))
+        eo_exp = g_eod * eo_act * ede
+        cs.create_gate(
+            "EOD quad new",
+            eo_exp * (edm * edm - 512 * edtn - eds0 - 256 * eds1),
+        )
+        cs.create_gate(
+            "EOD quad old",
+            eo_exp * (mw_e * mw_e - 512 * edto - edso0 - 256 * edso1),
+        )
+        # word count for the per-word families
+        eo_wfam = eo_f["sha"] + eo_f["copy"]
+        cs.create_gate(
+            "EOD words", g_eod * eo_wfam * (32 * eo_wcnt - eo_size
+                                            - eo_wrem)
+        )
+        eo_required = (
+            g0_e
+            + eo_f["log"] * 375 * (opb_e - 0xA0)
+            + (6 * eo_f["sha"] + 3 * eo_f["copy"]) * eo_wcnt
+            + 8 * eo_f["log"] * eo_size
+            + eo_act * ede * (3 * (edm - mw_e) + edtn - edto)
+        )
+        eo_slack = None
+        for i in range(8):
+            term = bf_[i] * (1 << (8 * i))
+            eo_slack = term if eo_slack is None else eo_slack + term
+        cs.create_gate(
+            "EOD insufficient",
+            g_eod * (eo_required - gas_e - 1 - eo_slack),
+        )
+        # rw-counter transition: the operand reads advance it
+        eo_nre = 1 + (eo_f["sha"] + eo_f["log"] + eo_f["span"]) \
+            + 2 * eo_f["copy"]
+        cs.create_gate(
+            "EOD rwc", q * q_n * ind["ERR_OOG_DYN"]
+            * (rwc_n - rwc - eo_nre)
+        )
+        self._eod_flags = eo_f
         # ---- ERR_JUMP (reference execution/error_invalid_jump.rs): a
         # JUMP (or taken JUMPI) whose destination is invalid — out of the
         # code range (oor=1: high word bytes nonzero, or dest >= length)
@@ -2860,7 +2966,8 @@ class EvmCircuit(Circuit):
             # byte at pc, like any executed opcode
             err_any = (ind["ERR_STACK"] + ind["ERR_OOG"]
                        + ind["ERR_JUMP"] + ind["ERR_RDOOB"]
-                       + ind["ERR_WRITE_PROT"] + ind["ERR_INVALID_OP"])
+                       + ind["ERR_WRITE_PROT"] + ind["ERR_INVALID_OP"]
+                       + ind["ERR_OOG_DYN"])
             op_expr = op_expr + err_any * nd_e
             g_code = g_code + err_any
             for g, byte in OPCODE_BYTE.items():
@@ -2932,6 +3039,12 @@ class EvmCircuit(Circuit):
         # ERR_JUMP / ERR_RDOOB distance bytes
         for ci in (3, 4, 5, 6):
             byte_inputs.append([(g_ej + g_rd) * Advice(self.c_gx[ci])])
+        # ERR_OOG_DYN: rem/wrem < 32, m-vs-mw distance bytes, quadratic
+        # remainders' low bytes
+        byte_inputs.append([g_eod * 8 * Advice(self.c_gx[1])])
+        byte_inputs.append([g_eod * 8 * Advice(self.c_gx[17])])
+        for ci in (3, 4, 5, 6, 8, 11):
+            byte_inputs.append([g_eod * Advice(self.c_gx[ci])])
         # SIGNEXTEND: 2*rest < 256 and the keep-all i >= 31 proof
         byte_inputs.append([gse * 2 * rest_se])
         byte_inputs.append([gse * m_bits[31] * sext_ez * (ba[0] - 31)])
@@ -3038,6 +3151,20 @@ class EvmCircuit(Circuit):
             access(g_rd, 2, 0, sp + 2, vc),
             access(g_rd, 3, 0, 0, fold4_int(ab4), tag=ctxtag,
                    field=int(CCF.LastCalleeReturnDataLength)),
+            # ERR_OOG_DYN: the addr/offset pop (all families), the size
+            # pop (sha/log/span at sp+1, copies at sp+2), the copies'
+            # src pop (value free in vc)
+            access(q * ind["ERR_OOG_DYN"], 0, 0, sp, va),
+            access(
+                q * ind["ERR_OOG_DYN"]
+                * (self._eod_flags["sha"] + self._eod_flags["log"]
+                   + self._eod_flags["span"]),
+                1, 0, sp + 1, vb,
+            ),
+            access(q * ind["ERR_OOG_DYN"] * self._eod_flags["copy"],
+                   1, 0, sp + 1, vc),
+            access(q * ind["ERR_OOG_DYN"] * self._eod_flags["copy"],
+                   2, 0, sp + 2, vb),
             # ERR_WRITE_PROT: the frame's IsStatic flag must be 1; the
             # CALL family additionally proves the value word is nonzero
             # (stack slot sp+2: gas, to, value, ...)
@@ -3974,6 +4101,54 @@ class EvmCircuit(Circuit):
                         ev_ = src_v + len_v - rdl_v - 1
                         for i in range(4):
                             gx_cols[3 + i][si] = (ev_ >> (8 * i)) & 0xFF
+                elif kind == "ERR_OOG_DYN":
+                    op = s.op
+                    ez_col[si] = op.pops
+                    eo_col[si] = op.pushes
+                    plens[si] = op.constant_gas
+                    fam, addr_v, size_v, required = s.err_aux
+                    fam_idx = {"mem32": 2, "mem1": 3, "sha": 4,
+                               "copy": 5, "log": 6, "span": 7}[fam]
+                    carries[fam_idx][si] = 1
+                    for i in range(4):
+                        addrbytes[i][si] = (addr_v >> (8 * i)) & 0xFF
+                        byts["b"][i][si] = (size_v >> (8 * i)) & 0xFF
+                    mem_f = fam in ("mem32", "mem1")
+                    width = (32 if fam == "mem32"
+                             else 1 if fam == "mem1" else size_v)
+                    nz_ = int(size_v != 0)
+                    gx_cols[13][si] = nz_
+                    gx_cols[14][si] = (
+                        pow(size_v % R, -1, R) if size_v else 0
+                    )
+                    if mem_f or nz_:
+                        extent = addr_v + width
+                        m_ = (extent + 31) // 32
+                        gx_cols[0][si] = m_
+                        gx_cols[1][si] = 32 * m_ - extent
+                        mw_v = s.mem_words
+                        e_ = int(m_ > mw_v)
+                        gx_cols[2][si] = e_
+                        d_ = (m_ - mw_v) if e_ else (mw_v - m_)
+                        for i in range(4):
+                            gx_cols[3 + i][si] = (d_ >> (8 * i)) & 0xFF
+                        if e_:
+                            gx_cols[7][si] = (m_ * m_) // 512
+                            sm_ = (m_ * m_) % 512
+                            gx_cols[8][si] = sm_ & 0xFF
+                            gx_cols[9][si] = sm_ >> 8
+                            gx_cols[10][si] = (mw_v * mw_v) // 512
+                            sw_ = (mw_v * mw_v) % 512
+                            gx_cols[11][si] = sw_ & 0xFF
+                            gx_cols[12][si] = sw_ >> 8
+                    if fam in ("sha", "copy"):
+                        w_ = (size_v + 31) // 32
+                        gx_cols[16][si] = w_
+                        gx_cols[17][si] = 32 * w_ - size_v
+                    slack_v = required - s.gas - 1
+                    assert 0 <= slack_v < (1 << 64)
+                    for i in range(8):
+                        byts["f"][i][si] = (slack_v >> (8 * i)) & 0xFF
                 elif kind == "ERR_WRITE_PROT":
                     op = s.op
                     ez_col[si] = op.pops
@@ -4977,6 +5152,15 @@ class EvmCircuit(Circuit):
             elif kind == "ERR_RDOOB":
                 va.append(rlc(ops[0])); vb.append(rlc(ops[1]))
                 vc.append(rlc(ops[2]))
+            elif kind == "ERR_OOG_DYN":
+                fam = s.err_aux[0]
+                va.append(rlc(ops[0]))
+                if fam in ("mem32", "mem1"):
+                    vb.append(0); vc.append(0)
+                elif fam == "copy":
+                    vc.append(rlc(ops[1])); vb.append(rlc(ops[2]))
+                else:  # sha / log / span
+                    vb.append(rlc(ops[1])); vc.append(0)
             elif kind == "ERR_WRITE_PROT":
                 # ops[0] = IsStatic read; CALL family adds the value
                 # stack read whose RLC must be proven nonzero (inverse
