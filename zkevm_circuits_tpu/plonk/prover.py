@@ -241,28 +241,43 @@ def prove(
     challenges: dict[int, object] = {}
     challenge_ints: dict[int, int] = {}
     advice_coeffs = None
+    advice_coeffs_np = (
+        np.zeros((num_adv, n, 32), np.uint8) if mesh is None else None
+    )
     for phase in range(cs.num_phases):
         cols = circuit.synthesize(phase, n, challenges, instances)
+        _mark(f"advice synth phase {phase}")
         phase_cols = sorted(
             ci for ci, ph in enumerate(cs.advice_phases) if ph == phase
         )
         if phase_cols:
-            # batch the phase's iNTTs into one transform; commitments (one
-            # MSM each) are computed, then written in column order — no
-            # challenge is squeezed between same-phase writes
+            # batch the phase's iNTTs into one transform and its
+            # commitments into one multi-column MSM; results are written
+            # in column order — no challenge is squeezed between
+            # same-phase writes
             for ci in phase_cols:
                 advice_evals[ci] = np.asarray(blind(cols[ci]))
             batch = jnp.asarray(advice_evals[np.asarray(phase_cols)])
             coeffs_batch = intt_k(batch)
-            for bi, ci in enumerate(phase_cols):
-                t.write_point(commit(coeffs_batch[bi]))
+            if mesh is None:
+                for bi, ci in enumerate(phase_cols):
+                    advice_coeffs_np[ci] = np.asarray(coeffs_batch[bi])
+                for point in srs.commit_many(coeffs_batch):
+                    t.write_point(point)
+            else:
+                for bi, ci in enumerate(phase_cols):
+                    t.write_point(commit(coeffs_batch[bi]))
+            _mark(f"advice commit phase {phase} ({len(phase_cols)} cols)")
         for idx, ph in enumerate(cs.challenge_phases):
             if ph == phase:
                 c = t.squeeze_challenge()
                 challenge_ints[idx] = c
                 challenges[idx] = _mont_scalar(c)
     advice_evals = jnp.asarray(advice_evals)
-    advice_coeffs = intt_k(advice_evals)
+    # coefficient forms were already produced per phase (single-device);
+    # the mesh path re-transforms to keep coeffs sharded
+    advice_coeffs = (jnp.asarray(advice_coeffs_np) if mesh is None
+                     else intt_k(advice_evals))
     _mark("advice synth+commit")
 
     tables_h = {
