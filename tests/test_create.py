@@ -202,3 +202,77 @@ def test_create_wrong_deposit_hash_rejected():
 
     failures = MockProver(K, Corrupt(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures, "claimed deposit hash must match the Account row"
+
+
+# ---------------------------------------------------------------------------
+# multi-byte RLP nonce (VERDICT r4 #5: CREATE with creator nonce > 0x7F;
+# reference bus-mapping create.rs uses geth's full rlp-encoded preimage)
+# ---------------------------------------------------------------------------
+def _run_with_nonce(creator: Bytecode, nonce: int):
+    code_bytes = creator.to_bytes()
+    state = StateDB({
+        SENDER: Account(balance=10**15),
+        CONTRACT: Account(code=code_bytes, balance=777, nonce=nonce),
+    })
+    tr = Interpreter(state).run_tx(
+        Tx(from_addr=SENDER, to=CONTRACT, gas_price=10)
+    )
+    ch = int.from_bytes(keccak256(code_bytes), "big")
+    b = CircuitInputBuilder(accounts={
+        SENDER: AccountState(balance=10**15),
+        CONTRACT: AccountState(balance=777, code_hash=ch, nonce=nonce),
+    })
+    b.handle_tx(
+        dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b"",
+             gas_price=10, code_hash=ch),
+        tr, code_db={CONTRACT: code_bytes},
+    )
+    return b, state, tr
+
+
+@pytest.mark.parametrize("nonce", [0x80, 0x1234, 0xDEADBEEF])
+def test_create_multibyte_nonce_proves(nonce):
+    from zkevm_circuits_tpu.types import rlp as _rlp
+
+    initb = _init_code().to_bytes()
+    b, state, tr = _run_with_nonce(_creator_code(initb), nonce)
+    assert not tr.failed
+    # geth address derivation: keccak(rlp([sender, nonce]))[12:]
+    pre = _rlp.encode([CONTRACT.to_bytes(20, "big"), nonce])
+    nl = len(pre) - 23
+    assert nl >= 1
+    want = int.from_bytes(keccak256(pre)[12:], "big")
+    dep = [r for r in b.rws.rws if r.tag == RwTag.Account
+           and r.field_tag == AccountField.CodeHash and r.is_write]
+    assert dep[-1].address == want
+    assert any(len(p) == 23 + nl for p in b.sha3_inputs)
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_create_multibyte_nonce_forged_onehot_rejected():
+    """Flipping the nl one-hot (claiming a different RLP branch) must
+    break the keccak-address lookup."""
+    initb = _init_code().to_bytes()
+    b, _, tr = _run_with_nonce(_creator_code(initb), 0x1234)
+
+    class Forged(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                import numpy as np
+
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                si = next(i for i, s in enumerate(self.steps)
+                          if s.exec_state == "CREATE")
+                # o_2 -> o_3 (claim a 3-byte nonce encoding)
+                c20 = np.asarray(cols[self.c_mem[21]]).copy()
+                c21 = np.asarray(cols[self.c_mem[22]]).copy()
+                c20[si] = F.mont_from_ints([0])[0]
+                c21[si] = F.mont_from_ints([1])[0]
+                cols[self.c_mem[21]] = c20
+                cols[self.c_mem[22]] = c21
+            return cols
+
+    failures = MockProver(K, Forged(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "forged nl one-hot must not verify"

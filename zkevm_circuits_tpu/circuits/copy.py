@@ -84,6 +84,7 @@ class CopyCircuit(Circuit):
         if self.standalone:
             self.t_rwc = cs.advice_column()
             self.t_isw = cs.advice_column()
+            self.t_tag = cs.advice_column()
             self.t_id = cs.advice_column()
             self.t_addr = cs.advice_column()
             self.t_byte = cs.advice_column()
@@ -224,7 +225,7 @@ class CopyCircuit(Circuit):
             # (rwc, is_write, tag, id, addr, field_tag, key_rlc, value)
             rw_table = [
                 trw * Advice(self.t_rwc), trw * Advice(self.t_isw),
-                trw * int(RwTag.Memory),
+                trw * Advice(self.t_tag),
                 trw * Advice(self.t_id), trw * Advice(self.t_addr),
                 trw * 0, trw * 0, trw * Advice(self.t_byte),
             ]
@@ -287,7 +288,10 @@ class CopyCircuit(Circuit):
         return t
 
     def _mem_rws(self):
-        return [r for r in (self.rw_rows or []) if r.tag == RwTag.Memory]
+        # standalone dev table: Memory rows plus TxLog rows (LOG-data
+        # destinations); composed mode uses the State circuit's table
+        return [r for r in (self.rw_rows or [])
+                if r.tag in (RwTag.Memory, RwTag.TxLog)]
 
     def fixed_columns(self, n: int):
         t = self._target(n)
@@ -387,6 +391,7 @@ class CopyCircuit(Circuit):
             rws = self._mem_rws()
             cols[self.t_rwc] = mont([r.rw_counter for r in rws])
             cols[self.t_isw] = mont([int(r.is_write) for r in rws])
+            cols[self.t_tag] = mont([int(r.tag) for r in rws])
             cols[self.t_id] = mont([r.id for r in rws])
             cols[self.t_addr] = mont([r.address for r in rws])
             cols[self.t_byte] = mont([r.value for r in rws])

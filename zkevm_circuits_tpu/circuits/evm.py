@@ -1825,11 +1825,50 @@ class EvmCircuit(Circuit):
             sender_sum = term if sender_sum is None else sender_sum + term
         cs.create_gate("CREATE sender bytes", gcr * (sender_sum - callee))
         sender_be = [mem_c[19 - j] for j in range(20)]
-        # CREATE preimage: 0xd6 0x94 ++ sender ++ rlp(nonce) (single byte)
+        # CREATE preimage: rlp([sender, nonce]) with VARIABLE nonce
+        # length (VERDICT r4 #5, witness/mpt nonce > 0x7F):
+        #   nl=0:    0xd6 0x94 ++ sender ++ (0x80 | nonce)     23 bytes
+        #   nl=j>=1: (0xd6+j) 0x94 ++ sender ++ (0x80+j)
+        #            ++ nonce_be[0..j)                         23+j bytes
+        # One-hot o_1..o_8 (mem_c[20..27], free on CREATE rows) selects
+        # the branch; nonce bytes live big-endian in bytes_f[1..8].
+        # Canonical-encoding byte rows below forbid non-minimal witness
+        # RLP (a longer encoding would derive a forged address).
+        o_cells = [mem_c[20 + j] for j in range(8)]  # o_1..o_8
+        s_sum = None
+        nl_sum = None
+        for j, o in enumerate(o_cells):
+            cs.create_gate(f"CREATE o{j+1} bool", gcr * o * (o - 1))
+            s_sum = o if s_sum is None else s_sum + o
+            t_nl = o * (j + 1)
+            nl_sum = t_nl if nl_sum is None else nl_sum + t_nl
+        cs.create_gate("CREATE nl one-hot", gcr * s_sum * (s_sum - 1))
+        # multi-byte nonce is >= 0x80, never zero
+        cs.create_gate("CREATE fz multi kill", gcr * fz * s_sum)
+        # nonce VALUE recomposition (feeds the bump access row)
+        nonce_val = (1 - s_sum) * nz_c
+        for j in range(1, 9):
+            acc_nv = None
+            for i in range(j):
+                t_v = bf_[1 + i] * (1 << (8 * (j - 1 - i)))
+                acc_nv = t_v if acc_nv is None else acc_nv + t_v
+            nonce_val = nonce_val + o_cells[j - 1] * acc_nv
+        self._create_nv = nonce_val
         last_byte = fz * 0x80 + nz_c
-        acc1 = None
-        for b_e in [0xd6, 0x94] + sender_be + [last_byte]:
-            acc1 = b_e if acc1 is None else acc1 * self.r_word + b_e
+        nl_folds = []
+        for j in range(9):
+            if j == 0:
+                seq = [0xd6, 0x94] + sender_be + [last_byte]
+            else:
+                seq = ([0xd6 + j, 0x94] + sender_be + [0x80 + j]
+                       + [bf_[1 + i] for i in range(j)])
+            accj = None
+            for b_e in seq:
+                accj = b_e if accj is None else accj * self.r_word + b_e
+            nl_folds.append(accj)
+        acc1 = (1 - s_sum) * nl_folds[0]
+        for j in range(1, 9):
+            acc1 = acc1 + o_cells[j - 1] * nl_folds[j]
         # CREATE2 preimage: 0xff ++ sender ++ salt(be) ++ keccak(init)
         salt_be = [bd[31 - j] for j in range(32)]
         kec_init = [be_[i] for i in range(32)]
@@ -1841,10 +1880,14 @@ class EvmCircuit(Circuit):
         cs.create_gate(
             "CREATE2 init hash bytes", gcrn * fc2 * (rlc_expr(be_) - chash_n)
         )
-        # pad-power read: fixed pad lengths 113 (23-byte msg) / 51 (85)
+        # pad-power read: pad = 113 - nl for CREATE (23+nl byte msg),
+        # fixed 51 for CREATE2 (85 bytes)
         pl_c = Advice(self.c_push_len)
         rpl_c, prl_c = Advice(self.c_rpl), Advice(self.c_prl)
-        cs.create_gate("CREATE pad len", gcr * (pl_c - 113 + fc2 * 62))
+        cs.create_gate(
+            "CREATE pad len",
+            gcr * (pl_c - (1 - fc2) * (113 - nl_sum) - fc2 * 51),
+        )
         cs.lookup_logup(
             "CREATE pad powers",
             [[gcr, gcr * pl_c, gcr * rpl_c, gcr * prl_c]],
@@ -1895,6 +1938,9 @@ class EvmCircuit(Circuit):
         self._create_addr = create_addr
         self._create_fc2 = fc2
         self._create_nz = nz_c
+        self._create_sel0 = 1 - s_sum
+        self._create_o = o_cells
+        self._create_lead = bf_[1]
 
         # ---- RET: nested STOP / RETURN / REVERT (reference
         # execution/return_revert.rs): copy return data into the caller's
@@ -3054,9 +3100,24 @@ class EvmCircuit(Circuit):
         # ERR_STACK underflow distance sp + pops - 1025 (a byte; <= 16
         # genuinely); 0 on overflow rows
         byte_inputs.append([q * ind["ERR_STACK"] * Advice(self.c_gas_aux)])
-        # CREATE: the single-byte RLP nonce stays < 128
+        # CREATE: the single-byte RLP nonce stays < 128 (single-byte
+        # branch only; CREATE2 allows the full byte in branch 0)
         byte_inputs.append([
-            q * ind["CREATE"] * (1 - self._create_fc2) * 2 * self._create_nz
+            q * ind["CREATE"] * (1 - self._create_fc2)
+            * self._create_sel0 * 2 * self._create_nz
+        ])
+        # canonical multi-byte nonce RLP: nl=1 needs the byte >= 0x80
+        # (else the single-byte form applies), nl>=2 a nonzero leading
+        # byte (no zero-padded encodings)
+        byte_inputs.append([
+            q * ind["CREATE"] * self._create_o[0]
+            * (self._create_lead - 128)
+        ])
+        _o_multi = None
+        for _oc in self._create_o[1:]:
+            _o_multi = _oc if _o_multi is None else _o_multi + _oc
+        byte_inputs.append([
+            q * ind["CREATE"] * _o_multi * (self._create_lead - 1)
         ])
         # memory-expansion gas cells: rem < 32 (8*rem is a byte), the
         # max-distance bytes, and the quadratic remainders' low bytes
@@ -3285,9 +3346,9 @@ class EvmCircuit(Circuit):
             salt_rlc = t_s if salt_rlc is None else salt_rlc + t_s
             rp_s = self.r_word if rp_s is None else rp_s * self.r_word
         inputs.append(access(gcr_b * cr_fc2, 3, 0, sp + 3, salt_rlc))
-        # creator nonce bump: write value = nonce byte + 1
+        # creator nonce bump: write value = recomposed nonce + 1
         inputs.append(access(gcr_b, cr_np, 1, callee,
-                             self._create_nz + 1, tag=_acctag,
+                             self._create_nv + 1, tag=_acctag,
                              id_expr=0, field=int(_AF.Nonce)))
         # created address warmed (EIP-2929)
         inputs.append(access(gcr_b, cr_np + 1, 1, cr_addr, 1, tag=_altag,
@@ -4772,14 +4833,29 @@ class EvmCircuit(Circuit):
                     for i in range(20):
                         membytes[i][si] = cle[i]
                     nonce_v = ops[npe_].value - 1  # bump write = nonce+1
-                    # nonce byte + fz + inverse witness are variant-
-                    # independent (ADVICE r2 #3: the bump access claims
-                    # nz+1 for CREATE2 too)
-                    byts["f"][0][si] = min(nonce_v, 255)
-                    carries[21][si] = int(nonce_v == 0)
-                    ez_col[si] = (
-                        pow(nonce_v, -1, R) if nonce_v else 0
-                    )
+                    # nonce cells are variant-independent (ADVICE r2 #3:
+                    # the bump access claims the nonce+1 for CREATE2
+                    # too).  nl=0: single byte in bytes_f[0]; else the
+                    # o_{nl} one-hot (mem bank 20..27) + big-endian
+                    # bytes in bytes_f[1..nl] (canonical RLP)
+                    nl_ = (0 if nonce_v <= 0x7F
+                           else (nonce_v.bit_length() + 7) // 8)
+                    if nl_ == 0:
+                        byts["f"][0][si] = nonce_v
+                        carries[21][si] = int(nonce_v == 0)
+                        ez_col[si] = (
+                            pow(nonce_v, -1, R) if nonce_v else 0
+                        )
+                    else:
+                        membytes[19 + nl_][si] = 1
+                        for i2, byte2 in enumerate(
+                                nonce_v.to_bytes(nl_, "big")):
+                            byts["f"][1 + i2][si] = byte2
+                        # nz/fz/inverse take the satisfying (1, 0, 1)
+                        # assignment (nonce != 0 in this branch)
+                        byts["f"][0][si] = 1
+                        carries[21][si] = 0
+                        ez_col[si] = 1
                     if is2:
                         salt_le = ops[3].value.to_bytes(32, "little")
                         for i in range(32):
@@ -4794,7 +4870,7 @@ class EvmCircuit(Circuit):
                         preimage = _rlp.encode(
                             [s.callee.to_bytes(20, "big"), nonce_v]
                         )
-                        plens[si] = 113
+                        plens[si] = 136 - len(preimage)
                     dgst = _kec(preimage)
                     for i in range(32):
                         byts["c"][i][si] = dgst[i]
@@ -4974,7 +5050,10 @@ class EvmCircuit(Circuit):
                 va.append(rlc(ops[0]))          # value word
                 vb.append(rlc(ops[1]))          # offset word
                 vc.append(rlc(ops[2]))          # size word
-                pl_ = 51 if is2 else 113
+                nonce_v1 = ops[npe_].value - 1
+                nl1 = (0 if nonce_v1 <= 0x7F
+                       else (nonce_v1.bit_length() + 7) // 8)
+                pl_ = 51 if is2 else 113 - nl1
                 rpl_v = pow(r_int, pl_, R)
                 prl_v = (pow(r_int, pl_ - 1, R) + 128) % R
                 acc_m = rlc(ops[npe_ + 2])      # creator post-endowment

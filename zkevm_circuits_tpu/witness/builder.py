@@ -896,12 +896,10 @@ class CircuitInputBuilder:
         creator = self._acct(fr.to_addr)
         nonce = creator.nonce
         if op == OpcodeId.CREATE:
-            assert nonce <= 0x7F, (
-                "CREATE with multi-byte RLP nonce lands later (the "
-                "in-circuit preimage is fixed 23-byte shape)"
-            )
+            # variable-length RLP nonce: 23 + nl bytes (the circuit's
+            # CREATE preimage selects the matching branch via o_{nl})
             preimage = _rlp.encode([fr.to_addr.to_bytes(20, "big"), nonce])
-            assert len(preimage) == 23
+            assert 23 <= len(preimage) <= 31
         else:
             preimage = (b"\xff" + fr.to_addr.to_bytes(20, "big")
                         + salt.to_bytes(32, "big") + keccak256(initcode))
