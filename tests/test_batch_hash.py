@@ -1,0 +1,93 @@
+"""In-circuit ChunkHash/BatchHash derivation (recursion/batch_hash.py).
+
+Reference aggregator/src/core.rs:223-250 extract_hash_cells +
+batch.rs:19-33 — chunk pi-hashes and the batch hash recomputed from
+byte cells with chunk-continuity constraints (VERDICT r4 missing #6).
+"""
+
+import numpy as np
+import pytest
+
+from zkevm_circuits_tpu.crypto.keccak import keccak256
+from zkevm_circuits_tpu.plonk.mock import MockProver
+from zkevm_circuits_tpu.recursion.aggregation import BatchHash, ChunkHash
+from zkevm_circuits_tpu.recursion.batch_hash import SEG, BatchHashCircuit
+
+pytestmark = pytest.mark.fast
+
+K = 10
+
+
+def _mk_batch(m=3, chain_id=534352):
+    roots = [int.from_bytes(keccak256(bytes([i])), "big")
+             for i in range(m + 1)]
+    chunks = [
+        ChunkHash(
+            chain_id=chain_id,
+            prev_state_root=roots[i],
+            post_state_root=roots[i + 1],
+            withdraw_root=int.from_bytes(keccak256(b"w%d" % i), "big"),
+            data_hash=int.from_bytes(keccak256(b"d%d" % i), "big"),
+        )
+        for i in range(m)
+    ]
+    return BatchHash(chunks)
+
+
+def test_batch_hash_proves():
+    batch = _mk_batch(3)
+    circ = BatchHashCircuit(batch)
+    MockProver(K, circ, instances=[circ.instance()]).assert_satisfied()
+    # instance carries the real batch hash + endpoint roots
+    inst = circ.instance()
+    h = batch.pi_hash()
+    assert inst[0] == h >> 128 and inst[1] == h & ((1 << 128) - 1)
+    assert inst[3] == batch.chunks[0].prev_state_root >> 128
+    assert inst[6] == batch.chunks[-1].post_state_root & ((1 << 128) - 1)
+
+
+def test_batch_hash_single_chunk():
+    c1 = BatchHashCircuit(_mk_batch(1))
+    MockProver(K, c1, instances=[c1.instance()]).assert_satisfied()
+
+
+def test_batch_hash_broken_chain_rejected():
+    """A chunk whose prev_root does not chain must fail the continuity
+    gate (bypass the host-side assert by mutating post-init)."""
+    batch = _mk_batch(3)
+    batch.chunks[1].prev_state_root ^= 1
+    bad = BatchHashCircuit(batch)
+    failures = MockProver(K, bad, instances=[bad.instance()]).verify()
+    assert any("root chain" in f or "keccak" in f for f in failures), failures
+
+
+def test_batch_hash_wrong_chain_id_rejected():
+    batch = _mk_batch(2)
+    batch.chunks[1].chain_id += 1
+    bad = BatchHashCircuit(batch)
+    failures = MockProver(K, bad, instances=[bad.instance()]).verify()
+    assert any("chain id" in f or "keccak" in f for f in failures), failures
+
+
+def test_batch_hash_forged_digest_rejected():
+    """Forging a batch digest byte must miss the keccak table (and break
+    the exposed hi/lo instance binding)."""
+    batch = _mk_batch(2)
+
+    class Forged(BatchHashCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                from zkevm_circuits_tpu.crypto.field import fr
+                F = fr()
+                arr = np.asarray(cols[self.c_dig[7]]).copy()
+                row = self.m * SEG
+                arr[row] = F.mont_from_ints([arr[row][0] ^ 1 & 0xFF])[0]
+                bd = self.batch.pi_hash().to_bytes(32, "big")
+                arr[row] = F.mont_from_ints([bd[7] ^ 1])[0]
+                cols[self.c_dig[7]] = arr
+            return cols
+
+    fg = Forged(batch)
+    failures = MockProver(K, fg, instances=[fg.instance()]).verify()
+    assert failures, "forged batch digest must not verify"

@@ -2808,15 +2808,76 @@ class EvmCircuit(Circuit):
         self._s2_len_i = s2_len_i
         self._s2_p = s2_p
 
-        # MODEXP precompile (0x05), 32-byte operand scope: input is
-        # the fixed 192-byte stream (three 32-headers + B ‖ E ‖ M),
-        # statement binds to the ModExpTable
-        g_mx, _, _ = precompile_skeleton("MODEXP", 5, 192, 32, 192 + 32 + 4)
-        hdr32 = [0] * 31 + [32]
-        mx_in = (hdr32 + hdr32 + hdr32
-                 + [ba[i] for i in range(32)] + [bb[i] for i in range(32)]
-                 + [bc[i] for i in range(32)])
-        cs.create_gate("MODEXP in acc", g_mx * (horner(mx_in) - p_in_acc))
+        # MODEXP precompile (0x05), VARIABLE operand lengths up to the
+        # reference's 32-byte cap (MODEXP_SIZE_LIMIT,
+        # bus-mapping/src/precompile.rs:231; gadget
+        # execution/precompiles/modexp.rs): input stream is
+        # hdrB ‖ hdrE ‖ hdrM (32 bytes each) ‖ B[BL] ‖ E[EL] ‖ M[ML],
+        # args_len == 96+BL+EL+ML exactly (implicit zero-extension of a
+        # short caller region stays a documented builder raise).
+        # Operands live RIGHT-ALIGNED in banks a/b/c (out in e) so the
+        # full-bank msb-first horner equals the BL-byte stream fold as
+        # long as the leading cells are zero — enforced by monotone
+        # leading-zero masks zB/zE/zM in banks d/f/g.  BL = 32 - sum(zB)
+        # feeds the headers, the rw-count walk and the copy lengths; the
+        # challenge powers r^BL needed to splice the stream folds are
+        # single cells bound through the keccak pad-power table via
+        # (BL+1, r*pB, pB+128) — no zero-length special case.
+        zB = [bd[i] for i in range(32)]
+        zE = [bf_[i] for i in range(32)]
+        zM = [bg_[i] for i in range(32)]
+        g_mx0 = q * ind["MODEXP"]
+        mx_lens = []
+        for zname, zz, banks in (
+            ("B", zB, [ba]), ("E", zE, [bb]), ("M", zM, [bc, be_]),
+        ):
+            ssum = None
+            for i in range(32):
+                cs.create_gate(
+                    f"MODEXP z{zname}{i} bool", g_mx0 * zz[i] * (zz[i] - 1)
+                )
+                for bank in banks:
+                    cs.create_gate(
+                        f"MODEXP z{zname}{i} kill", g_mx0 * zz[i] * bank[i]
+                    )
+                ssum = zz[i] if ssum is None else ssum + zz[i]
+            for i in range(31):
+                d_ = zz[i] - zz[i + 1]
+                cs.create_gate(
+                    f"MODEXP z{zname}{i} mono", g_mx0 * d_ * (d_ - 1)
+                )
+            mx_lens.append(32 - ssum)
+        mx_bl, mx_el, mx_ml = mx_lens
+        mx_al = 96 + mx_bl + mx_el + mx_ml
+        g_mx, _, _ = precompile_skeleton(
+            "MODEXP", 5, mx_al, mx_ml, mx_al + mx_ml + 4
+        )
+        self._mx_al, self._mx_ml = mx_al, mx_ml
+        # challenge powers r^BL / r^EL / r^ML (cells: prl / inv / inv2)
+        mx_pB = Advice(self.c_prl)
+        mx_pE = Advice(self.c_inv)
+        mx_pM = Advice(self.c_inv2)
+        cs.lookup_logup(
+            "MODEXP len powers",
+            [
+                [g_mx, g_mx * (mx_bl + 1), g_mx * mx_pB * self.r_word,
+                 g_mx * (mx_pB + 128)],
+                [g_mx, g_mx * (mx_el + 1), g_mx * mx_pE * self.r_word,
+                 g_mx * (mx_pE + 128)],
+                [g_mx, g_mx * (mx_ml + 1), g_mx * mx_pM * self.r_word,
+                 g_mx * (mx_pM + 128)],
+            ],
+            pad_table,
+        )
+        r32 = None
+        for _ in range(32):
+            r32 = self.r_word if r32 is None else r32 * self.r_word
+        mx_hdr = mx_bl * r32 * r32 + mx_el * r32 + mx_ml
+        mx_in_acc = (
+            (mx_hdr * mx_pB + horner([ba[i] for i in range(32)])) * mx_pE
+            + horner([bb[i] for i in range(32)])
+        ) * mx_pM + horner([bc[i] for i in range(32)])
+        cs.create_gate("MODEXP in acc", g_mx * (mx_in_acc - p_in_acc))
         mx_out = [be_[i] for i in range(32)]
         cs.create_gate("MODEXP out acc", g_mx * (horner(mx_out) - p_out_acc))
         if self.modexp_table is not None:
@@ -3595,6 +3656,11 @@ class EvmCircuit(Circuit):
                 alen_val = self._id_len_r
                 rlen_val = self._id_rlen_r
                 rdlen_val = self._id_la4
+            elif gname == "MODEXP":
+                in_out = self._mx_al + self._mx_ml
+                alen_val = self._mx_al
+                rlen_val = self._mx_ml
+                rdlen_val = self._mx_ml
             elif gname == "SHA256":
                 in_out = self._s2_len_i + 32
                 alen_val = self._s2_len_r
@@ -4665,13 +4731,27 @@ class EvmCircuit(Circuit):
                     for i in range(4):
                         addrbytes[i][si] = (aoff >> (8 * i)) & 0xFF
                         membytes[4 + i][si] = (roff >> (8 * i)) & 0xFF
-                    ins = [ops[npp_ + i].value for i in range(192)]
-                    outs = [o.value for o in ops[npp_ + 192 : -4]]
-                    for i in range(32):
-                        byts["a"][i][si] = ins[96 + i]
-                        byts["b"][i][si] = ins[128 + i]
-                        byts["c"][i][si] = ins[160 + i]
-                        byts["e"][i][si] = outs[i]
+                    alen_v = ops[npp_ - 3].value
+                    ins = bytes(ops[npp_ + i].value for i in range(alen_v))
+                    outs = [o.value for o in ops[npp_ + alen_v : -4]]
+                    bl_v = int.from_bytes(ins[0:32], "big")
+                    el_v = int.from_bytes(ins[32:64], "big")
+                    ml_v = int.from_bytes(ins[64:96], "big")
+                    # right-aligned operand values; leading-zero masks in
+                    # banks d/f/g (zB/zE/zM)
+                    off_ = 96
+                    for bank, zbank, ln in (("a", "d", bl_v),
+                                            ("b", "f", el_v),
+                                            ("c", "g", ml_v)):
+                        vb_ = int.from_bytes(ins[off_ : off_ + ln], "big") \
+                            .to_bytes(32, "big")
+                        off_ += ln
+                        for i in range(32):
+                            byts[bank][i][si] = vb_[i]
+                            if i < 32 - ln:
+                                byts[zbank][i][si] = 1
+                    for i, o_v in enumerate(outs):
+                        byts["e"][i + 32 - ml_v][si] = o_v
                 elif kind in ("ECRECOVER", "ECADD", "ECMUL", "IDENTITY"):
                     hv = int(s.op == OpcodeId.CALL)
                     npp_ = 6 + hv
@@ -5002,6 +5082,7 @@ class EvmCircuit(Circuit):
             inv_of = 0
             inv2_of = 0
             inv_direct = None  # raw override of the c_inv cell
+            inv2_direct = None  # raw override of the c_inv2 cell
             acc_m = rpl_v = prl_v = 0
             if kind == "SHA256":
                 hv = int(s.op == OpcodeId.CALL)
@@ -5029,9 +5110,29 @@ class EvmCircuit(Circuit):
                     alen = ops[npp_ - 3].value
                     rlen = ops[npp_ - 1].value
                     inv_of = min(alen, rlen) % R
+                elif kind == "MODEXP":
+                    alen_v = ops[npp_ - 3].value
+                    ins_v = [ops[npp_ + i].value for i in range(alen_v)]
+                    for b_v in ins_v:
+                        acc_m = (acc_m * r_int + b_v) % R
+                    outs_v = [o.value for o in ops[npp_ + alen_v : -4]]
+                    rpl0 = 0
+                    for o_v in outs_v:
+                        rpl0 = (rpl0 * r_int + o_v) % R
+                    bl_v = int.from_bytes(bytes(ins_v[0:32]), "big")
+                    el_v = int.from_bytes(bytes(ins_v[32:64]), "big")
+                    ml_v = int.from_bytes(bytes(ins_v[64:96]), "big")
+                    # out acc cell is rpl in the skeleton convention;
+                    # the r^BL/r^EL/r^ML power cells ride prl/inv/inv2
+                    # ... but prl carries r^BL here, so p_out_acc uses
+                    # rpl as usual
+                    rpl_v = rpl0
+                    prl_v = pow(r_int, bl_v, R)
+                    inv_direct = pow(r_int, el_v, R)
+                    inv2_direct = pow(r_int, ml_v, R)
                 else:
                     in_len = {"ECRECOVER": 128, "ECADD": 128,
-                              "ECMUL": 96, "MODEXP": 192}[kind]
+                              "ECMUL": 96}[kind]
                     for i in range(in_len):
                         acc_m = (acc_m * r_int + ops[npp_ + i].value) % R
                     for o in ops[npp_ + in_len : -4]:
@@ -5258,7 +5359,10 @@ class EvmCircuit(Circuit):
                 invs.append(inv_direct)
             else:
                 invs.append(pow(inv_of, -1, R) if inv_of else 0)
-            inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
+            if inv2_direct is not None:
+                inv2s.append(inv2_direct)
+            else:
+                inv2s.append(pow(inv2_of, -1, R) if inv2_of else 0)
             accms.append(acc_m)
             rpls.append(rpl_v)
             prls.append(prl_v)

@@ -1099,8 +1099,8 @@ class CircuitInputBuilder:
 
         names = {1: "ECRECOVER", 2: "SHA256", 4: "IDENTITY",
                  5: "MODEXP", 6: "ECADD", 7: "ECMUL"}
-        in_fixed = {1: 128, 5: 192, 6: 128, 7: 96}
-        out_fixed = {1: 32, 5: 32, 6: 64, 7: 64}
+        in_fixed = {1: 128, 6: 128, 7: 96}
+        out_fixed = {1: 32, 6: 64, 7: 64}
         if addr == 2:
             assert ret_len == 32, "sha256 needs retLen 32 in round 1"
         if addr in in_fixed:
@@ -1146,16 +1146,31 @@ class CircuitInputBuilder:
         elif addr == 5:
             from ..circuits.modexp import ModExpEvent
 
+            # variable operand lengths up to the reference cap
+            # (MODEXP_SIZE_LIMIT=32, bus-mapping/src/precompile.rs:231;
+            # the l2geth fork fails larger calls).  Scope: the caller
+            # passes exactly 96+BL+EL+ML arg bytes and retLen == ML >= 1
+            # (implicit zero-extension of a short region lands later).
             hdr = [int.from_bytes(data[i : i + 32], "big")
                    for i in (0, 32, 64)]
-            assert hdr == [32, 32, 32], (
-                "modexp with non-32-byte operands lands later"
-            )
-            b_ = int.from_bytes(data[96:128], "big")
-            e_ = int.from_bytes(data[128:160], "big")
-            m_ = int.from_bytes(data[160:192], "big")
+            if max(hdr) > 32:
+                raise NotImplementedError(
+                    "modexp operands beyond the 32-byte reference cap "
+                    "(the reference circuit fails these calls)"
+                )
+            bl_, el_, ml_ = hdr
+            if args_len != 96 + bl_ + el_ + ml_:
+                raise NotImplementedError(
+                    "modexp with implicitly zero-extended / over-long "
+                    "args region lands later"
+                )
+            assert ml_ >= 1, "modexp with empty modulus output"
+            assert ret_len == ml_, "modexp retLen must equal Mlen"
+            b_ = int.from_bytes(data[96 : 96 + bl_], "big")
+            e_ = int.from_bytes(data[96 + bl_ : 96 + bl_ + el_], "big")
+            m_ = int.from_bytes(data[96 + bl_ + el_ :], "big")
             res = pow(b_, e_, m_) if m_ else 0
-            out = res.to_bytes(32, "big")
+            out = res.to_bytes(ml_, "big")
             self.modexp_events.append(
                 ModExpEvent(base=b_, exponent=e_, modulus=m_, result=res)
             )
@@ -1221,13 +1236,14 @@ class CircuitInputBuilder:
             if la:
                 self.copy_events.append(ev)
         else:
+            ilen = in_fixed.get(addr, args_len)
             self.copy_events.append(CopyEvent(
                 src_type="memory", src_id=call_id, src_addr=args_off,
                 dst_type="rlc", dst_id=0, dst_addr=0,
-                length=in_fixed[addr],
-                rw_counter_start=self.rws.counter + 1, bytes_=data,
+                length=ilen,
+                rw_counter_start=self.rws.counter + 1, bytes_=data[:ilen],
             ))
-            for j in range(in_fixed[addr]):
+            for j in range(ilen):
                 rws.append(
                     self.rws.memory_read(call_id, args_off + j, data[j])
                 )
