@@ -36,7 +36,8 @@ def _witness(code: Bytecode, gas: int):
         Tx(from_addr=SENDER, to=CONTRACT, gas=gas)
     )
     assert tr.failed
-    assert any(s.error == "out of gas" for s in tr.struct_logs)
+    assert any(s.error in ("out of gas", "gas uint64 overflow")
+               for s in tr.struct_logs)
     b = CircuitInputBuilder()
     b.handle_tx(
         dict(from_addr=SENDER, to_addr=CONTRACT, value=0, calldata=b""),
@@ -115,3 +116,66 @@ def test_oog_dyn_forged_slack_rejected():
 
     failures = MockProver(K, Forge(b.steps, b.rws.rws, PARAMS)).verify()
     assert failures
+
+
+# ---------------------------------------------------------------------------
+# u64-overflow sub-shape (reference error_gas_uint_overflow / geth
+# ErrGasUintOverflow): operands >= 2^32 prove via the fov branch — the
+# offending word's high part is nonzero and gas_left < 2^40.
+# ---------------------------------------------------------------------------
+def _assert_ovf(b, fam):
+    step = next(s for s in b.steps if s.exec_state == "ERR_OOG_DYN")
+    assert step.err_aux[0] == fam and step.err_aux[3] == "ovf"
+    MockProver(K, EvmCircuit(b.steps, b.rws.rws, PARAMS)).assert_satisfied()
+
+
+def test_oog_overflow_mload_2_33():
+    # extent 2^33: below geth's uint64 cap, expansion cost astronomic
+    code = Bytecode().push(5, 1 << 33).op("MLOAD").op("STOP")
+    b = _witness(code, gas=100_000)
+    _assert_ovf(b, "mem32")
+
+
+def test_oog_overflow_mload_2_40():
+    # extent 2^40: geth raises ErrGasUintOverflow before charging
+    code = Bytecode().push(6, 1 << 40).op("MLOAD").op("STOP")
+    b = _witness(code, gas=100_000)
+    _assert_ovf(b, "mem32")
+
+
+def test_oog_overflow_calldatacopy_len():
+    code = (Bytecode().push(5, 1 << 34).push(1, 0).push(1, 0)
+            .op("CALLDATACOPY").op("STOP"))
+    b = _witness(code, gas=100_000)
+    _assert_ovf(b, "copy")
+
+
+def test_oog_overflow_log_size():
+    code = (Bytecode().push(8, (1 << 63) + 5).push(1, 0)
+            .op("LOG0").op("STOP"))
+    b = _witness(code, gas=100_000)
+    _assert_ovf(b, "log")
+
+
+def test_oog_overflow_forged_flag_rejected():
+    """Claiming fov on an in-range operand must fail (high sum zero has
+    no inverse) — and clearing fov on an overflow operand breaks the
+    4-byte addr binding."""
+    import numpy as np
+
+    code = Bytecode().push(6, 1 << 40).op("MLOAD").op("STOP")
+    b = _witness(code, gas=100_000)
+
+    class NoFov(EvmCircuit):
+        def synthesize(self, phase, n, challenges, instances):
+            cols = super().synthesize(phase, n, challenges, instances)
+            if phase == 0:
+                si = next(i for i, s in enumerate(self.steps)
+                          if s.exec_state == "ERR_OOG_DYN")
+                arr = np.asarray(cols[self.c_carry[8]]).copy()
+                arr[si] = 0
+                cols[self.c_carry[8]] = arr
+            return cols
+
+    failures = MockProver(K, NoFov(b.steps, b.rws.rws, PARAMS)).verify()
+    assert failures, "clearing fov on an overflow operand must fail"

@@ -2257,24 +2257,55 @@ class EvmCircuit(Circuit):
         cs.create_gate("EOD log op", g_eod * eo_f["log"] * eo_logop)
         cs.create_gate("EOD span op", g_eod * eo_f["span"]
                        * (opb_e - 0xF3) * (opb_e - 0xFD))
+        # u64-overflow sub-shape (reference error_gas_uint_overflow /
+        # geth ErrGasUintOverflow + the "absurd operand" OOGs): when an
+        # extent operand does not fit u32, the required gas trivially
+        # exceeds any real gas budget.  Flag fov (carry 8) selects it:
+        # the offending WORD (addr, or size when fhi=1) binds to the
+        # full bank-c decomposition whose high-byte sum is proven
+        # nonzero (inverse in gx[15]), and gas_left is bound < 2^40 by
+        # a 5-byte bank-d decomposition — 3*2^27 expansion words alone
+        # cost > 2^41.  The normal required-gas machinery is gated off
+        # under fov.
+        fov, fhi = cr[8], cr[9]
+        cs.create_gate("EOD fov bool", g_eod * fov * (fov - 1))
+        cs.create_gate("EOD fhi bool", g_eod * fhi * (fhi - 1))
+        cs.create_gate("EOD fhi needs fov", g_eod * (1 - fov) * fhi)
+        eo_w_rlc = rlc_expr(bc)
+        cs.create_gate(
+            "EOD ovf word bind",
+            g_eod * fov * (eo_w_rlc - va - fhi * (vb - va)),
+        )
+        eo_hi_sum = None
+        for i in range(4, 32):
+            eo_hi_sum = bc[i] if eo_hi_sum is None else eo_hi_sum + bc[i]
+        cs.create_gate(
+            "EOD ovf high nonzero", g_eod * fov * (eo_hi_sum * gx[15] - 1)
+        )
+        eo_gas40 = None
+        for i in range(5):
+            term = bd[i] * (1 << (8 * i))
+            eo_gas40 = term if eo_gas40 is None else eo_gas40 + term
+        cs.create_gate("EOD ovf gas u40", g_eod * fov * (gas_e - eo_gas40))
+        g_eodn = g_eod * (1 - fov)
         # operand bindings (addr always; size for non-mem families; the
         # u32 folds force the read words < 2^32)
         eo_mem = eo_f["m32"] + eo_f["m1"]
-        cs.create_gate("EOD addr rlc", g_eod * (fold4_rlc(ab4) - va))
+        cs.create_gate("EOD addr rlc", g_eodn * (fold4_rlc(ab4) - va))
         cs.create_gate(
-            "EOD size rlc", g_eod * (1 - eo_mem) * (fold4_rlc(bb) - vb)
+            "EOD size rlc", g_eodn * (1 - eo_mem) * (fold4_rlc(bb) - vb)
         )
         eo_size = fold4_int(bb)
-        cs.create_gate("EOD mem size zero", g_eod * eo_mem * eo_size)
+        cs.create_gate("EOD mem size zero", g_eodn * eo_mem * eo_size)
         # expansion: active for mem families always, others when size != 0
         (edm, edrem, ede, edd0, edd1, edd2, edd3, edtn, eds0, eds1,
          edto, edso0, edso1) = gx[:13]
         eo_nz, eo_szinv = gx[13], gx[14]
         eo_wcnt, eo_wrem = gx[16], gx[17]
         cs.create_gate("EOD nz bool", g_eod * eo_nz * (eo_nz - 1))
-        cs.create_gate("EOD nz def", g_eod * (eo_nz - eo_size * eo_szinv))
-        cs.create_gate("EOD nz kill", g_eod * (1 - eo_nz) * eo_size)
-        eo_act = eo_mem + (1 - eo_mem) * eo_nz
+        cs.create_gate("EOD nz def", g_eodn * (eo_nz - eo_size * eo_szinv))
+        cs.create_gate("EOD nz kill", g_eodn * (1 - eo_nz) * eo_size)
+        eo_act = (eo_mem + (1 - eo_mem) * eo_nz) * (1 - fov)
         eo_extent = (fold4_int(ab4) + 32 * eo_f["m32"] + eo_f["m1"]
                      + (1 - eo_mem) * eo_size)
         cs.create_gate(
@@ -2302,8 +2333,8 @@ class EvmCircuit(Circuit):
         # word count for the per-word families
         eo_wfam = eo_f["sha"] + eo_f["copy"]
         cs.create_gate(
-            "EOD words", g_eod * eo_wfam * (32 * eo_wcnt - eo_size
-                                            - eo_wrem)
+            "EOD words", g_eodn * eo_wfam * (32 * eo_wcnt - eo_size
+                                             - eo_wrem)
         )
         eo_required = (
             g0_e
@@ -2318,7 +2349,7 @@ class EvmCircuit(Circuit):
             eo_slack = term if eo_slack is None else eo_slack + term
         cs.create_gate(
             "EOD insufficient",
-            g_eod * (eo_required - gas_e - 1 - eo_slack),
+            g_eodn * (eo_required - gas_e - 1 - eo_slack),
         )
         # rw-counter transition: the operand reads advance it
         eo_nre = 1 + (eo_f["sha"] + eo_f["log"] + eo_f["span"]) \
@@ -4237,6 +4268,23 @@ class EvmCircuit(Circuit):
                     fam_idx = {"mem32": 2, "mem1": 3, "sha": 4,
                                "copy": 5, "log": 6, "span": 7}[fam]
                     carries[fam_idx][si] = 1
+                    if required == "ovf":
+                        # u64-overflow sub-shape: full offending word in
+                        # bank c + high-sum inverse + 5-byte gas bound
+                        carries[8][si] = 1
+                        fhi_ = int(addr_v < (1 << 32))
+                        carries[9][si] = fhi_
+                        w_v = size_v if fhi_ else addr_v
+                        wb_ = w_v.to_bytes(32, "little")
+                        for i in range(32):
+                            byts["c"][i][si] = wb_[i]
+                        gx_cols[15][si] = pow(sum(wb_[4:]), -1, R)
+                        for i in range(5):
+                            byts["d"][i][si] = (s.gas >> (8 * i)) & 0xFF
+                        ez_col[si] = s.op.pops
+                        eo_col[si] = s.op.pushes
+                        plens[si] = s.op.constant_gas
+                        continue
                     for i in range(4):
                         addrbytes[i][si] = (addr_v >> (8 * i)) & 0xFF
                         byts["b"][i][si] = (size_v >> (8 * i)) & 0xFF

@@ -480,6 +480,7 @@ class CircuitInputBuilder:
         "stack underflow": "ERR_STACK",
         "stack overflow": "ERR_STACK",
         "out of gas": "ERR_OOG",
+        "gas uint64 overflow": "ERR_OOG",
         "invalid jump destination": "ERR_JUMP",
         "return data out of bounds": "ERR_RDOOB",
         "write protection": "ERR_WRITE_PROT",
@@ -552,20 +553,20 @@ class CircuitInputBuilder:
             rws.append(self.rws.stack_read(fr.call_id, sp, addr))
             rws.append(self.rws.stack_read(fr.call_id, sp + 1, size))
         if max(addr, size) >= (1 << 32):
-            # absurd operands: the u64-overflow shape (geth charges
-            # all gas); witness as required = 2^64-ish via the same
-            # formula is out of u32 cell range — documented raise
-            raise NotImplementedError(
-                "dynamic OOG with operands >= 2^32 (gas-uint64-overflow "
-                "shape) lands later"
+            # u64-overflow shape (geth ErrGasUintOverflow / the absurd-
+            # operand OOGs): the circuit proves the offending word has a
+            # nonzero high part and gas_left < 2^40 — required gas for
+            # >= 2^27 expansion words exceeds 2^41 (circuit fov branch)
+            assert step.gas < (1 << 40), "gas beyond the u40 ovf bound"
+            es.err_aux = (kind, addr, size, "ovf")
+        else:
+            required = self._oog_dyn_required(
+                kind, step.op, addr, size, es.mem_words
             )
-        required = self._oog_dyn_required(
-            kind, step.op, addr, size, es.mem_words
-        )
-        assert step.gas < required, (
-            f"OOG step with gas {step.gas} >= required {required}"
-        )
-        es.err_aux = (kind, addr, size, required)
+            assert step.gas < required, (
+                f"OOG step with gas {step.gas} >= required {required}"
+            )
+            es.err_aux = (kind, addr, size, required)
         es.rw_indices = [r.rw_counter for r in rws]
         self.steps.append(es)
 
