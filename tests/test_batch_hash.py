@@ -13,8 +13,6 @@ from zkevm_circuits_tpu.plonk.mock import MockProver
 from zkevm_circuits_tpu.recursion.aggregation import BatchHash, ChunkHash
 from zkevm_circuits_tpu.recursion.batch_hash import SEG, BatchHashCircuit
 
-pytestmark = pytest.mark.fast
-
 K = 10
 
 

@@ -17,8 +17,6 @@ from zkevm_circuits_tpu.tracer import Account, Interpreter, StateDB, Tx
 from zkevm_circuits_tpu.types import Bytecode
 from zkevm_circuits_tpu.witness.builder import CircuitInputBuilder
 
-pytestmark = pytest.mark.fast
-
 K = 10
 SENDER, CONTRACT = 0xCAFE, 0xC0DE
 
@@ -57,12 +55,15 @@ def _witness(bl, el, ml, base, exp, mod):
     return b, tr
 
 
+slow = pytest.mark.slow
 CASES = [
     (1, 1, 1, 3, 5, 7),                       # minimal
-    (32, 32, 32, 0xDEAD, 0xBEEF, (1 << 255) + 9),  # full width
-    (4, 2, 20, 0xCAFEBABE, 0x1234, (1 << 152) + 11),
+    pytest.param(32, 32, 32, 0xDEAD, 0xBEEF, (1 << 255) + 9,
+                 marks=slow),                  # full width
+    pytest.param(4, 2, 20, 0xCAFEBABE, 0x1234, (1 << 152) + 11,
+                 marks=slow),
     (0, 1, 8, 0, 3, 0xFFFFFFFF_FFFFFFFB),     # empty base
-    (8, 0, 4, 0x12345678, 0, 0xFFF1),         # empty exponent -> 1 mod m
+    pytest.param(8, 0, 4, 0x12345678, 0, 0xFFF1, marks=slow),
 ]
 
 
@@ -83,6 +84,7 @@ def test_modexp_variable_lengths_prove(bl, el, ml, base, exp, mod):
     MockProver(K, ModExpCircuit(b.modexp_events)).assert_satisfied()
 
 
+@pytest.mark.slow
 def test_modexp_forged_length_mask_rejected():
     """Shrinking the claimed Blen (flipping a mask bit) must break the
     in-acc splice or the mask kill gates."""

@@ -19,8 +19,6 @@ from zkevm_circuits_tpu.tracer import Account, Interpreter, StateDB, Tx
 from zkevm_circuits_tpu.types import Bytecode
 from zkevm_circuits_tpu.witness.builder import CircuitInputBuilder
 
-pytestmark = pytest.mark.fast
-
 F = fr()
 K = 9
 SENDER, CONTRACT = 0xCAFE, 0xC0DE
@@ -143,6 +141,7 @@ def test_oog_overflow_mload_2_40():
     _assert_ovf(b, "mem32")
 
 
+@pytest.mark.slow
 def test_oog_overflow_calldatacopy_len():
     code = (Bytecode().push(5, 1 << 34).push(1, 0).push(1, 0)
             .op("CALLDATACOPY").op("STOP"))
@@ -150,6 +149,7 @@ def test_oog_overflow_calldatacopy_len():
     _assert_ovf(b, "copy")
 
 
+@pytest.mark.slow
 def test_oog_overflow_log_size():
     code = (Bytecode().push(8, (1 << 63) + 5).push(1, 0)
             .op("LOG0").op("STOP"))
@@ -157,6 +157,7 @@ def test_oog_overflow_log_size():
     _assert_ovf(b, "log")
 
 
+@pytest.mark.slow
 def test_oog_overflow_forged_flag_rejected():
     """Claiming fov on an in-range operand must fail (high sum zero has
     no inverse) — and clearing fov on an overflow operand breaks the
